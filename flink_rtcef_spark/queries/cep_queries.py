@@ -1,0 +1,51 @@
+"""CEP-surface queries.
+
+``seq_contiguous_sql`` is the SQL-expressible special case of the SRE
+sequence operator (SURVEY.md §2.B B1, strict contiguity): a chain of
+lead() windows per partition key.  Once the real SDFA operator lands
+(operators/cep.py) a second query runs the SAME pattern through the
+compiled automaton with the SAME oracle — cross-validating the custom
+operator against DuckDB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from flink_rtcef_spark.queries import query
+from flink_rtcef_spark.sources.io import load_table
+
+# Pattern: ;(view, click, purchase) {partitionBy: user_id} — strict
+# contiguity, detection at the final event (the Brest port-entry shape,
+# data/pattern.sre:1, transplanted onto the events fixture).
+_SEQ_SQL = """
+    WITH seq AS (
+      SELECT user_id, event_id, event_type, ts,
+             LEAD(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next1,
+             LEAD(event_type, 2) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next2,
+             LEAD(event_id, 2) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS final_event_id
+      FROM events
+    )
+    SELECT user_id, final_event_id AS detection_event_id
+    FROM seq
+    WHERE event_type = 'view' AND next1 = 'click' AND next2 = 'purchase'
+"""
+
+
+@query("cep_seq_contiguous_sql", oracle=_SEQ_SQL)
+def cep_seq_contiguous_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "user_id",
+        "event_type",
+        F.lead("event_type", 1).over(w).alias("next1"),
+        F.lead("event_type", 2).over(w).alias("next2"),
+        F.lead("event_id", 2).over(w).alias("detection_event_id"),
+    )
+    return seq.filter(
+        (F.col("event_type") == "view")
+        & (F.col("next1") == "click")
+        & (F.col("next2") == "purchase")
+    ).select("user_id", "detection_event_id")

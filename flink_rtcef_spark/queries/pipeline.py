@@ -1,0 +1,420 @@
+"""Training-data pipeline queries: dedup, similarity search, text
+analysis over the documents/embeddings fixtures.
+
+These are the beyond-reference operators a 100 TB training-data
+pipeline needs.  Each is implemented as a Catalyst-friendly DataFrame
+plan (portable md5-derived hashing so DuckDB can verify) — the heavier
+operator objects live in operators/dedup.py, operators/similarity.py,
+operators/text.py; these queries exercise them end-to-end.
+
+Portable hash: cast(conv(substr(md5(x),1,15),16,10) as bigint) in Spark
+== cast(('0x'||substr(md5(x),1,15)) as bigint) in DuckDB: a
+deterministic 60-bit non-negative value both engines agree on.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from flink_rtcef_spark.functions.scalar import portable_hash64
+from flink_rtcef_spark.queries import query
+from flink_rtcef_spark.sources.io import load_table
+
+# MinHash parameters (shared with operators/dedup.py): permutations
+# h_j(x) = (a_j * x + b_j) mod P over the portable 60-bit word hash,
+# reduced mod P first so products stay inside int64.
+MINHASH_P = 2147483647  # 2^31 - 1 (prime)
+MINHASH_AB = [(1031, 7), (2053, 11), (4099, 13), (8209, 17)]
+
+_TOKENIZE_SQL = "string_split(lower(trim(text)), ' ')"
+
+
+def _tokens_spark():
+    return F.split(F.lower(F.trim(F.col("text"))), " ")
+
+
+# --------------------------------------------------------------------------
+# Exact dedup: hash-groupBy on normalized text, keep the minimum doc_id
+# as canonical, count duplicates.
+@query(
+    "dedup_exact",
+    oracle="""
+    SELECT MIN(doc_id) AS canonical_doc_id, COUNT(*) AS n_copies
+    FROM documents
+    GROUP BY lower(trim(text))
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.groupBy(F.lower(F.trim(F.col("text"))).alias("norm"))
+        .agg(F.min("doc_id").alias("canonical_doc_id"), F.count(F.lit(1)).alias("n_copies"))
+        .drop("norm")
+        .select("canonical_doc_id", "n_copies")
+    )
+
+
+# --------------------------------------------------------------------------
+# Text quality scoring: length, token count, mean token length,
+# type-token ratio, stopword ratio — the per-document quality signals.
+_QUALITY_SQL = f"""
+    WITH toks AS (
+      SELECT doc_id, n_chars, {_TOKENIZE_SQL} AS tokens FROM documents
+    ),
+    flat AS (
+      SELECT doc_id, n_chars, t.tok
+      FROM toks, UNNEST(tokens) AS t(tok)
+      WHERE t.tok <> ''
+    )
+    SELECT doc_id,
+           ANY_VALUE(n_chars) AS n_chars,
+           COUNT(*) AS n_tokens,
+           COUNT(DISTINCT tok) AS n_types,
+           ROUND(AVG(length(tok)), 6) AS mean_tok_len,
+           ROUND(COUNT(DISTINCT tok) * 1.0 / COUNT(*), 6) AS type_token_ratio,
+           ROUND(SUM(CASE WHEN tok IN ('the','a','of','and','to','in','is') THEN 1 ELSE 0 END) * 1.0
+                 / COUNT(*), 6) AS stopword_ratio
+    FROM flat GROUP BY doc_id
+"""
+
+
+@query("text_quality", oracle=_QUALITY_SQL)
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    flat = (
+        docs.select("doc_id", "n_chars", F.explode(_tokens_spark()).alias("tok"))
+        .filter(F.col("tok") != "")
+    )
+    stop = F.col("tok").isin("the", "a", "of", "and", "to", "in", "is")
+    return flat.groupBy("doc_id").agg(
+        F.any_value("n_chars").alias("n_chars"),
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.countDistinct("tok").alias("n_types"),
+        F.round(F.avg(F.length("tok")), 6).alias("mean_tok_len"),
+        F.round(F.countDistinct("tok") / F.count(F.lit(1)), 6).alias("type_token_ratio"),
+        F.round(F.sum(stop.cast("int")) / F.count(F.lit(1)), 6).alias("stopword_ratio"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Language ID via stopword-hit heuristic, scored against the lang label.
+_LANGID_SQL = f"""
+    WITH flat AS (
+      SELECT doc_id, lang, t.tok
+      FROM (SELECT doc_id, lang, {_TOKENIZE_SQL} AS tokens FROM documents),
+           UNNEST(tokens) AS t(tok)
+      WHERE t.tok <> ''
+    ),
+    scored AS (
+      SELECT doc_id, ANY_VALUE(lang) AS lang,
+             SUM(CASE WHEN tok IN ('the','a','of','and','to','in','is') THEN 1 ELSE 0 END) * 1.0
+               / COUNT(*) AS en_score
+      FROM flat GROUP BY doc_id
+    )
+    SELECT CASE WHEN en_score > 0.05 THEN 'en' ELSE 'other' END AS pred_lang,
+           lang, COUNT(*) AS n_docs
+    FROM scored GROUP BY 1, 2
+"""
+
+
+@query("langid_heuristic", oracle=_LANGID_SQL)
+def langid_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    flat = (
+        docs.select("doc_id", "lang", F.explode(_tokens_spark()).alias("tok"))
+        .filter(F.col("tok") != "")
+    )
+    stop = F.col("tok").isin("the", "a", "of", "and", "to", "in", "is")
+    scored = flat.groupBy("doc_id").agg(
+        F.any_value("lang").alias("lang"),
+        (F.sum(stop.cast("int")) / F.count(F.lit(1))).alias("en_score"),
+    )
+    return (
+        scored.select(
+            F.when(F.col("en_score") > 0.05, "en").otherwise("other").alias("pred_lang"),
+            "lang",
+        )
+        .groupBy("pred_lang", "lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+# --------------------------------------------------------------------------
+# MinHash signatures (word-level): min over tokens of (a*h(tok)+b) mod P
+# for each of 4 permutations.  The signature table is the input to LSH
+# banding; at 100 TB this is one shuffle-free map + groupBy(doc_id).
+def _minhash_oracle() -> str:
+    sig_cols = ",\n           ".join(
+        f"MIN((({a} * (h % {MINHASH_P})) + {b}) % {MINHASH_P}) AS sig{j}"
+        for j, (a, b) in enumerate(MINHASH_AB)
+    )
+    return f"""
+    WITH flat AS (
+      SELECT doc_id, t.tok,
+             CAST(('0x' || substr(md5(t.tok), 1, 15)) AS BIGINT) AS h
+      FROM (SELECT doc_id, {_TOKENIZE_SQL} AS tokens FROM documents),
+           UNNEST(tokens) AS t(tok)
+      WHERE t.tok <> ''
+    )
+    SELECT doc_id,
+           {sig_cols}
+    FROM flat GROUP BY doc_id
+"""
+
+
+@query("minhash_signatures", oracle=_minhash_oracle())
+def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    flat = (
+        docs.select("doc_id", F.explode(_tokens_spark()).alias("tok"))
+        .filter(F.col("tok") != "")
+        .withColumn("h", portable_hash64(F.col("tok")) % MINHASH_P)
+    )
+    aggs = [
+        F.min((F.lit(a) * F.col("h") + F.lit(b)) % MINHASH_P).alias(f"sig{j}")
+        for j, (a, b) in enumerate(MINHASH_AB)
+    ]
+    return flat.groupBy("doc_id").agg(*aggs)
+
+
+# --------------------------------------------------------------------------
+# LSH candidate pairs: band the 4-row signature into 2 bands of 2; docs
+# sharing any band are near-dup candidates.  This is the scale path of
+# near-dedup: the self-join runs per-band on band-hash keys, never
+# all-pairs.
+def _lsh_oracle() -> str:
+    return f"""
+    WITH sigs AS ({_minhash_oracle()}),
+    bands AS (
+      SELECT doc_id, 0 AS band, sig0 || '_' || sig1 AS bh FROM sigs
+      UNION ALL
+      SELECT doc_id, 1 AS band, sig2 || '_' || sig3 AS bh FROM sigs
+    )
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM bands a JOIN bands b ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+"""
+
+
+@query("lsh_candidate_pairs", oracle=_lsh_oracle())
+def lsh_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sigs = minhash_signatures(spark, sf_dir)
+    b0 = sigs.select("doc_id", F.lit(0).alias("band"), F.concat_ws("_", "sig0", "sig1").alias("bh"))
+    b1 = sigs.select("doc_id", F.lit(1).alias("band"), F.concat_ws("_", "sig2", "sig3").alias("bh"))
+    bands = b0.unionAll(b1)
+    a = bands.alias("a")
+    b = bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bh") == F.col("b.bh"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+# --------------------------------------------------------------------------
+# N-gram (3-shingle) Jaccard similarity on LSH-style candidate scope:
+# distinct-shingle overlap / union for pairs sharing >=1 shingle.
+# At scale: explode -> groupBy(shingle) -> pair generation within
+# posting lists (inverted-index join), never a cross join.
+_JACCARD_SQL = f"""
+    WITH toks AS (
+      SELECT doc_id, list_filter({_TOKENIZE_SQL}, x -> x <> '') AS tokens FROM documents
+    ),
+    shingles AS (
+      SELECT DISTINCT doc_id,
+             tokens[i] || ' ' || tokens[i+1] || ' ' || tokens[i+2] AS sh
+      FROM toks, UNNEST(range(1, greatest(len(tokens) - 1, 1))) AS t(i)
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM shingles GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+      FROM shingles a JOIN shingles b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT i.doc_a, i.doc_b,
+           ROUND(i.n_common * 1.0 / (sa.n_sh + sb.n_sh - i.n_common), 6) AS jaccard
+    FROM inter i
+    JOIN sizes sa ON i.doc_a = sa.doc_id
+    JOIN sizes sb ON i.doc_b = sb.doc_id
+    WHERE i.n_common * 1.0 / (sa.n_sh + sb.n_sh - i.n_common) >= 0.8
+"""
+
+
+@query("ngram_jaccard_dedup", oracle=_JACCARD_SQL)
+def ngram_jaccard_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.filter(_tokens_spark(), lambda x: x != "").alias("tokens")
+    )
+    # 3-gram shingles via transform over a sliced sequence (JVM-side)
+    sh = toks.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, greatest(size(tokens) - 2, 0)),"
+                " i -> concat_ws(' ', slice(tokens, i, 3)))"
+            )
+        ).alias("sh"),
+    ).distinct()
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    out = (
+        inter.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_common") / (F.col("sa.n_sh") + F.col("sb.n_sh") - F.col("n_common")), 6
+            ),
+        )
+        .filter(
+            F.col("n_common") / (F.col("sa.n_sh") + F.col("sb.n_sh") - F.col("n_common")) >= 0.8
+        )
+    )
+    return out.select("doc_a", "doc_b", "jaccard")
+
+
+# --------------------------------------------------------------------------
+# SimHash (16-bit, word-level): per bit, sum +1/-1 votes over token
+# hashes; bit set iff vote > 0.  Near-dup docs agree on most bits.
+def _simhash_oracle() -> str:
+    bit_terms = " + ".join(
+        f"(CASE WHEN SUM(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) > 0"
+        f" THEN {1 << b} ELSE 0 END)"
+        for b in range(16)
+    )
+    return f"""
+    WITH flat AS (
+      SELECT doc_id, CAST(('0x' || substr(md5(t.tok), 1, 15)) AS BIGINT) AS h
+      FROM (SELECT doc_id, {_TOKENIZE_SQL} AS tokens FROM documents),
+           UNNEST(tokens) AS t(tok)
+      WHERE t.tok <> ''
+    )
+    SELECT doc_id, {bit_terms} AS simhash
+    FROM flat GROUP BY doc_id
+"""
+
+
+@query("simhash_16", oracle=_simhash_oracle())
+def simhash_16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    flat = (
+        docs.select("doc_id", F.explode(_tokens_spark()).alias("tok"))
+        .filter(F.col("tok") != "")
+        .withColumn("h", portable_hash64(F.col("tok")))
+    )
+    bit_cols = [
+        F.when(
+            F.sum(
+                F.when(F.shiftright(F.col("h"), b).bitwiseAND(1) == 1, 1).otherwise(-1)
+            )
+            > 0,
+            F.lit(1 << b),
+        )
+        .otherwise(0)
+        .alias(f"bit{b}")
+        for b in range(16)
+    ]
+    per_doc = flat.groupBy("doc_id").agg(*bit_cols)
+    total = None
+    for b in range(16):
+        c = F.col(f"bit{b}")
+        total = c if total is None else total + c
+    return per_doc.select("doc_id", total.cast("long").alias("simhash"))
+
+
+# --------------------------------------------------------------------------
+# Document fingerprint: polynomial rolling hash over token hashes
+# (order-sensitive, unlike minhash) — cheap near-exact dedup key.
+@query(
+    "doc_fingerprint",
+    oracle=f"""
+    WITH flat AS (
+      SELECT doc_id, t.i AS i,
+             CAST(('0x' || substr(md5(tokens[t.i]), 1, 15)) AS BIGINT) % 1000000007 AS h
+      FROM (SELECT doc_id, list_filter({_TOKENIZE_SQL}, x -> x <> '') AS tokens FROM documents),
+           UNNEST(range(1, len(tokens) + 1)) AS t(i)
+    )
+    SELECT doc_id,
+           SUM(h * (((i * 31) % 1000003) + 1)) % 1000000007 AS fingerprint
+    FROM flat GROUP BY doc_id
+    """,
+)
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.filter(_tokens_spark(), lambda x: x != "").alias("tokens")
+    )
+    flat = toks.select(
+        "doc_id", F.posexplode("tokens").alias("pos", "tok")
+    ).select(
+        "doc_id",
+        (F.col("pos") + 1).alias("i"),
+        (portable_hash64(F.col("tok")) % 1000000007).alias("h"),
+    )
+    return flat.groupBy("doc_id").agg(
+        (F.sum(F.col("h") * (((F.col("i") * 31) % 1000003) + 1)) % 1000000007).alias(
+            "fingerprint"
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Brute-force cosine top-k similarity search: every vector scored
+# against the query vector (vec_id=0); at scale this is one broadcast
+# of the query + a map-side score + TakeOrdered (no shuffle).
+_COSINE_SQL = """
+    WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+    scored AS (
+      SELECT e.vec_id,
+             ROUND(
+               list_sum(list_transform(list_zip(e.embedding, q.qe),
+                        p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+               / (SQRT(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                  * SQRT(list_sum(list_transform(q.qe, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))),
+             6) AS cosine
+      FROM embeddings e, q
+      WHERE e.vec_id <> 0
+    )
+    SELECT vec_id, cosine FROM scored ORDER BY cosine DESC, vec_id ASC LIMIT 10
+"""
+
+
+@query("cosine_topk", oracle=_COSINE_SQL)
+def cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qe"))
+    dot = F.aggregate(
+        F.zip_with("embedding", "qe", lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    norm = lambda c: F.sqrt(  # noqa: E731
+        F.aggregate(
+            F.transform(c, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+    scored = (
+        emb.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            F.round(dot / (norm(F.col("embedding")) * norm(F.col("qe"))), 6).alias("cosine"),
+        )
+    )
+    return scored.orderBy(F.col("cosine").desc(), F.col("vec_id").asc()).limit(10)

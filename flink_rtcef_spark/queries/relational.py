@@ -1,0 +1,603 @@
+"""Relational-surface queries (SURVEY.md §2.H) with DuckDB oracles.
+
+Each query exercises one operator class the reference system uses —
+scan/filter/project with the scalar library, time bucketing, tumbling
+windows, confusion-matrix aggregation + MCC (Scores.java:20-68),
+analytic lag/last windows (WayebEngine.java:370-430), interval joins
+(ClassificationForecastCollector.scala:76-145), broadcast joins, union,
+top-k, distinct, n-gram counts (CounterSuffixTree.scala:187-210) — as an
+idiomatic Catalyst-optimizable DataFrame plan.
+
+Determinism rules for oracle hash-matching:
+- money sums go through DECIMAL(18,2) (exact, order-independent) and
+  are cast back to double;
+- ratios/doubles are rounded to 6 decimals on both sides;
+- every window order has a total tiebreak (ts, id);
+- timestamps cross the boundary as epoch millis (unix_millis vs
+  epoch_ms).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from flink_rtcef_spark.functions.metrics import (
+    confusion_agg,
+    f1_expr,
+    mcc_expr,
+    precision_expr,
+    recall_expr,
+)
+from flink_rtcef_spark.functions.scalar import haversine_km
+from flink_rtcef_spark.queries import query
+from flink_rtcef_spark.sources.io import load_table
+
+
+def _dec(col: str) -> F.Column:
+    return F.col(col).cast("decimal(18,2)")
+
+
+# --------------------------------------------------------------------------
+# Q1: pricing summary — grouped aggregation with 8 aggregates (the
+# reference's per-window stats rollup shape, MetricsAggregator.java:20-85,
+# phrased TPC-H-Q1-style over lineitem).
+@query(
+    "pricing_summary",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,2))) AS DOUBLE) AS sum_disc_price,
+           ROUND(AVG(l_quantity), 6) AS avg_qty,
+           ROUND(AVG(l_discount), 6) AS avg_disc,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= DATE '2000-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("2000-09-02").cast("date"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(_dec("l_quantity")).cast("double").alias("sum_qty"),
+            F.sum(_dec("l_extendedprice")).cast("double").alias("sum_base_price"),
+            F.sum(_dec("l_extendedprice") * (1 - F.col("l_discount")).cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Time bucketing — the Collector's bucket assignment
+# bucket_id = floor(ts / bucket_size) * bucket_size (Collector.java:121),
+# bucket_size = 86400 s.
+@query(
+    "time_bucketing",
+    oracle="""
+    SELECT (epoch_ms(ts) // 86400000) * 86400 AS bucket_id,
+           COUNT(*) AS n_events,
+           ROUND(SUM(value), 4) AS sum_value
+    FROM events
+    GROUP BY 1
+    """,
+)
+def time_bucketing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.withColumn("bucket_id", (F.unix_millis("ts") / F.lit(86400000)).cast("long") * 86400)
+        .groupBy("bucket_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Tumbling event-time window aggregation — InferenceJob.java:260-263
+# (reportingDistance=3600 s windows) + silent-window suppression
+# (MetricsAggregator.java:60-66) as HAVING.
+@query(
+    "tumbling_window_agg",
+    oracle="""
+    SELECT (epoch_ms(ts) // 3600000) * 3600000 AS window_start_ms,
+           event_type,
+           COUNT(*) AS n,
+           ROUND(SUM(value), 4) AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    HAVING COUNT(*) > 0
+    """,
+)
+def tumbling_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "3600 seconds").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 4).alias("sum_value"))
+        .select(
+            F.unix_millis(F.col("w.start")).alias("window_start_ms"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+        .filter(F.col("n") > 0)
+    )
+
+
+# --------------------------------------------------------------------------
+# Confusion-matrix aggregation + metric formulas (Scores.java:20-68).
+# pred: high-value event; actual: purchase. Grouped per user.
+_METRIC_SQL = """
+    WITH c AS (
+      SELECT user_id,
+             SUM(CASE WHEN value > 10 AND event_type = 'purchase' THEN 1 ELSE 0 END) AS tp,
+             SUM(CASE WHEN value <= 10 AND event_type <> 'purchase' THEN 1 ELSE 0 END) AS tn,
+             SUM(CASE WHEN value > 10 AND event_type <> 'purchase' THEN 1 ELSE 0 END) AS fp,
+             SUM(CASE WHEN value <= 10 AND event_type = 'purchase' THEN 1 ELSE 0 END) AS fn
+      FROM events GROUP BY user_id
+    )
+    SELECT user_id, tp, tn, fp, fn,
+      ROUND(CASE WHEN tp + fp = 0 THEN -1.0 ELSE CAST(tp AS DOUBLE) / (tp + fp) END, 6) AS precision,
+      ROUND(CASE WHEN tp + fn = 0 THEN -1.0 ELSE CAST(tp AS DOUBLE) / (tp + fn) END, 6) AS recall,
+      ROUND(CASE WHEN tp + fp = 0 OR tp + fn = 0
+                   OR (CAST(tp AS DOUBLE)/(tp+fp) + CAST(tp AS DOUBLE)/(tp+fn)) = 0
+                 THEN -1.0
+                 ELSE 2.0 * (CAST(tp AS DOUBLE)/(tp+fp)) * (CAST(tp AS DOUBLE)/(tp+fn))
+                      / ((CAST(tp AS DOUBLE)/(tp+fp)) + (CAST(tp AS DOUBLE)/(tp+fn))) END, 6) AS f1,
+      ROUND(CASE WHEN tp + fp = 0 OR tp + fn = 0 OR tn + fp = 0 OR tn + fn = 0 THEN 0.0
+                 ELSE SQRT((CAST(tp AS DOUBLE)/(tp+fp)) * (CAST(tp AS DOUBLE)/(tp+fn))
+                           * (CAST(tn AS DOUBLE)/(tn+fp)) * (CAST(tn AS DOUBLE)/(tn+fn)))
+                    - SQRT((1.0 - CAST(tp AS DOUBLE)/(tp+fp)) * (1.0 - CAST(tp AS DOUBLE)/(tp+fn))
+                           * (1.0 - CAST(tn AS DOUBLE)/(tn+fp)) * (1.0 - CAST(tn AS DOUBLE)/(tn+fn))) END, 6) AS mcc
+    FROM c
+"""
+
+
+@query("confusion_metrics", oracle=_METRIC_SQL)
+def confusion_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    pred = F.col("value") > 10
+    actual = F.col("event_type") == "purchase"
+    agg = ev.groupBy("user_id").agg(*confusion_agg(pred, actual))
+    tp, tn, fp, fn = (F.col(c) for c in ("tp", "tn", "fp", "fn"))
+    return agg.select(
+        "user_id",
+        "tp",
+        "tn",
+        "fp",
+        "fn",
+        F.round(precision_expr(tp, fp), 6).alias("precision"),
+        F.round(recall_expr(tp, fn), 6).alias("recall"),
+        F.round(f1_expr(tp, fp, fn), 6).alias("f1"),
+        F.round(mcc_expr(tp, tn, fp, fn), 6).alias("mcc"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Batch-vs-runtime delta reports (WayebEngine.java:370-430): per key a
+# running cumulative count and the delta vs the previous report = lag of
+# the cumulative — analytic window functions.
+@query(
+    "lag_delta_reports",
+    oracle="""
+    SELECT user_id, event_id,
+           COUNT(*) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_events,
+           ROUND(SUM(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS cum_value,
+           COALESCE(LAG(event_id) OVER (PARTITION BY user_id ORDER BY ts, event_id), -1) AS prev_event_id
+    FROM events
+    """,
+)
+def lag_delta_reports(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    cum = w.rowsBetween(W.unboundedPreceding, W.currentRow)
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.count(F.lit(1)).over(cum).alias("cum_events"),
+        F.round(F.sum("value").over(cum), 4).alias("cum_value"),
+        F.coalesce(F.lag("event_id").over(w), F.lit(-1)).alias("prev_event_id"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Forecast-evaluation interval join (F6,
+# ClassificationForecastCollector.scala:76-145): forecasts carry a
+# counter-relative interval [start_ctr, end_ctr]; a forecast is TP iff a
+# detection counter for the same key falls inside it.  Counters are
+# per-key row_numbers (the reference's per-key monotonic event counter).
+_EVAL_SQL = """
+    WITH numbered AS (
+      SELECT user_id, event_id, event_type,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS ctr
+      FROM events
+    ),
+    forecasts AS (
+      SELECT user_id, event_id AS forecast_id, ctr + 1 AS start_ctr, ctr + 5 AS end_ctr
+      FROM numbered WHERE event_type = 'click'
+    ),
+    detections AS (
+      SELECT user_id, ctr AS det_ctr FROM numbered WHERE event_type = 'purchase'
+    )
+    SELECT f.user_id, f.forecast_id,
+           CASE WHEN COUNT(d.det_ctr) > 0 THEN TRUE ELSE FALSE END AS hit
+    FROM forecasts f
+    LEFT JOIN detections d
+      ON f.user_id = d.user_id AND d.det_ctr BETWEEN f.start_ctr AND f.end_ctr
+    GROUP BY f.user_id, f.forecast_id
+"""
+
+
+@query("interval_join_eval", oracle=_EVAL_SQL)
+def interval_join_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    numbered = ev.select("user_id", "event_id", "event_type", F.row_number().over(w).alias("ctr"))
+    forecasts = numbered.filter(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("event_id").alias("forecast_id"),
+        (F.col("ctr") + 1).alias("start_ctr"),
+        (F.col("ctr") + 5).alias("end_ctr"),
+    )
+    detections = numbered.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ctr").alias("det_ctr")
+    )
+    joined = forecasts.join(
+        detections,
+        (forecasts.user_id == detections.user_id)
+        & (detections.det_ctr >= forecasts.start_ctr)
+        & (detections.det_ctr <= forecasts.end_ctr),
+        "left",
+    )
+    return joined.groupBy(forecasts.user_id, "forecast_id").agg(
+        (F.count(detections.det_ctr) > 0).alias("hit")
+    )
+
+
+# --------------------------------------------------------------------------
+# Broadcast-join enrichment — the small-dimension join shape (control
+# plane / model metadata joins, InferenceJob.java:160).  part and
+# supplier are broadcast-size; Catalyst must pick BroadcastHashJoin.
+@query(
+    "broadcast_join_enrich",
+    oracle="""
+    SELECT p.p_brand, s.s_name,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l.l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+           COUNT(*) AS n_items
+    FROM lineitem l
+    JOIN part p ON l.l_partkey = p.p_partkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    WHERE p.p_size >= 25
+    GROUP BY p.p_brand, s.s_name
+    """,
+)
+def broadcast_join_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_size") >= 25)
+    supp = load_table(spark, sf_dir, "supplier")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .groupBy("p_brand", "s_name")
+        .agg(
+            F.sum(_dec("l_extendedprice") * (1 - F.col("l_discount")).cast("decimal(18,2)"))
+            .cast("double")
+            .alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Multi-join + rollup — revenue per region/nation with subtotal rows
+# (the reference's global-vs-per-key report duality, A14/A15).
+@query(
+    "rollup_revenue",
+    oracle="""
+    SELECT COALESCE(r.r_name, 'ALL') AS region_name,
+           COALESCE(n.n_name, 'ALL') AS nation_name,
+           CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY ROLLUP(r.r_name, n.n_name)
+    """,
+)
+def rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    joined = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+    )
+    return (
+        joined.rollup("r_name", "n_name")
+        .agg(F.sum(_dec("o_totalprice")).cast("double").alias("revenue"))
+        .select(
+            F.coalesce(F.col("r_name"), F.lit("ALL")).alias("region_name"),
+            F.coalesce(F.col("n_name"), F.lit("ALL")).alias("nation_name"),
+            "revenue",
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Union assembly — dataset assembly unions K bucket slices
+# (ModelFactoryEngine.assembleDataset:130-182).
+@query(
+    "union_assembly",
+    oracle="""
+    WITH assembled AS (
+      SELECT * FROM events WHERE epoch_ms(ts) // 86400000 = 19723
+      UNION ALL
+      SELECT * FROM events WHERE epoch_ms(ts) // 86400000 = 19724
+    )
+    SELECT event_type, COUNT(*) AS n, ROUND(SUM(value), 4) AS sum_value
+    FROM assembled GROUP BY event_type
+    """,
+)
+def union_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    day = (F.unix_millis("ts") / F.lit(86400000)).cast("long")
+    b1 = ev.filter(day == 19723)
+    b2 = ev.filter(day == 19724)
+    return (
+        b1.unionAll(b2)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 4).alias("sum_value"))
+    )
+
+
+# --------------------------------------------------------------------------
+# Sort + limit / top-k (the wt-distribution argmax shape,
+# WtDistribution.getForecastArgMax:249) — global top-k with total-order
+# tiebreak.
+@query(
+    "topk_events",
+    oracle="""
+    SELECT event_id, user_id, event_type, ROUND(value, 4) AS value
+    FROM events
+    ORDER BY value DESC, event_id ASC
+    LIMIT 20
+    """,
+)
+def topk_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.orderBy(F.col("value").desc(), F.col("event_id").asc())
+        .limit(20)
+        .select("event_id", "user_id", "event_type", F.round("value", 4).alias("value"))
+    )
+
+
+# --------------------------------------------------------------------------
+# Top-k per group — per-key best runs (RunPool bookkeeping shape) via a
+# ranking window.
+@query(
+    "topk_per_group",
+    oracle="""
+    SELECT user_id, event_id, ROUND(value, 4) AS value, rn
+    FROM (
+      SELECT user_id, event_id, value,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY value DESC, event_id ASC) AS rn
+      FROM events
+    ) WHERE rn <= 3
+    """,
+)
+def topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy(F.col("value").desc(), F.col("event_id").asc())
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("user_id", "event_id", F.round("value", 4).alias("value"), "rn")
+    )
+
+
+# --------------------------------------------------------------------------
+# Distinct keys — per-partition run creation (RunPool.scala:21-43) needs
+# the distinct key set.
+@query(
+    "distinct_keys",
+    oracle="SELECT DISTINCT user_id, event_type FROM events",
+)
+def distinct_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "events").select("user_id", "event_type").distinct()
+
+
+# --------------------------------------------------------------------------
+# N-gram counting (the CST update, CounterSuffixTree.scala:187-210):
+# per-key ordered symbol sequence -> 2-grams and 3-grams -> global
+# counts.  Expressed with lag windows (the per-key cyclic buffer E2).
+@query(
+    "ngram_counts",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             LAG(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev1,
+             LAG(event_type, 2) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev2
+      FROM events
+    ),
+    bigrams AS (
+      SELECT prev1 || '|' || event_type AS ngram, 2 AS n FROM seq WHERE prev1 IS NOT NULL
+    ),
+    trigrams AS (
+      SELECT prev2 || '|' || prev1 || '|' || event_type AS ngram, 3 AS n
+      FROM seq WHERE prev2 IS NOT NULL
+    )
+    SELECT ngram, n, COUNT(*) AS cnt FROM (
+      SELECT * FROM bigrams UNION ALL SELECT * FROM trigrams
+    ) GROUP BY ngram, n
+    """,
+)
+def ngram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type",
+        F.lag("event_type", 1).over(w).alias("prev1"),
+        F.lag("event_type", 2).over(w).alias("prev2"),
+    )
+    bigrams = seq.filter(F.col("prev1").isNotNull()).select(
+        F.concat_ws("|", "prev1", "event_type").alias("ngram"), F.lit(2).alias("n")
+    )
+    trigrams = seq.filter(F.col("prev2").isNotNull()).select(
+        F.concat_ws("|", "prev2", "prev1", "event_type").alias("ngram"), F.lit(3).alias("n")
+    )
+    return bigrams.unionAll(trigrams).groupBy("ngram", "n").agg(F.count(F.lit(1)).alias("cnt"))
+
+
+# --------------------------------------------------------------------------
+# Geofence filter with haversine distance (WithinCirclePredicate.scala /
+# utils/SpatialUtils.scala): synthesize positions from event columns,
+# filter by distance to a center, aggregate.  Pure column math both
+# sides -> bit-identical doubles.
+_GEO_SQL = """
+    WITH pos AS (
+      SELECT event_type,
+             -4.0 - value / 100.0 AS lon,
+             48.0 + (user_id % 100) / 100.0 AS lat
+      FROM events
+    ),
+    dist AS (
+      SELECT event_type,
+             2.0 * 6371.0 * ASIN(SQRT(
+               POW(SIN(RADIANS(48.38273 - lat) / 2), 2)
+               + COS(RADIANS(lat)) * COS(RADIANS(48.38273))
+                 * POW(SIN(RADIANS(-4.4753 - lon) / 2), 2)
+             )) AS d_km
+      FROM pos
+    )
+    SELECT event_type, COUNT(*) AS n_within, ROUND(AVG(d_km), 6) AS avg_d_km
+    FROM dist WHERE d_km < 30.0
+    GROUP BY event_type
+"""
+
+
+@query("geofence_within", oracle=_GEO_SQL)
+def geofence_within(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    pos = ev.select(
+        "event_type",
+        (F.lit(-4.0) - F.col("value") / 100.0).alias("lon"),
+        (F.lit(48.0) + (F.col("user_id") % 100) / 100.0).alias("lat"),
+    )
+    dist = pos.select(
+        "event_type", haversine_km(F.col("lon"), F.col("lat"), -4.4753, 48.38273).alias("d_km")
+    )
+    return (
+        dist.filter(F.col("d_km") < 30.0)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_within"), F.round(F.avg("d_km"), 6).alias("avg_d_km"))
+    )
+
+
+# --------------------------------------------------------------------------
+# Bitstring decode (MaritimeParser.java:111-133): derive an 8-char
+# bitstring deterministically, decode each position to a double flag,
+# aggregate flag totals.
+@query(
+    "bitstring_decode",
+    oracle="""
+    WITH bits AS (
+      SELECT lpad(format('{:b}', event_id % 256), 8, '0') AS bs FROM events
+    )
+    SELECT SUM(CAST(substr(bs, 1, 1) AS DOUBLE)) AS f0,
+           SUM(CAST(substr(bs, 2, 1) AS DOUBLE)) AS f1,
+           SUM(CAST(substr(bs, 3, 1) AS DOUBLE)) AS f2,
+           SUM(CAST(substr(bs, 4, 1) AS DOUBLE)) AS f3,
+           SUM(CAST(substr(bs, 5, 1) AS DOUBLE)) AS f4,
+           SUM(CAST(substr(bs, 6, 1) AS DOUBLE)) AS f5,
+           SUM(CAST(substr(bs, 7, 1) AS DOUBLE)) AS f6,
+           SUM(CAST(substr(bs, 8, 1) AS DOUBLE)) AS f7
+    FROM bits
+    """,
+)
+def bitstring_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    bits = ev.select(F.lpad(F.bin(F.col("event_id") % 256), 8, "0").alias("bs"))
+    return bits.agg(
+        *[
+            F.sum(F.substring("bs", i + 1, 1).cast("double")).alias(f"f{i}")
+            for i in range(8)
+        ]
+    )
+
+
+# --------------------------------------------------------------------------
+# Schema-on-read JSON attribute extraction (JsonEventParser.java:41-107):
+# pull a typed attribute out of the open props map.
+@query(
+    "json_extract_props",
+    oracle="""
+    SELECT event_type,
+           ROUND(AVG(CAST(json_extract_string(props, '$.k') AS BIGINT)), 6) AS avg_k,
+           COUNT(*) AS n
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def json_extract_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.withColumn("k", F.get_json_object("props", "$.k").cast("long"))
+        .groupBy("event_type")
+        .agg(F.round(F.avg("k"), 6).alias("avg_k"), F.count(F.lit(1)).alias("n"))
+    )
+
+
+# --------------------------------------------------------------------------
+# Sessionization — gap>600s starts a new session (lag + running sum;
+# the run-expiration analogue, ERFEngine.scala:213-216).
+_SESSION_SQL = """
+    WITH gaps AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN epoch_ms(ts) - epoch_ms(LAG(ts) OVER
+                    (PARTITION BY user_id ORDER BY ts, event_id)) > 600000
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+    ),
+    sessions AS (
+      SELECT user_id,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      FROM gaps
+    )
+    SELECT user_id, session_id, COUNT(*) AS n_events
+    FROM sessions GROUP BY user_id, session_id
+"""
+
+
+@query("sessionize", oracle=_SESSION_SQL)
+def sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(
+            F.unix_millis("ts") - F.unix_millis(F.lag("ts").over(w)) > 600000, 1
+        )
+        .otherwise(0)
+        .alias("new_session"),
+    )
+    cum = w.rowsBetween(W.unboundedPreceding, W.currentRow)
+    sessions = gaps.select(
+        "user_id", F.sum("new_session").over(cum).alias("session_id")
+    )
+    return sessions.groupBy("user_id", "session_id").agg(F.count(F.lit(1)).alias("n_events"))
