@@ -49,3 +49,31 @@ def cep_seq_contiguous_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("next1") == "click")
         & (F.col("next2") == "purchase")
     ).select("user_id", "detection_event_id")
+
+
+# The same pattern through the REAL engine path: SRE text -> compiler
+# (parse, minterms, SNFA, SDFA) -> JVM-side symbolization Column ->
+# applyInPandas SDFA run.  Same oracle as above — DuckDB cross-validates
+# the custom operator end-to-end.
+_SEQ_PATTERN = (
+    ";(IsEventTypePredicate(view),IsEventTypePredicate(click),"
+    "IsEventTypePredicate(purchase)){partitionBy:user_id}"
+)
+# event types are mutually exclusive on this fixture: declare it so the
+# alphabet stays at 4 minterms instead of 2^3
+_SEQ_DECLS = "~(IsEventTypePredicate(view),IsEventTypePredicate(click),IsEventTypePredicate(purchase))"
+
+
+@query("cep_sdfa_detect", oracle=_SEQ_SQL)
+def cep_sdfa_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_rtcef_spark.operators.cep import BatchCEP
+    from flink_rtcef_spark.plans.compiler import compile_pattern
+
+    compiled = compile_pattern(_SEQ_PATTERN, _SEQ_DECLS)
+    ev = load_table(spark, sf_dir, "events")
+    cep = BatchCEP(compiled, ts_col="ts", id_col="event_id")
+    det = cep.detections(ev)
+    return det.select(
+        F.col("key").alias("user_id"),
+        F.col("detection_event_id"),
+    )
