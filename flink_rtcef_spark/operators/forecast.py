@@ -1,0 +1,147 @@
+"""Forecast-emitting CEP operator: recognition + forecasting in one
+per-key pass (the reference's ForecasterRun / WayebEngine inference
+path, WayebEngine.java:442-466 + ForecasterRun.scala:57-102).
+
+Output rows carry counter-relative forecast intervals
+(RelativeForecast.scala:102-113): start_ctr/end_ctr are absolute
+per-key event counters, so evaluation is a pure interval join against
+detections (SURVEY.md §2.F F6).
+
+Scale shape: identical to BatchCEP — one shuffle of (key, ts, id,
+symbol); the SPST tables and the per-state forecast table broadcast
+inside the serialized closure (a few numpy arrays)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from flink_rtcef_spark.models.spst import SPST
+from flink_rtcef_spark.operators.cep import BatchCEP
+
+
+class ForecastCEP(BatchCEP):
+    def __init__(
+        self,
+        spst: SPST,
+        key_col: str | None = None,
+        ts_col: str = "timestamp",
+        id_col: str = "id",
+        method: str = "classify_nextk",
+        confidence_threshold: float = 0.5,
+        spread: int = 5,
+    ):
+        super().__init__(spst.compiled, key_col=key_col, ts_col=ts_col, id_col=id_col)
+        self.spst = spst
+        self.method = method
+        self.confidence_threshold = confidence_threshold
+        self.spread = spread
+
+    def forecasts(self, df: DataFrame) -> DataFrame:
+        """One row per (event, emitted forecast): key, ts, event_id,
+        counter, prob, start_ctr, end_ctr, positive — plus detections
+        flagged with is_detection (side-output duality, A13: one result
+        set with a kind column, split by filter)."""
+        sym_df = self.symbolized(df)
+        delta = self.spst.delta
+        take = self.spst.take
+        finals = self.spst.finals
+        started = self.spst.started
+        ftable = self.spst.forecast_table(
+            self.method, self.confidence_threshold, self.spread
+        )
+        key_type = dict(df.dtypes)[self.key_col]
+        schema = (
+            f"key {key_type}, ts long, event_id long, counter long, "
+            "is_detection boolean, prob double, start_ctr long, end_ctr long, "
+            "positive boolean"
+        )
+
+        def run_group(pdf: pd.DataFrame) -> pd.DataFrame:
+            pdf = pdf.sort_values(["ts", "event_id"], kind="mergesort")
+            syms = pdf["symbol"].to_numpy()
+            tss = pdf["ts"].to_numpy()
+            ids = pdf["event_id"].to_numpy()
+            key = pdf["key"].iloc[0]
+            rows = []
+            state = 0
+            counter = 0
+            for i in range(len(syms)):
+                counter += 1
+                state = int(delta[state, syms[i]])
+                detected = bool(finals[state])
+                if detected:
+                    rows.append(
+                        (key, int(tss[i]), int(ids[i]), counter, True, -1.0, -1, -1, False)
+                    )
+                # forecasts only once the context buffer is warm
+                # (Run.scala canStart:423 "started" gate)
+                if started[state]:
+                    fs, fe, fp, fpos = ftable[state]
+                    if fs >= 0:
+                        rows.append(
+                            (
+                                key,
+                                int(tss[i]),
+                                int(ids[i]),
+                                counter,
+                                False,
+                                float(fp),
+                                counter + int(fs),
+                                counter + int(fe),
+                                bool(fpos >= 1.0),
+                            )
+                        )
+            return pd.DataFrame(
+                rows,
+                columns=[
+                    "key",
+                    "ts",
+                    "event_id",
+                    "counter",
+                    "is_detection",
+                    "prob",
+                    "start_ctr",
+                    "end_ctr",
+                    "positive",
+                ],
+            )
+
+        return sym_df.groupBy("key").applyInPandas(run_group, schema=schema)
+
+
+def evaluate_forecasts(results: DataFrame) -> DataFrame:
+    """Classification evaluation (F6/F7,
+    ClassificationForecastCollector.scala:76-145): a positive forecast
+    is TP iff a detection for the same key lands inside
+    [start_ctr, end_ctr]; negatives invert.  Returns per-key confusion
+    counts + precision/recall/f1/MCC."""
+    from flink_rtcef_spark.functions.metrics import metrics_columns
+
+    forecasts = results.filter(~F.col("is_detection")).select(
+        "key", "counter", "start_ctr", "end_ctr", "positive"
+    )
+    detections = results.filter(F.col("is_detection")).select(
+        F.col("key").alias("d_key"), F.col("counter").alias("det_ctr")
+    )
+    joined = forecasts.join(
+        detections,
+        (forecasts.key == detections.d_key)
+        & (detections.det_ctr >= forecasts.start_ctr)
+        & (detections.det_ctr <= forecasts.end_ctr),
+        "left",
+    )
+    per_forecast = joined.groupBy("key", "counter", "start_ctr", "positive").agg(
+        (F.count("det_ctr") > 0).alias("hit")
+    )
+    pos, hit = F.col("positive"), F.col("hit")
+    conf = per_forecast.groupBy("key").agg(
+        F.sum((pos & hit).cast("long")).alias("tp"),
+        F.sum(((~pos) & (~hit)).cast("long")).alias("tn"),
+        F.sum((pos & (~hit)).cast("long")).alias("fp"),
+        F.sum(((~pos) & hit).cast("long")).alias("fn"),
+    )
+    return conf.select("key", "tp", "tn", "fp", "fn", *metrics_columns())

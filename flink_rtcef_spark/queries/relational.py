@@ -561,6 +561,42 @@ def json_extract_props(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Full-order Markov MLE (E5, estimator/MatrixEstimator/MLEEstimator.scala):
+# per-key consecutive-state transitions counted and normalized per
+# source state — transition-probability estimation as pure SQL.
+@query(
+    "fmm_transition_mle",
+    oracle="""
+    WITH trans AS (
+      SELECT LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS from_state,
+             event_type AS to_state
+      FROM events
+    ),
+    counts AS (
+      SELECT from_state, to_state, COUNT(*) AS cnt
+      FROM trans WHERE from_state IS NOT NULL
+      GROUP BY from_state, to_state
+    )
+    SELECT from_state, to_state, cnt,
+           ROUND(cnt * 1.0 / SUM(cnt) OVER (PARTITION BY from_state), 6) AS prob
+    FROM counts
+    """,
+)
+def fmm_transition_mle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    trans = ev.select(
+        F.lag("event_type").over(w).alias("from_state"),
+        F.col("event_type").alias("to_state"),
+    ).filter(F.col("from_state").isNotNull())
+    counts = trans.groupBy("from_state", "to_state").agg(F.count(F.lit(1)).alias("cnt"))
+    wsum = W.partitionBy("from_state")
+    return counts.withColumn(
+        "prob", F.round(F.col("cnt") / F.sum("cnt").over(wsum), 6)
+    )
+
+
+# --------------------------------------------------------------------------
 # Sessionization — gap>600s starts a new session (lag + running sum;
 # the run-expiration analogue, ERFEngine.scala:213-216).
 _SESSION_SQL = """
