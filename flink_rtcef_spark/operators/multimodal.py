@@ -1,0 +1,158 @@
+"""Multimodal column handling: image/audio/video as opaque binary
+columns with typed metadata.
+
+The Spark-side plumbing is real — schemas, Arrow batching through
+mapInPandas, partitioning by media type, deterministic feature
+extraction over raw bytes.  The actual codec decode is STUBBED: the
+image/audio libraries are not in this container, so ``decode=`` either
+raises NotImplementedError (strict mode) or produces deterministic
+byte-statistics fake features (test mode).  Swapping in a real decoder
+is a one-function change; batch shapes and schemas stay identical.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# canonical multimodal record: opaque payload + typed metadata
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("media_type", T.StringType(), True),  # image|audio|video
+        T.StructField("payload", T.BinaryType(), True),
+        T.StructField(
+            "meta",
+            T.StructType(
+                [
+                    T.StructField("width", T.IntegerType(), True),
+                    T.StructField("height", T.IntegerType(), True),
+                    T.StructField("sample_rate", T.IntegerType(), True),
+                    T.StructField("n_frames", T.IntegerType(), True),
+                    T.StructField("codec", T.StringType(), True),
+                ]
+            ),
+            True,
+        ),
+    ]
+)
+
+FEATURE_DIM = 16
+
+
+def real_decode_stub(payload: bytes, media_type: str) -> np.ndarray:
+    """The seam for a real decoder (PIL/torchaudio/decord).  Not
+    available in this container."""
+    raise NotImplementedError(
+        "media codecs not installed in this environment; use "
+        "fake_decode (deterministic byte statistics) or install decoders"
+    )
+
+
+def fake_decode(payload: bytes, media_type: str) -> np.ndarray:
+    """Deterministic stand-in features: byte histogram moments — stable
+    across runs, exercising the exact batch/shape contract a real
+    decoder would."""
+    if payload is None or len(payload) == 0:
+        return np.zeros(FEATURE_DIM)
+    arr = np.frombuffer(payload, dtype=np.uint8).astype(np.float64)
+    hist, _ = np.histogram(arr, bins=FEATURE_DIM - 4, range=(0, 256))
+    hist = hist / max(len(arr), 1)
+    moments = np.array(
+        [len(arr), arr.mean(), arr.std(), float(arr[0]) if len(arr) else 0.0]
+    )
+    return np.concatenate([moments, hist])
+
+
+def extract_features(
+    df: DataFrame,
+    decode=fake_decode,
+    payload_col: str = "payload",
+    id_col: str = "media_id",
+    type_col: str = "media_type",
+    batch_size_hint: int = 256,
+) -> DataFrame:
+    """mapInPandas feature extraction: Arrow batches of binary payloads
+    in, (id, features array<double>) out.  At scale: repartition by a
+    size-aware key upstream so one straggler video doesn't skew a task;
+    the decode loop is per-batch vectorizable by the real decoder."""
+    schema = f"{id_col} long, features array<double>"
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = [
+                decode(p, t)
+                for p, t in zip(pdf[payload_col], pdf[type_col])
+            ]
+            yield pd.DataFrame(
+                {id_col: pdf[id_col].to_numpy(), "features": [list(map(float, f)) for f in feats]}
+            )
+
+    return df.mapInPandas(run, schema=schema)
+
+
+def frame_sample_plan(
+    df: DataFrame,
+    every_n: int = 10,
+    id_col: str = "media_id",
+) -> DataFrame:
+    """Video frame sampling PLAN: expands (media, n_frames) into
+    (media, frame_idx) rows JVM-side with sequence+explode; the decode
+    of each sampled frame goes through extract_features.  The expansion
+    is the real Spark work — the per-frame decode is the stubbed seam."""
+    return (
+        df.filter(F.col("media_type") == "video")
+        .select(
+            id_col,
+            F.explode(
+                F.sequence(
+                    F.lit(0),
+                    F.greatest(F.coalesce(F.col("meta.n_frames"), F.lit(1)) - 1, F.lit(0)),
+                    F.lit(every_n),
+                )
+            ).alias("frame_idx"),
+        )
+    )
+
+
+def resize_plan(df: DataFrame, max_side: int = 224) -> DataFrame:
+    """Resize METADATA computation (target dims preserving aspect) as
+    pure columns; actual pixel resize happens inside the decode seam."""
+    w, h = F.col("meta.width"), F.col("meta.height")
+    scale = F.when(
+        F.greatest(w, h) > max_side, max_side / F.greatest(w, h).cast("double")
+    ).otherwise(F.lit(1.0))
+    return df.withColumn(
+        "target_dims",
+        F.struct(
+            F.round(w * scale).cast("int").alias("width"),
+            F.round(h * scale).cast("int").alias("height"),
+        ),
+    )
+
+
+def synthesize_media(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Deterministic binary fixtures from the documents table (no binary
+    test table exists): payload = utf-8 bytes, metadata derived from
+    lengths.  Gives the multimodal plumbing a real, reproducible input."""
+    return df.select(
+        F.col(id_col).alias("media_id"),
+        F.when(F.col(id_col) % 3 == 0, "image")
+        .when(F.col(id_col) % 3 == 1, "audio")
+        .otherwise("video")
+        .alias("media_type"),
+        F.encode(F.col(text_col), "utf-8").alias("payload"),
+        F.struct(
+            (F.length(text_col) % 640 + 32).cast("int").alias("width"),
+            (F.length(text_col) % 480 + 32).cast("int").alias("height"),
+            F.lit(16000).alias("sample_rate"),
+            (F.length(text_col) % 100 + 1).cast("int").alias("n_frames"),
+            F.lit("synthetic").alias("codec"),
+        ).alias("meta"),
+    )

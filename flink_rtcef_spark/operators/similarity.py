@@ -1,0 +1,251 @@
+"""Similarity search over an embedding column (array<float>).
+
+Baseline: brute-force cosine top-k — at scale a broadcast of the query
+vector, a map-side score (zip_with/aggregate, JVM-codegen'd), and a
+TakeOrdered; zero shuffles.
+
+Scale paths:
+- RandomHyperplaneLSH: sign-pattern bucketing; top-k probes only the
+  query's bucket (+ optional multi-probe neighbors).  Bucketing is a
+  pure column expression; the bucketed table can be written
+  partitioned-by-bucket so queries prune partitions at the scan.
+- IVFIndex: numpy k-means (driver, on a sample) -> assign each vector
+  to its nearest centroid (broadcast centroids, map-side argmin) ->
+  probe the closest n_probe cells.  The classic IVF trade: recall vs
+  scanned fraction.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _dot(a: str | Column, b: str | Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(c: str | Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            F.transform(c, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+
+
+def _vec_lit(vec: list[float]) -> Column:
+    return F.array(*[F.lit(float(x)) for x in vec])
+
+
+def cosine_scores(
+    df: DataFrame, query_vec: list[float], vec_col: str = "embedding"
+) -> DataFrame:
+    """Score every row against the query vector — map-side only."""
+    q = _vec_lit(query_vec)
+    return df.withColumn(
+        "cosine", _dot(F.col(vec_col), q) / (_norm(F.col(vec_col)) * _norm(q))
+    )
+
+
+def cosine_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Brute-force exact top-k: orderBy+limit compiles to TakeOrdered
+    (per-partition heap + driver merge, no full sort/shuffle)."""
+    return (
+        cosine_scores(df, query_vec, vec_col)
+        .select(id_col, F.round("cosine", 6).alias("cosine"))
+        .orderBy(F.col("cosine").desc(), F.col(id_col).asc())
+        .limit(k)
+    )
+
+
+class RandomHyperplaneLSH:
+    """Multi-table sign-pattern LSH for cosine similarity.
+
+    Each table hashes a vector to the bit pattern of sign(v . h_i) over
+    ``n_planes`` seeded hyperplanes; a candidate matches if it shares
+    the query's bucket in ANY table (OR-amplification — a single table
+    has low recall on near-orthogonal data).  Per-table buckets compose
+    into one column ``bucket = table_idx * 2^n_planes + pattern``, so a
+    bucket-partitioned copy of the corpus (one row per table) turns the
+    probe into partition pruning at the scan."""
+
+    def __init__(self, dim: int, n_planes: int = 6, n_tables: int = 4, seed: int = 11):
+        rng = np.random.RandomState(seed)
+        self.tables = [rng.randn(n_planes, dim) for _ in range(n_tables)]
+        self.n_planes = n_planes
+        self.n_tables = n_tables
+
+    def _pattern_column(self, planes: np.ndarray, vec_col: str) -> Column:
+        acc = F.lit(0)
+        for i, plane in enumerate(planes):
+            proj = F.aggregate(
+                F.zip_with(
+                    vec_col,
+                    _vec_lit(list(plane)),
+                    lambda x, y: x.cast("double") * y,
+                ),
+                F.lit(0.0),
+                lambda a, v: a + v,
+            )
+            acc = acc + F.when(proj >= 0, F.lit(1 << i)).otherwise(F.lit(0))
+        return acc
+
+    def bucketize(self, df: DataFrame, vec_col: str = "embedding") -> DataFrame:
+        """One row per (vector, table) with the composed bucket id —
+        the index-build side (corpus is replicated n_tables times, the
+        standard LSH space/recall trade)."""
+        parts = []
+        for t, planes in enumerate(self.tables):
+            parts.append(
+                df.withColumn(
+                    "bucket",
+                    F.lit(t * (1 << self.n_planes)) + self._pattern_column(planes, vec_col),
+                )
+            )
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionAll(p)
+        return out
+
+    def probe_buckets(self, query_vec: list[float], n_probe_bits: int = 1) -> list[int]:
+        """Per table: query bucket + buckets within Hamming distance
+        n_probe_bits (multi-probe recovers margin near-misses)."""
+        q = np.asarray(query_vec, dtype=float)
+        buckets: set[int] = set()
+        for t, planes in enumerate(self.tables):
+            base = int(sum(1 << i for i, p in enumerate(planes) if p @ q >= 0))
+            offs = t * (1 << self.n_planes)
+            pats = {base}
+            if n_probe_bits >= 1:
+                pats |= {base ^ (1 << i) for i in range(self.n_planes)}
+            if n_probe_bits >= 2:
+                pats |= {
+                    base ^ (1 << i) ^ (1 << j)
+                    for i in range(self.n_planes)
+                    for j in range(i + 1, self.n_planes)
+                }
+            buckets |= {offs + p for p in pats}
+        return sorted(buckets)
+
+    def ann_topk(
+        self,
+        df: DataFrame,
+        query_vec: list[float],
+        k: int = 10,
+        vec_col: str = "embedding",
+        id_col: str = "vec_id",
+        n_probe_bits: int = 1,
+    ) -> DataFrame:
+        """Approximate top-k: score only rows in probed buckets (dedup
+        across tables before scoring)."""
+        bucketed = self.bucketize(df, vec_col)
+        probes = self.probe_buckets(query_vec, n_probe_bits)
+        candidates = (
+            bucketed.filter(F.col("bucket").isin(probes))
+            .select(id_col, vec_col)
+            .dropDuplicates([id_col])
+        )
+        return (
+            cosine_scores(candidates, query_vec, vec_col)
+            .select(id_col, F.round("cosine", 6).alias("cosine"))
+            .orderBy(F.col("cosine").desc(), F.col(id_col).asc())
+            .limit(k)
+        )
+
+    def candidate_count(self, df: DataFrame, query_vec: list[float], vec_col: str = "embedding", id_col: str = "vec_id", n_probe_bits: int = 1) -> int:
+        bucketed = self.bucketize(df, vec_col)
+        probes = self.probe_buckets(query_vec, n_probe_bits)
+        return (
+            bucketed.filter(F.col("bucket").isin(probes))
+            .select(id_col)
+            .distinct()
+            .count()
+        )
+
+
+class IVFIndex:
+    """Inverted-file index: k-means centroids (trained driver-side on a
+    sample), vectors assigned to nearest cell, queries probe the
+    closest cells only."""
+
+    def __init__(self, n_cells: int = 16, n_iter: int = 10, seed: int = 13):
+        self.n_cells = n_cells
+        self.n_iter = n_iter
+        self.seed = seed
+        self.centroids: np.ndarray | None = None
+
+    def fit(self, df: DataFrame, vec_col: str = "embedding", sample: int = 10000) -> "IVFIndex":
+        vecs = np.array(
+            [
+                np.asarray(r[0], dtype=float)
+                for r in df.select(vec_col).limit(sample).collect()
+            ]
+        )
+        rng = np.random.RandomState(self.seed)
+        centroids = vecs[rng.choice(len(vecs), size=min(self.n_cells, len(vecs)), replace=False)]
+        for _ in range(self.n_iter):
+            # cosine assignment on normalized vectors
+            vn = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+            cn = centroids / np.linalg.norm(centroids, axis=1, keepdims=True)
+            assign = np.argmax(vn @ cn.T, axis=1)
+            for c in range(len(centroids)):
+                members = vecs[assign == c]
+                if len(members):
+                    centroids[c] = members.mean(axis=0)
+        self.centroids = centroids
+        return self
+
+    def cell_column(self, vec_col: str = "embedding") -> Column:
+        """argmax-cosine centroid id as a pure column expression over a
+        broadcast centroid literal array."""
+        cn = self.centroids / np.linalg.norm(self.centroids, axis=1, keepdims=True)
+        best_score: Column = F.lit(-2.0)
+        best_id: Column = F.lit(0)
+        vnorm = _norm(F.col(vec_col))
+        for cid, c in enumerate(cn):
+            score = _dot(F.col(vec_col), _vec_lit(list(c))) / vnorm
+            better = score > best_score
+            best_id = F.when(better, F.lit(cid)).otherwise(best_id)
+            best_score = F.when(better, score).otherwise(best_score)
+        return best_id
+
+    def assign(self, df: DataFrame, vec_col: str = "embedding") -> DataFrame:
+        return df.withColumn("cell", self.cell_column(vec_col))
+
+    def query_cells(self, query_vec: list[float], n_probe: int = 2) -> list[int]:
+        q = np.asarray(query_vec, dtype=float)
+        cn = self.centroids / np.linalg.norm(self.centroids, axis=1, keepdims=True)
+        scores = cn @ (q / np.linalg.norm(q))
+        return [int(i) for i in np.argsort(-scores)[:n_probe]]
+
+    def ann_topk(
+        self,
+        df: DataFrame,
+        query_vec: list[float],
+        k: int = 10,
+        vec_col: str = "embedding",
+        id_col: str = "vec_id",
+        n_probe: int = 2,
+    ) -> DataFrame:
+        assigned = self.assign(df, vec_col)
+        cells = self.query_cells(query_vec, n_probe)
+        return (
+            cosine_scores(assigned.filter(F.col("cell").isin(cells)), query_vec, vec_col)
+            .select(id_col, F.round("cosine", 6).alias("cosine"))
+            .orderBy(F.col("cosine").desc(), F.col(id_col).asc())
+            .limit(k)
+        )

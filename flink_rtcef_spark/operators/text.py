@@ -1,0 +1,104 @@
+"""Text-analysis operators: tokenization, quality scoring, language ID,
+fingerprinting — all pure Column expressions (JVM-side, codegen'd; no
+Python in the hot path).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from flink_rtcef_spark.functions.scalar import portable_hash64
+
+# BPE-ish pre-tokenizer: word pieces = letter runs, digit runs, or
+# single punctuation — the common GPT-2-style pre-split approximation.
+BPE_SPLIT_REGEX = r"[a-z]+|[0-9]+|[^a-z0-9\s]"
+
+EN_STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "it", "that", "for")
+
+
+def whitespace_tokens(text_col: str = "text") -> Column:
+    return F.filter(F.split(F.lower(F.trim(F.col(text_col))), r"\s+"), lambda x: x != "")
+
+
+def bpe_ish_tokens(text_col: str = "text") -> Column:
+    """Sub-word-ish pieces via regexp_extract_all — the token-count
+    estimator for LLM data budgeting."""
+    # Spark SQL string literals process backslash escapes: double them
+    # so the regex engine sees \s
+    pattern = BPE_SPLIT_REGEX.replace("\\", "\\\\")
+    return F.expr(f"regexp_extract_all(lower({text_col}), '{pattern}', 0)")
+
+
+def token_counts(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    return df.select(
+        id_col,
+        F.size(whitespace_tokens(text_col)).alias("n_words"),
+        F.size(bpe_ish_tokens(text_col)).alias("n_bpe_tokens"),
+        F.length(text_col).alias("n_chars"),
+    )
+
+
+def quality_signals(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Per-document quality heuristics: length, mean word length,
+    type-token ratio, stopword ratio, punctuation density, digit
+    density — the standard pre-training filter signals."""
+    toks = whitespace_tokens(text_col)
+    n_words = F.size(toks)
+    distinct_words = F.size(F.array_distinct(toks))
+    stop_hits = F.size(F.filter(toks, lambda t: t.isin(*EN_STOPWORDS)))
+    n_punct = F.length(F.regexp_replace(F.col(text_col), r"[^\.,;:!\?]", ""))
+    n_digits = F.length(F.regexp_replace(F.col(text_col), r"[^0-9]", ""))
+    n_chars = F.length(text_col)
+    return df.select(
+        id_col,
+        n_chars.alias("n_chars"),
+        n_words.alias("n_words"),
+        F.round(
+            F.when(n_words > 0, F.length(F.concat_ws("", toks)) / n_words).otherwise(0.0), 6
+        ).alias("mean_word_len"),
+        F.round(
+            F.when(n_words > 0, distinct_words / n_words).otherwise(0.0), 6
+        ).alias("type_token_ratio"),
+        F.round(F.when(n_words > 0, stop_hits / n_words).otherwise(0.0), 6).alias(
+            "stopword_ratio"
+        ),
+        F.round(F.when(n_chars > 0, n_punct / n_chars).otherwise(0.0), 6).alias(
+            "punct_ratio"
+        ),
+        F.round(F.when(n_chars > 0, n_digits / n_chars).otherwise(0.0), 6).alias(
+            "digit_ratio"
+        ),
+    )
+
+
+def langid_score(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Stopword-hit-ratio language ID (n-gram-free heuristic: cheap,
+    surprisingly effective for en-vs-other routing)."""
+    toks = whitespace_tokens(text_col)
+    n_words = F.size(toks)
+    stop_hits = F.size(F.filter(toks, lambda t: t.isin(*EN_STOPWORDS)))
+    score = F.when(n_words > 0, stop_hits / n_words).otherwise(0.0)
+    return df.select(
+        id_col,
+        F.round(score, 6).alias("en_score"),
+        F.when(score > 0.05, "en").otherwise("other").alias("pred_lang"),
+    )
+
+
+def rolling_fingerprint(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Order-sensitive polynomial rolling hash over token hashes —
+    cheap near-exact dedup key robust to whitespace differences."""
+    toks = whitespace_tokens(text_col)
+    flat = df.select(F.col(id_col), F.posexplode(toks).alias("pos", "tok")).select(
+        id_col,
+        (F.col("pos") + 1).alias("i"),
+        (portable_hash64(F.col("tok")) % 1000000007).alias("h"),
+    )
+    return flat.groupBy(id_col).agg(
+        (F.sum(F.col("h") * (((F.col("i") * 31) % 1000003) + 1)) % 1000000007).alias(
+            "fingerprint"
+        )
+    )

@@ -393,6 +393,100 @@ _COSINE_SQL = """
 """
 
 
+# --------------------------------------------------------------------------
+# Semantic near-dup over embeddings: all pairs with cosine >= 0.4
+# (operator: operators/dedup.embedding_near_dup; brute pairwise at this
+# scale, LSH-bucketed at 100 TB).
+_NEARDUP_SQL = """
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           ROUND(
+             list_sum(list_transform(list_zip(a.embedding, b.embedding),
+                      p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+             / (SQRT(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                * SQRT(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))),
+           6) AS cosine
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE list_sum(list_transform(list_zip(a.embedding, b.embedding),
+                   p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+          / (SQRT(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+             * SQRT(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))
+          >= 0.4
+"""
+
+
+@query("embedding_near_dup", oracle=_NEARDUP_SQL)
+def embedding_near_dup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_rtcef_spark.operators.dedup import embedding_near_dup
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return embedding_near_dup(emb, threshold=0.4)
+
+
+# --------------------------------------------------------------------------
+# Token counting: whitespace words + BPE-ish sub-word pieces
+# (operators/text.token_counts).
+@query(
+    "token_counts_bpe",
+    oracle=r"""
+    SELECT doc_id,
+           len(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), x -> x <> '')) AS n_words,
+           len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]', 0)) AS n_bpe_tokens,
+           length(text) AS n_chars
+    FROM documents
+    """,
+)
+def token_counts_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_rtcef_spark.operators.text import token_counts
+
+    docs = load_table(spark, sf_dir, "documents")
+    return token_counts(docs)
+
+
+# --------------------------------------------------------------------------
+# ANN via random-hyperplane LSH and IVF: rows-only driver check (the
+# bucketing decision is not SQL-expressible); recall-vs-bruteforce is
+# pytest-verified (tests/test_pipeline_ops.py).
+@query("ann_lsh_topk")
+def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_rtcef_spark.operators.similarity import RandomHyperplaneLSH
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    lsh = RandomHyperplaneLSH(dim=len(qvec), n_planes=6, seed=11)
+    return lsh.ann_topk(
+        emb.filter(F.col("vec_id") != 0), qvec, k=10, n_probe_bits=1
+    )
+
+
+@query("ann_ivf_topk")
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_rtcef_spark.operators.similarity import IVFIndex
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    ivf = IVFIndex(n_cells=8, n_iter=5).fit(emb)
+    return ivf.ann_topk(emb.filter(F.col("vec_id") != 0), qvec, k=10, n_probe=3)
+
+
+# --------------------------------------------------------------------------
+# Multimodal plumbing: synthesized binary payloads -> mapInPandas
+# feature extraction (deterministic byte-stat stub) -> per-type rollup.
+# Rows-only: binary columns are not oracle-comparable.
+@query("multimodal_features")
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_rtcef_spark.operators.multimodal import extract_features, synthesize_media
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = synthesize_media(docs)
+    feats = extract_features(media)
+    joined = feats.join(media.select("media_id", "media_type"), "media_id")
+    return joined.groupBy("media_type").agg(
+        F.count(F.lit(1)).alias("n_media"),
+        F.round(F.avg(F.element_at("features", 1)), 4).alias("avg_n_bytes"),
+        F.round(F.avg(F.element_at("features", 2)), 4).alias("avg_byte_mean"),
+    )
+
+
 @query("cosine_topk", oracle=_COSINE_SQL)
 def cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")

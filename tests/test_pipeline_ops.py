@@ -1,0 +1,173 @@
+"""Pipeline-operator tests: near-dedup recall/precision on constructed
+duplicates, ANN recall vs brute force, multimodal plumbing shapes."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from flink_rtcef_spark.operators.dedup import (
+    exact_dedup,
+    lsh_candidate_pairs,
+    minhash_signatures,
+    near_dedup,
+    simhash64,
+)
+from flink_rtcef_spark.operators.multimodal import (
+    extract_features,
+    fake_decode,
+    frame_sample_plan,
+    real_decode_stub,
+    resize_plan,
+    synthesize_media,
+)
+from flink_rtcef_spark.operators.similarity import (
+    IVFIndex,
+    RandomHyperplaneLSH,
+    cosine_topk,
+)
+from tests.conftest import SF_SMOKE
+
+
+@pytest.fixture(scope="module")
+def doc_df(spark):
+    """60 base docs + near-duplicates of the first 10 (one word changed)
+    + exact duplicates of the next 5."""
+    import random
+
+    rng = random.Random(5)
+    vocab = [f"w{i}" for i in range(60)]
+    rows = []
+    for i in range(60):
+        words = [rng.choice(vocab) for _ in range(40)]
+        rows.append((i, " ".join(words)))
+    for j in range(10):  # near-dups: ids 100+j duplicate doc j with 1 change
+        words = rows[j][1].split()
+        words[20] = "CHANGED"
+        rows.append((100 + j, " ".join(words)))
+    for j in range(10, 15):  # exact dups
+        rows.append((200 + j, rows[j][1]))
+    return spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+
+
+def test_exact_dedup(spark, doc_df):
+    out = exact_dedup(doc_df).toPandas()
+    # exact dups keep the lower id: 200+j rows get canonical id j
+    dups = out[out.n_copies > 1]
+    assert set(dups.doc_id) == set(range(10, 15))
+
+
+def test_near_dedup_finds_planted_pairs(spark, doc_df):
+    sigs = minhash_signatures(doc_df, n_hashes=8, shingle_n=3)
+    cands = lsh_candidate_pairs(sigs, n_hashes=8, bands=4).toPandas()
+    got_pairs = set(zip(cands.id_a, cands.id_b))
+    planted = {(j, 100 + j) for j in range(10)}
+    # banding with 4 bands of 2 rows: 39/40 shingles shared -> should
+    # catch nearly all planted pairs
+    assert len(planted & got_pairs) >= 8
+    deduped = near_dedup(doc_df, n_hashes=8, bands=4, threshold=0.7).toPandas()
+    kept = set(deduped.doc_id)
+    # every planted near-dup (id 100+j) should be dropped, originals kept
+    assert all(j in kept for j in range(10))
+    assert sum(1 for j in range(10) if (100 + j) in kept) <= 2
+
+
+def test_simhash_hamming_separation(spark, doc_df):
+    out = simhash64(doc_df, bits=32).toPandas().set_index("doc_id")["simhash"]
+
+    def ham(a, b):
+        return bin(int(a) ^ int(b)).count("1")
+
+    near = [ham(out[j], out[100 + j]) for j in range(10)]
+    import random
+
+    rng = random.Random(0)
+    far = [
+        ham(out[a], out[b])
+        for a, b in [(rng.randrange(60), rng.randrange(60)) for _ in range(20)]
+        if a != b
+    ]
+    assert np.mean(near) < np.mean(far) - 2
+
+
+@pytest.fixture(scope="module")
+def planted_embeddings(spark):
+    """1000 random 64-d vectors + 10 planted near-neighbors of the
+    query (cosine ~0.9) — the regime LSH is designed for."""
+    rng = np.random.RandomState(3)
+    q = rng.randn(64)
+    q /= np.linalg.norm(q)
+    rows = []
+    for i in range(1000):
+        v = rng.randn(64)
+        rows.append((i + 1, [float(x) for x in v]))
+    for j in range(10):  # planted: q + small noise (cosine ~0.78)
+        v = q + 0.1 * rng.randn(64)
+        rows.append((2000 + j, [float(x) for x in v]))
+    df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["vec_id", "embedding"])
+    )
+    return df, [float(x) for x in q]
+
+
+def test_ann_lsh_recall(spark, planted_embeddings):
+    df, qvec = planted_embeddings
+    exact = set(cosine_topk(df, qvec, k=10).toPandas().vec_id)
+    assert exact == {2000 + j for j in range(10)}  # planted are the true top-10
+    lsh = RandomHyperplaneLSH(dim=64, n_planes=6, n_tables=4, seed=11)
+    approx = set(lsh.ann_topk(df, qvec, k=10, n_probe_bits=1).toPandas().vec_id)
+    recall = len(exact & approx) / 10
+    assert recall >= 0.8
+    # scanned fraction must actually shrink vs the full corpus
+    n_cand = lsh.candidate_count(df, qvec, n_probe_bits=1)
+    assert n_cand < df.count() * 0.7
+
+
+def test_ann_ivf_recall(spark, planted_embeddings):
+    df, qvec = planted_embeddings
+    exact = set(cosine_topk(df, qvec, k=10).toPandas().vec_id)
+    ivf = IVFIndex(n_cells=8, n_iter=5).fit(df)
+    approx = set(ivf.ann_topk(df, qvec, k=10, n_probe=3).toPandas().vec_id)
+    # planted cluster lands in one or two cells; probing 3 must find most
+    assert len(exact & approx) / 10 >= 0.8
+    probed = ivf.assign(df).filter(
+        F.col("cell").isin(ivf.query_cells(qvec, 3))
+    ).count()
+    assert probed < df.count()
+
+
+def test_multimodal_plumbing(spark):
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").limit(30)
+    media = synthesize_media(docs)
+    assert dict(media.dtypes)["payload"] == "binary"
+    feats = extract_features(media).toPandas()
+    assert len(feats) == 30
+    assert all(len(f) == 16 for f in feats.features)
+    # deterministic: rerun gives identical features
+    feats2 = extract_features(media).toPandas()
+    pd.testing.assert_frame_equal(
+        feats.sort_values("media_id").reset_index(drop=True),
+        feats2.sort_values("media_id").reset_index(drop=True),
+    )
+    # frame sampling expands only videos, JVM-side
+    frames = frame_sample_plan(media, every_n=7).toPandas()
+    n_videos = media.filter(F.col("media_type") == "video").count()
+    assert frames.media_id.nunique() == n_videos
+    assert (frames.frame_idx % 7 == 0).all()
+    # resize plan preserves aspect and caps the long side
+    dims = resize_plan(media, max_side=64).select("target_dims").toPandas()
+    assert all(d["width"] <= 64 and d["height"] <= 64 for d in dims.target_dims)
+
+
+def test_real_decode_stub_raises():
+    with pytest.raises(NotImplementedError):
+        real_decode_stub(b"xx", "image")
+
+
+def test_fake_decode_shapes():
+    f = fake_decode(b"hello world", "image")
+    assert f.shape == (16,)
+    assert f[0] == 11  # n_bytes
+    assert fake_decode(b"", "audio").shape == (16,)
