@@ -1,0 +1,129 @@
+"""Streaming CEP: the keyed engine path as a Structured Streaming
+stateful operator.
+
+The Flink reference keeps 12 ValueStates per key inside a
+KeyedBroadcastProcessFunction (WayebEngine.java:102-118, 307-313); the
+run state that actually crosses checkpoints is the quintuple
+(configuration/state, buffer, match, counter, paused).  Here the same
+state rides in ``applyInPandasWithState``: per key a tuple
+(dfa_state, counter, min_counter, min_ts, n_matched), advanced by the
+same int-array loop the batch operator uses.
+
+Ordering semantics: Flink guarantees per-key order; Spark orders within
+a microbatch by explicit sort, and the event-time watermark bounds
+cross-batch disorder (late rows beyond the watermark are dropped by the
+engine) — the A6-parity note of SURVEY.md §7.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from flink_rtcef_spark.plans.compiler import CompiledPattern, transition_tables
+
+STATE_SCHEMA = "state int, counter long, min_counter long, min_ts long, n_matched int"
+OUTPUT_SCHEMA = (
+    "key string, detection_event_id long, detection_ts long, counter long, "
+    "min_counter long, n_matched int"
+)
+
+
+def make_stateful_fn(compiled: CompiledPattern):
+    delta, take, finals = transition_tables(compiled.sdfa)
+    window = compiled.window
+    window_type = compiled.window_type
+
+    def fn(
+        key: tuple, pdf_iter: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            st, counter, min_counter, min_ts, n_matched = state.get
+        else:
+            st, counter, min_counter, min_ts, n_matched = 0, 0, -1, -1, 0
+        out = []
+        for pdf in pdf_iter:
+            pdf = pdf.sort_values(["ts", "event_id"], kind="mergesort")
+            syms = pdf["symbol"].to_numpy()
+            tss = pdf["ts"].to_numpy()
+            ids = pdf["event_id"].to_numpy()
+            for i in range(len(syms)):
+                counter += 1
+                if window > 0 and min_counter != -1:
+                    span = (
+                        (counter - min_counter)
+                        if window_type == "count"
+                        else (tss[i] - min_ts)
+                    )
+                    if span >= window:
+                        st, min_counter, min_ts, n_matched = 0, -1, -1, 0
+                nxt = int(delta[st, syms[i]])
+                if take[st, syms[i]]:
+                    if min_counter == -1:
+                        min_counter, min_ts = counter, int(tss[i])
+                    n_matched += 1
+                if finals[nxt]:
+                    out.append(
+                        (key[0], int(ids[i]), int(tss[i]), counter, min_counter, n_matched)
+                    )
+                    min_counter, min_ts, n_matched = -1, -1, 0
+                st = nxt
+        state.update((int(st), int(counter), int(min_counter), int(min_ts), int(n_matched)))
+        yield pd.DataFrame(
+            out,
+            columns=[
+                "key",
+                "detection_event_id",
+                "detection_ts",
+                "counter",
+                "min_counter",
+                "n_matched",
+            ],
+        )
+
+    return fn
+
+
+def streaming_detections(
+    stream_df: DataFrame,
+    compiled: CompiledPattern,
+    key_col: str | None = None,
+    ts_col: str = "timestamp",
+    id_col: str = "id",
+    watermark: str = "60 seconds",
+) -> DataFrame:
+    """Build the streaming detection DataFrame from a streaming source.
+
+    Symbolization stays a JVM Column (identical to batch); only the
+    per-key run loop is stateful Python.  The watermark mirrors the
+    reference's 60 s bounded out-of-orderness (InferenceJob.java:134-137).
+    """
+    key = key_col or compiled.partition_by
+    ts_is_timestamp = dict(stream_df.dtypes).get(ts_col) in ("timestamp", "timestamp_ntz")
+    with_event_time = (
+        stream_df
+        if ts_is_timestamp
+        else stream_df.withColumn("__event_time", F.timestamp_seconds(F.col(ts_col)))
+    )
+    et_col = ts_col if ts_is_timestamp else "__event_time"
+    sym = (
+        with_event_time.withWatermark(et_col, watermark)
+        .select(
+            F.col(key).cast("string").alias("key"),
+            (F.unix_millis(F.col(et_col))).alias("ts"),
+            F.col(id_col).alias("event_id"),
+            compiled.symbol_column().alias("symbol"),
+        )
+    )
+    return sym.groupBy("key").applyInPandasWithState(
+        make_stateful_fn(compiled),
+        outputStructType=OUTPUT_SCHEMA,
+        stateStructType=STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -1,0 +1,198 @@
+"""Streaming + adaptation loop tests.
+
+The key equivalence: the streaming stateful CEP over chunked microbatches
+must produce exactly the batch operator's detections (state carries
+across batches).  Control-plane units (observer, optimizer, collector)
+and a full closed-loop replay complete the coverage."""
+
+from __future__ import annotations
+
+import random
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from flink_rtcef_spark.operators.cep import BatchCEP
+from flink_rtcef_spark.plans.compiler import compile_pattern
+from flink_rtcef_spark.streaming.collector import BucketCollector
+from flink_rtcef_spark.streaming.factory import ModelFactory, _mcc
+from flink_rtcef_spark.streaming.inference import streaming_detections
+from flink_rtcef_spark.streaming.observer import Observer
+from flink_rtcef_spark.streaming.optimizer import BayesLiteOptimizer
+
+PAT = ";(IsEventTypePredicate(A),IsEventTypePredicate(B)){partitionBy:k}"
+DECLS = "~(IsEventTypePredicate(A),IsEventTypePredicate(B))"
+
+
+def _stream_rows(n=300, keys=("k1", "k2", "k3"), seed=11):
+    rng = random.Random(seed)
+    rows = []
+    for i in range(n):
+        rows.append(
+            (rng.choice(keys), i + 1, i, rng.choice("AABC"))
+        )
+    return pd.DataFrame(rows, columns=["k", "timestamp", "id", "event_type"])
+
+
+def test_streaming_equals_batch(spark, tmp_path):
+    """Chunked file-stream replay through applyInPandasWithState ==
+    batch applyInPandas on the union — per-key state survives batches."""
+    pdf = _stream_rows()
+    compiled = compile_pattern(PAT, DECLS)
+    # write as 5 chunk files; maxFilesPerTrigger=1 -> 5 microbatches
+    src = tmp_path / "src"
+    src.mkdir()
+    for c, chunk in enumerate(np.array_split(pdf.sort_values("timestamp"), 5)):
+        spark.createDataFrame(chunk).coalesce(1).write.mode("overwrite").parquet(
+            str(src / f"c{c}")
+        )
+    schema = "k string, timestamp long, id long, event_type string"
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "c*"))
+    )
+    out = streaming_detections(stream, compiled, ts_col="timestamp", id_col="id")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("stream_dets")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("select * from stream_dets").toPandas()
+
+    batch_df = spark.createDataFrame(pdf)
+    cep = BatchCEP(compiled, ts_col="timestamp", id_col="id")
+    expected = cep.detections(batch_df).toPandas()
+
+    gs = got.sort_values(["key", "detection_event_id"]).reset_index(drop=True)
+    es = expected.sort_values(["key", "detection_event_id"]).reset_index(drop=True)
+    assert len(gs) == len(es) and len(gs) > 0
+    assert list(gs["key"]) == list(es["key"].astype(str))
+    assert list(gs["detection_event_id"]) == list(es["detection_event_id"])
+    assert list(gs["counter"]) == list(es["counter"])
+
+
+def test_observer_decisions():
+    obs = Observer(train_diff=0.3, opt_diff=0.1, low_score=0.1, grace_period=1)
+    # silent window: ignored
+    assert obs.on_report(1, 0.0, 0, 0, 0) is None
+    # healthy score: no instruction
+    assert obs.on_report(2, 0.6, 5, 2, 1) is None
+    # small drop (0.6 -> 0.45) > opt_diff -> optimize
+    instr = obs.on_report(3, 0.45, 5, 2, 1)
+    assert instr is not None and instr.instruction_type == "optimize"
+    assert instr.f_val == pytest.approx(-0.45)
+    # grace period swallows the next report
+    assert obs.on_report(4, 0.05, 5, 2, 1) is None
+    # low score after grace -> optimize (safety net)
+    instr = obs.on_report(5, 0.05, 5, 2, 1)
+    assert instr is not None and instr.instruction_type == "optimize"
+    # big drop -> retrain
+    obs2 = Observer(train_diff=0.3, opt_diff=0.1, low_score=0.1, grace_period=0)
+    obs2.on_report(1, 0.9, 5, 2, 1)
+    instr = obs2.on_report(2, 0.5, 5, 2, 1)
+    assert instr is not None and instr.instruction_type == "retrain"
+
+
+def test_optimizer_converges_deterministically():
+    def f(x):  # min at (0.03, 0.002)
+        return (x[0] - 0.03) ** 2 * 100 + (x[1] - 0.002) ** 2 * 1000
+
+    def run():
+        opt = BayesLiteOptimizer([(0.001, 0.1), (0.0, 0.005)], n_initial=5, seed=42)
+        for _ in range(15):
+            x = opt.ask()
+            opt.tell(x, f(x))
+        return opt.best
+
+    (x1, y1), (x2, y2) = run(), run()
+    assert x1 == x2 and y1 == y2  # deterministic
+    assert y1 < f([0.001, 0.0]) * 0.5  # actually improved over a corner
+
+
+def test_collector_buckets_and_retention(spark, tmp_path):
+    col = BucketCollector(base_path=str(tmp_path / "lake"), bucket_size=100, last_k=2)
+    pdf = pd.DataFrame(
+        {"k": ["a"] * 6, "timestamp": [10, 50, 120, 180, 250, 260], "id": range(6), "event_type": list("ABABAB")}
+    )
+    notif = col.collect(spark.createDataFrame(pdf), ts_col="timestamp")
+    assert notif is not None
+    assert sorted(col.seen_buckets) == [0, 100, 200]
+    assert notif.buckets_range == [100, 200]  # last_k=2
+    assembled = col.assemble(spark, notif.buckets_range)
+    assert assembled.count() == 4  # events in buckets 100 and 200
+    deleted = col.ack(notif.buckets_range)
+    assert deleted == [0]
+    assert sorted(col.seen_buckets) == [100, 200]
+
+
+def test_mcc_formula_edge_cases():
+    assert _mcc(0, 0, 0, 0) == 0.0
+    assert _mcc(10, 10, 0, 0) == pytest.approx(1.0)
+    assert _mcc(0, 0, 10, 10) == pytest.approx(-1.0)  # all wrong
+    assert _mcc(0, 10, 0, 10) == 0.0  # zero tp+fp marginal -> 0
+    assert _mcc(5, 5, 5, 5) == pytest.approx(0.0)
+
+
+def test_full_loop_replay(spark, tmp_path):
+    """Closed loop on a drifting stream: phase 1 has predictable A->B
+    sequences, phase 2 flips the dynamics — the observer should fire at
+    least one instruction and the loop must keep producing reports."""
+    rng = random.Random(5)
+    rows = []
+    # phase 1: B follows A 80% of the time
+    t = 0
+    for i in range(600):
+        t += 1
+        prev_a = rows[-1][3] == "A" if rows else False
+        et = ("B" if rng.random() < 0.8 else "A") if prev_a else ("A" if rng.random() < 0.6 else "C")
+        rows.append(("u1", t, i, et))
+    # phase 2: dynamics flip (B rarely follows A)
+    for i in range(600, 1200):
+        t += 1
+        prev_a = rows[-1][3] == "A"
+        et = ("B" if rng.random() < 0.1 else "C") if prev_a else ("A" if rng.random() < 0.6 else "C")
+        rows.append(("u1", t, i, et))
+    events = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["k", "timestamp", "id", "event_type"])
+    )
+    compiled = compile_pattern(
+        ";(IsEventTypePredicate(A),IsEventTypePredicate(B)){order:1}{partitionBy:k}",
+        "~(IsEventTypePredicate(A),IsEventTypePredicate(B),IsEventTypePredicate(C))",
+    )
+    factory = ModelFactory(
+        compiled, key_col="k", ts_col="timestamp", id_col="id",
+        max_order=1, horizon=5, confidence_threshold=0.5, spread=3,
+    )
+    collector = BucketCollector(base_path=str(tmp_path / "lake2"), bucket_size=200, last_k=3)
+    from flink_rtcef_spark.models.spst import train_spst
+    from flink_rtcef_spark.operators.cep import BatchCEP
+    from flink_rtcef_spark.streaming.loop import RTCEFLoop
+
+    warmup = events.filter(F.col("timestamp") <= 200)
+    cep = BatchCEP(compiled, key_col="k", ts_col="timestamp", id_col="id")
+    initial = train_spst(cep.symbolized(warmup), compiled, max_order=1, horizon=5)
+    loop = RTCEFLoop(
+        spark=spark,
+        compiled=compiled,
+        initial_model=initial,
+        collector=collector,
+        factory=factory,
+        observer=Observer(train_diff=0.5, opt_diff=0.15, low_score=0.05, grace_period=1),
+        key_col="k",
+        ts_col="timestamp",
+        id_col="id",
+        n_opt_evals=3,
+        n_initial=2,
+    )
+    points = loop.replay(events, batch_seconds=200)
+    assert len(points) >= 5
+    # reports carry both runtime and batch MCC
+    assert all(-1.0 <= p.batch_mcc <= 1.0 for p in points)
+    # the drift must trigger at least one adaptation instruction
+    assert any(p.event for p in points), [p.event for p in points]
