@@ -113,6 +113,62 @@ class ForecastCEP(BatchCEP):
         return sym_df.groupBy("key").applyInPandas(run_group, schema=schema)
 
 
+def evaluate_forecasts_windowed(
+    results: DataFrame, window_seconds: int = 3600, ts_unit: str = "millis"
+) -> DataFrame:
+    """Per-reporting-window confusion counts + batch MCC + cumulative
+    runtime MCC — the reference's LOCAL/GLOBAL report trajectory
+    (WayebEngine.checkAndReportStats:370-430 + MetricsAggregator):
+    batch = this window's counts, runtime = cumulative counts so far.
+    Output: (window_start, tp, tn, fp, fn, batch_mcc, runtime_mcc)."""
+    from pyspark.sql import Window as W
+
+    from flink_rtcef_spark.functions.metrics import mcc_expr
+
+    divisor = 1000 * window_seconds if ts_unit == "millis" else window_seconds
+    forecasts = results.filter(~F.col("is_detection")).select(
+        "key",
+        "counter",
+        "start_ctr",
+        "end_ctr",
+        "positive",
+        ((F.col("ts") / divisor).cast("long") * window_seconds).alias("window_start"),
+    )
+    detections = results.filter(F.col("is_detection")).select(
+        F.col("key").alias("d_key"), F.col("counter").alias("det_ctr")
+    )
+    joined = forecasts.join(
+        detections,
+        (forecasts.key == detections.d_key)
+        & (detections.det_ctr >= forecasts.start_ctr)
+        & (detections.det_ctr <= forecasts.end_ctr),
+        "left",
+    )
+    per_forecast = joined.groupBy(
+        "window_start", "key", "counter", "start_ctr", "positive"
+    ).agg((F.count("det_ctr") > 0).alias("hit"))
+    pos, hit = F.col("positive"), F.col("hit")
+    per_window = per_forecast.groupBy("window_start").agg(
+        F.sum((pos & hit).cast("long")).alias("tp"),
+        F.sum(((~pos) & (~hit)).cast("long")).alias("tn"),
+        F.sum((pos & (~hit)).cast("long")).alias("fp"),
+        F.sum(((~pos) & hit).cast("long")).alias("fn"),
+    )
+    cum = W.orderBy("window_start").rowsBetween(W.unboundedPreceding, W.currentRow)
+    ctp, ctn, cfp, cfn = (F.sum(c).over(cum) for c in ("tp", "tn", "fp", "fn"))
+    return per_window.select(
+        "window_start",
+        "tp",
+        "tn",
+        "fp",
+        "fn",
+        F.round(mcc_expr(F.col("tp"), F.col("tn"), F.col("fp"), F.col("fn")), 6).alias(
+            "batch_mcc"
+        ),
+        F.round(mcc_expr(ctp, ctn, cfp, cfn), 6).alias("runtime_mcc"),
+    ).orderBy("window_start")
+
+
 def evaluate_forecasts(results: DataFrame) -> DataFrame:
     """Classification evaluation (F6/F7,
     ClassificationForecastCollector.scala:76-145): a positive forecast

@@ -245,7 +245,8 @@ def parse_declarations(text: str | None) -> Declarations:
         line = line.strip()
         if not line:
             continue
-        head, body = line[0], line[1:].strip()
+        # real declaration files separate sets with trailing commas
+        head, body = line[0], line[1:].strip().rstrip(",").strip()
         if not (body.startswith("(") and body.endswith(")")):
             raise ValueError(f"bad declaration line: {line!r}")
         preds = []
