@@ -53,6 +53,7 @@ def _run_sdfa(
     finals: np.ndarray,
     window: int,
     window_type: str,
+    reset_symbols: frozenset = frozenset(),
 ) -> list[tuple[int, int, int, int, int]]:
     """The deterministic run loop.  Returns detections as
     (event_id, ts, counter, min_counter, n_matched)."""
@@ -67,6 +68,13 @@ def _run_sdfa(
     while i < n:
         sym = symbols[i]
         counter += 1
+        if sym in reset_symbols:
+            # ResetEvent: clear FSM state and match, consume the event
+            # without a transition (Run.scala:309-323)
+            state = 0
+            min_counter, min_ts, n_matched = -1, -1, 0
+            i += 1
+            continue
         # window check before the transition (Run.scala:221-238): span
         # counted from the first matched event; violation kills the run.
         if window > 0 and min_counter != -1:
@@ -139,6 +147,7 @@ class BatchCEP:
         delta, take, finals = transition_tables(self.compiled.sdfa)
         window = self.compiled.window
         window_type = self.compiled.window_type
+        resets = self.compiled.reset_symbols()
         key_type = dict(df.dtypes)[self.key_col]
         schema = f"key {key_type}, {DETECTION_SCHEMA_SUFFIX}"
 
@@ -153,6 +162,7 @@ class BatchCEP:
                 finals,
                 window,
                 window_type,
+                resets,
             )
             key = pdf["key"].iloc[0]
             return pd.DataFrame(

@@ -50,6 +50,7 @@ class ForecastCEP(BatchCEP):
         take = self.spst.take
         finals = self.spst.finals
         started = self.spst.started
+        resets = self.compiled.reset_symbols()
         ftable = self.spst.forecast_table(
             self.method, self.confidence_threshold, self.spread
         )
@@ -71,6 +72,9 @@ class ForecastCEP(BatchCEP):
             counter = 0
             for i in range(len(syms)):
                 counter += 1
+                if syms[i] in resets:  # ResetEvent clears run + buffer
+                    state = 0
+                    continue
                 state = int(delta[state, syms[i]])
                 detected = bool(finals[state])
                 if detected:

@@ -96,6 +96,16 @@ class CompiledPattern:
             F.element_at(lookup, code.cast("int")), F.lit(fallback)
         ).cast("int")
 
+    def reset_symbols(self, event_type: str = "RESET") -> frozenset[int]:
+        """Symbols whose minterm satisfies IsEventTypePredicate(RESET) —
+        the control events that clear FSM state (ResetEvent handling,
+        fsm/runtime/Run.scala:309-323).  Empty if RESET is not in the
+        alphabet (declare it as an extra to enable)."""
+        key = Predicate("IsEventTypePredicate", (event_type,)).key()
+        return frozenset(
+            i for i, mt in enumerate(self.minterms) if mt.as_dict().get(key, False)
+        )
+
     def symbolize_py(self, row: dict) -> int:
         """Python-side twin of symbol_column for tests/golden streams."""
         from flink_rtcef_spark.plans.predicates import _REGISTRY  # noqa: F401
@@ -133,6 +143,45 @@ def compile_pattern(
         policy=policy,
         declarations=decls,
     )
+
+
+def compile_patterns(
+    patterns_text: str,
+    declarations_text: str | None = None,
+    policy: str = OVERLAP,
+    streaming: bool = True,
+) -> list[CompiledPattern]:
+    """Multi-pattern file support (B12, `f1 & f2`): each pattern
+    compiles independently; run one CEP operator per pattern over the
+    same DataFrame (ERFEngine.scala:204 — all FSMs see every event)."""
+    from flink_rtcef_spark.plans.sre_parser import parse_patterns
+
+    out = []
+    for pat in parse_patterns(patterns_text):
+        decls = parse_declarations(declarations_text)
+        formula = apply_selection(pat.formula)
+        atoms, minterms = formula_alphabet(formula, decls)
+        if not atoms:
+            raise ValueError("pattern has no predicates")
+        for atom in atoms:
+            validate_predicate(atom)
+        nfa = build_nfa(formula, minterms, streaming=streaming)
+        sdfa = determinize(nfa, len(minterms))
+        if pat.order > 0:
+            sdfa = disambiguate(sdfa, pat.order)
+        if policy == NONOVERLAP:
+            sdfa = set_nonoverlap(sdfa)
+        out.append(
+            CompiledPattern(
+                pattern=pat,
+                atoms=atoms,
+                minterms=minterms,
+                sdfa=sdfa,
+                policy=policy,
+                declarations=decls,
+            )
+        )
+    return out
 
 
 def transition_tables(sdfa: SDFA) -> tuple[np.ndarray, np.ndarray, np.ndarray]:

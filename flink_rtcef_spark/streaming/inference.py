@@ -38,6 +38,7 @@ def make_stateful_fn(compiled: CompiledPattern):
     delta, take, finals = transition_tables(compiled.sdfa)
     window = compiled.window
     window_type = compiled.window_type
+    resets = compiled.reset_symbols()
 
     def fn(
         key: tuple, pdf_iter: Iterator[pd.DataFrame], state: GroupState
@@ -54,6 +55,9 @@ def make_stateful_fn(compiled: CompiledPattern):
             ids = pdf["event_id"].to_numpy()
             for i in range(len(syms)):
                 counter += 1
+                if syms[i] in resets:  # ResetEvent (Run.scala:309-323)
+                    st, min_counter, min_ts, n_matched = 0, -1, -1, 0
+                    continue
                 if window > 0 and min_counter != -1:
                     span = (
                         (counter - min_counter)
