@@ -62,6 +62,14 @@ def main() -> None:
         dt = round(time.time() - t0, 3)
         timings[name] = dt
         total += dt
+
+    # CEP throughput (the reference's profiler metric:
+    # events/s = streamSize / execTime, WtProfiler.scala:207) measured
+    # on the full symbolize+shuffle+DFA pipeline over the events table.
+    n_events = spark.read.parquet(f"{sf_dir}/events.parquet").count()
+    cep_s = timings.get("cep_sdfa_detect")
+    throughput = round(n_events / cep_s) if cep_s else None
+
     print(
         json.dumps(
             {
@@ -70,6 +78,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "cep_events_per_sec": throughput,
             }
         )
     )

@@ -23,6 +23,23 @@ from flink_rtcef_spark.models.spst import SPST
 from flink_rtcef_spark.operators.cep import BatchCEP
 
 
+def swap_mapping(old: SPST, new: SPST) -> np.ndarray:
+    """Virtual-state migration table for a synchronized model swap
+    (WayebEngine.java:246-292 + Run.snapshotState/restore:576-614): the
+    run's observable state is (sdfa_state, symbol buffer); both models
+    compile from the same pattern, so each old virtual state maps to
+    the new model's state for the same pair (buffer truncated to the
+    new max order).  Unreachable pairs fall back to the new start."""
+    index_new = {
+        (int(new.v_sdfa[v]), new.v_buffer[v]): v for v in range(new.n_virtual)
+    }
+    mapping = np.zeros(old.n_virtual, dtype=np.int32)
+    for v in range(old.n_virtual):
+        key = (int(old.v_sdfa[v]), old.v_buffer[v][: new.max_order])
+        mapping[v] = index_new.get(key, 0)
+    return mapping
+
+
 class ForecastCEP(BatchCEP):
     def __init__(
         self,
@@ -40,11 +57,21 @@ class ForecastCEP(BatchCEP):
         self.confidence_threshold = confidence_threshold
         self.spread = spread
 
-    def forecasts(self, df: DataFrame) -> DataFrame:
+    def forecasts(
+        self,
+        df: DataFrame,
+        new_model: SPST | None = None,
+        sync_time: int | None = None,
+    ) -> DataFrame:
         """One row per (event, emitted forecast): key, ts, event_id,
         counter, prob, start_ctr, end_ctr, positive — plus detections
         flagged with is_detection (side-output duality, A13: one result
-        set with a kind column, split by filter)."""
+        set with a kind column, split by filter).
+
+        With (new_model, sync_time): per-key synchronized model swap at
+        event-time sync_time (G4) — each key's run migrates its state
+        into the new model at the first event with ts >= sync_time,
+        exactly the reference's per-event swap granularity."""
         sym_df = self.symbolized(df)
         delta = self.spst.delta
         take = self.spst.take
@@ -54,6 +81,14 @@ class ForecastCEP(BatchCEP):
         ftable = self.spst.forecast_table(
             self.method, self.confidence_threshold, self.spread
         )
+        if new_model is not None:
+            migrate = swap_mapping(self.spst, new_model)
+            delta2 = new_model.delta
+            finals2 = new_model.finals
+            started2 = new_model.started
+            ftable2 = new_model.forecast_table(
+                self.method, self.confidence_threshold, self.spread
+            )
         key_type = dict(df.dtypes)[self.key_col]
         schema = (
             f"key {key_type}, ts long, event_id long, counter long, "
@@ -70,21 +105,29 @@ class ForecastCEP(BatchCEP):
             rows = []
             state = 0
             counter = 0
+            d, fin, strt, ftab = delta, finals, started, ftable
+            swapped = new_model is None
             for i in range(len(syms)):
                 counter += 1
+                if not swapped and sync_time is not None and tss[i] >= sync_time:
+                    # synchronized swap: migrate run state into the new
+                    # model at this key's first event past syncTime
+                    state = int(migrate[state])
+                    d, fin, strt, ftab = delta2, finals2, started2, ftable2
+                    swapped = True
                 if syms[i] in resets:  # ResetEvent clears run + buffer
                     state = 0
                     continue
-                state = int(delta[state, syms[i]])
-                detected = bool(finals[state])
+                state = int(d[state, syms[i]])
+                detected = bool(fin[state])
                 if detected:
                     rows.append(
                         (key, int(tss[i]), int(ids[i]), counter, True, -1.0, -1, -1, False)
                     )
                 # forecasts only once the context buffer is warm
                 # (Run.scala canStart:423 "started" gate)
-                if started[state]:
-                    fs, fe, fp, fpos = ftable[state]
+                if strt[state]:
+                    fs, fe, fp, fpos = ftab[state]
                     if fs >= 0:
                         rows.append(
                             (
