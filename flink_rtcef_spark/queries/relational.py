@@ -561,6 +561,59 @@ def json_extract_props(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Semi/anti joins — EXISTS / NOT EXISTS: customers with and without
+# open orders (run-creation membership checks, RunPool.scala shape).
+@query(
+    "semi_anti_join",
+    oracle="""
+    SELECT c.c_custkey, c.c_mktsegment, 'has_open' AS status
+    FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'O')
+    UNION ALL
+    SELECT c.c_custkey, c.c_mktsegment, 'none_open' AS status
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'O')
+    """,
+)
+def semi_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "O")
+    on = c.c_custkey == o.o_custkey
+    has_open = c.join(o, on, "left_semi").select(
+        "c_custkey", "c_mktsegment", F.lit("has_open").alias("status")
+    )
+    none_open = c.join(o, on, "left_anti").select(
+        "c_custkey", "c_mktsegment", F.lit("none_open").alias("status")
+    )
+    return has_open.unionAll(none_open)
+
+
+# --------------------------------------------------------------------------
+# Pivot — per-user event-type count matrix (wide report layout).
+@query(
+    "pivot_event_counts",
+    oracle="""
+    SELECT user_id,
+           SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS view,
+           SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS click,
+           SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS purchase,
+           SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS error
+    FROM events GROUP BY user_id
+    """,
+)
+def pivot_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id")
+        .pivot("event_type", ["view", "click", "purchase", "error"])
+        .agg(F.count(F.lit(1)))
+        .na.fill(0)
+    )
+
+
+# --------------------------------------------------------------------------
 # Full-order Markov MLE (E5, estimator/MatrixEstimator/MLEEstimator.scala):
 # per-key consecutive-state transitions counted and normalized per
 # source state — transition-probability estimation as pure SQL.

@@ -93,6 +93,105 @@ def make_stateful_fn(compiled: CompiledPattern):
     return fn
 
 
+FORECAST_STATE_SCHEMA = "state int, counter long"
+FORECAST_OUTPUT_SCHEMA = (
+    "key string, ts long, event_id long, counter long, is_detection boolean, "
+    "prob double, start_ctr long, end_ctr long, positive boolean"
+)
+
+
+def make_forecast_stateful_fn(
+    spst, method: str, confidence_threshold: float, spread: int
+):
+    """Streaming twin of ForecastCEP: per-key virtual state + counter in
+    GroupState, forecasts from the precomputed per-state table — the
+    reference's online inference path (WayebEngine.processElement:225-316)
+    as a Structured Streaming operator."""
+    delta = spst.delta
+    finals = spst.finals
+    started = spst.started
+    resets = spst.compiled.reset_symbols()
+    ftable = spst.forecast_table(method, confidence_threshold, spread)
+
+    def fn(key: tuple, pdf_iter: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            st, counter = state.get
+        else:
+            st, counter = 0, 0
+        rows = []
+        for pdf in pdf_iter:
+            pdf = pdf.sort_values(["ts", "event_id"], kind="mergesort")
+            syms = pdf["symbol"].to_numpy()
+            tss = pdf["ts"].to_numpy()
+            ids = pdf["event_id"].to_numpy()
+            for i in range(len(syms)):
+                counter += 1
+                if syms[i] in resets:
+                    st = 0
+                    continue
+                st = int(delta[st, syms[i]])
+                if finals[st]:
+                    rows.append(
+                        (key[0], int(tss[i]), int(ids[i]), counter, True, -1.0, -1, -1, False)
+                    )
+                if started[st]:
+                    fs, fe, fp, fpos = ftable[st]
+                    if fs >= 0:
+                        rows.append(
+                            (key[0], int(tss[i]), int(ids[i]), counter, False,
+                             float(fp), counter + int(fs), counter + int(fe),
+                             bool(fpos >= 1.0))
+                        )
+        state.update((int(st), int(counter)))
+        yield pd.DataFrame(
+            rows,
+            columns=["key", "ts", "event_id", "counter", "is_detection",
+                     "prob", "start_ctr", "end_ctr", "positive"],
+        )
+
+    return fn
+
+
+def streaming_forecasts(
+    stream_df: DataFrame,
+    spst,
+    key_col: str | None = None,
+    ts_col: str = "timestamp",
+    id_col: str = "id",
+    watermark: str = "60 seconds",
+    method: str = "classify_nextk",
+    confidence_threshold: float = 0.5,
+    spread: int = 5,
+) -> DataFrame:
+    """Streaming recognition + forecasting (detections and forecasts in
+    one append stream, split by is_detection)."""
+    compiled = spst.compiled
+    key = key_col or compiled.partition_by
+    ts_is_timestamp = dict(stream_df.dtypes).get(ts_col) in ("timestamp", "timestamp_ntz")
+    with_event_time = (
+        stream_df
+        if ts_is_timestamp
+        else stream_df.withColumn("__event_time", F.timestamp_seconds(F.col(ts_col)))
+    )
+    et_col = ts_col if ts_is_timestamp else "__event_time"
+    sym = (
+        with_event_time.withWatermark(et_col, watermark)
+        .select(
+            F.col(key).cast("string").alias("key"),
+            F.unix_millis(F.col(et_col)).alias("ts"),
+            F.col(id_col).alias("event_id"),
+            compiled.symbol_column().alias("symbol"),
+        )
+    )
+    return sym.groupBy("key").applyInPandasWithState(
+        make_forecast_stateful_fn(spst, method, confidence_threshold, spread),
+        outputStructType=FORECAST_OUTPUT_SCHEMA,
+        stateStructType=FORECAST_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def streaming_detections(
     stream_df: DataFrame,
     compiled: CompiledPattern,

@@ -1,0 +1,81 @@
+"""Physical-plan audits: the scale properties claimed in README must be
+visible in the optimized plans — pushdown, column pruning, broadcast
+selection, single-shuffle CEP, codegen'd symbolization."""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+from flink_rtcef_spark import queries as q
+from tests.conftest import SF_ORACLE
+
+q.load_all()
+
+
+def plan_of(spark, name: str) -> str:
+    df = q.QUERIES[name](spark, SF_ORACLE)
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def test_scan_pushdown_and_pruning(spark):
+    plan = plan_of(spark, "pricing_summary")
+    # filter reaches the parquet scan
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+    # scan reads only the 7 referenced columns, not the full lineitem
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m and len(m.group(1).split(",")) <= 7
+
+
+def test_broadcast_join_selected(spark):
+    plan = plan_of(spark, "broadcast_join_enrich")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_cep_single_shuffle_and_jvm_symbolization(spark):
+    plan = plan_of(spark, "cep_sdfa_detect")
+    # exactly one exchange node: the hash partition on the key
+    # (formatted plans list each node twice: tree + detail section)
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1
+    assert "hashpartitioning(key" in plan
+    # symbolization is a Project expression (CASE WHEN + map lookup),
+    # evaluated JVM-side before the Python operator
+    assert "CASE WHEN" in plan
+    assert "FlatMapGroupsInPandas" in plan
+    # scan pruned to the 4 referenced event columns
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m and len(m.group(1).split(",")) <= 4
+
+
+def test_aggregation_is_partial_then_final(spark):
+    plan = plan_of(spark, "time_bucketing")
+    # map-side combine: partial_count/partial_sum before the exchange
+    assert "partial_count" in plan or "partial count" in plan.lower()
+
+
+def test_topk_compiles_to_take_ordered(spark):
+    plan = plan_of(spark, "topk_events")
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_semi_join_for_lsh_verify(spark):
+    # jaccard verification restricts to candidate pairs via a semi join
+    from flink_rtcef_spark.operators.dedup import (
+        jaccard_verify,
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+    from flink_rtcef_spark.sources.io import load_table
+
+    docs = load_table(spark, SF_ORACLE, "documents").limit(50)
+    sigs = minhash_signatures(docs, n_hashes=4)
+    pairs = lsh_candidate_pairs(sigs, n_hashes=4, bands=2)
+    df = jaccard_verify(docs, pairs)
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    assert "LeftSemi" in plan
