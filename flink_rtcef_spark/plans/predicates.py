@@ -100,6 +100,15 @@ def _distance_between(lon, lat, dmin, dmax) -> Column:
     return distance_between(F.col("lon"), F.col("lat"), float(lon), float(lat), float(dmin), float(dmax))
 
 
+@register("HeadingTowardsPredicate", "HeadingTowards")
+def _heading_towards(where) -> Column:
+    # HeadingTowardsPredicate.scala:10-71 — dead-reckoning segment vs
+    # target polygon; vectorized pandas UDF (functions/spatial.py)
+    from flink_rtcef_spark.functions.spatial import heading_towards
+
+    return heading_towards(str(where))
+
+
 def validate_predicate(pred: Predicate) -> None:
     """Compile-time check: known name, no register variables.  Pure
     registry lookup — safe without an active SparkSession."""

@@ -34,7 +34,7 @@ OUTPUT_SCHEMA = (
 )
 
 
-def make_stateful_fn(compiled: CompiledPattern):
+def make_stateful_fn(compiled: CompiledPattern, state_ttl_ms: int = 0):
     delta, take, finals = transition_tables(compiled.sdfa)
     window = compiled.window
     window_type = compiled.window_type
@@ -43,6 +43,22 @@ def make_stateful_fn(compiled: CompiledPattern):
     def fn(
         key: tuple, pdf_iter: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
+        # run expiration (F3, RunPool.runsCollect / ERFEngine.scala
+        # :213-216): idle keys are reclaimed via processing-time timeout
+        if state_ttl_ms > 0 and state.hasTimedOut:
+            state.remove()
+            yield pd.DataFrame(
+                [],
+                columns=[
+                    "key",
+                    "detection_event_id",
+                    "detection_ts",
+                    "counter",
+                    "min_counter",
+                    "n_matched",
+                ],
+            )
+            return
         if state.exists:
             st, counter, min_counter, min_ts, n_matched = state.get
         else:
@@ -78,6 +94,8 @@ def make_stateful_fn(compiled: CompiledPattern):
                     min_counter, min_ts, n_matched = -1, -1, 0
                 st = nxt
         state.update((int(st), int(counter), int(min_counter), int(min_ts), int(n_matched)))
+        if state_ttl_ms > 0:
+            state.setTimeoutDuration(state_ttl_ms)
         yield pd.DataFrame(
             out,
             columns=[
@@ -199,12 +217,15 @@ def streaming_detections(
     ts_col: str = "timestamp",
     id_col: str = "id",
     watermark: str = "60 seconds",
+    state_ttl_ms: int = 0,
 ) -> DataFrame:
     """Build the streaming detection DataFrame from a streaming source.
 
     Symbolization stays a JVM Column (identical to batch); only the
     per-key run loop is stateful Python.  The watermark mirrors the
     reference's 60 s bounded out-of-orderness (InferenceJob.java:134-137).
+    ``state_ttl_ms`` > 0 reclaims idle keys via processing-time timeout
+    (the reference's run-expiration, F3).
     """
     key = key_col or compiled.partition_by
     ts_is_timestamp = dict(stream_df.dtypes).get(ts_col) in ("timestamp", "timestamp_ntz")
@@ -224,9 +245,13 @@ def streaming_detections(
         )
     )
     return sym.groupBy("key").applyInPandasWithState(
-        make_stateful_fn(compiled),
+        make_stateful_fn(compiled, state_ttl_ms),
         outputStructType=OUTPUT_SCHEMA,
         stateStructType=STATE_SCHEMA,
         outputMode="append",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=(
+            GroupStateTimeout.ProcessingTimeTimeout
+            if state_ttl_ms > 0
+            else GroupStateTimeout.NoTimeout
+        ),
     )
