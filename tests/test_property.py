@@ -1,0 +1,119 @@
+"""Property-based tests (hypothesis): the compiler equivalences and
+wt-interval invariants under generated inputs — deeper fuzz than the
+seeded randomized tests."""
+
+from __future__ import annotations
+
+from hypothesis import given, settings, strategies as st
+
+from flink_rtcef_spark.models.wt import WtDistribution
+from flink_rtcef_spark.plans.automata import build_nfa, determinize, formula_alphabet
+from flink_rtcef_spark.plans.rewrite import apply_selection
+from flink_rtcef_spark.plans.sre_ast import (
+    Choice,
+    Declarations,
+    Iter,
+    Neg,
+    Predicate,
+    Sent,
+    Seq,
+    SkipTillAny,
+    SkipTillNext,
+)
+
+ATOMS = [Predicate("IsEventTypePredicate", (t,)) for t in ("A", "B", "C")]
+DECLS = Declarations(extras=[list(ATOMS)], exclusives=[list(ATOMS)])
+
+
+def formula_strategy(depth: int = 0):
+    leaf = st.sampled_from(ATOMS).map(Sent)
+    if depth >= 3:
+        return leaf
+    sub = st.deferred(lambda: formula_strategy(depth + 1))
+    return st.one_of(
+        leaf,
+        st.lists(sub, min_size=2, max_size=3).map(lambda xs: Seq(tuple(xs))),
+        st.lists(sub, min_size=2, max_size=3).map(lambda xs: Choice(tuple(xs))),
+        sub.map(Iter),
+        *([sub.map(Neg), sub.map(SkipTillAny), sub.map(SkipTillNext)] if depth < 2 else []),
+    )
+
+
+def sym_of(minterms, t):
+    key = Predicate("IsEventTypePredicate", (t,)).key()
+    for i, mt in enumerate(minterms):
+        d = mt.as_dict()
+        if d[key] and sum(d.values()) == 1:
+            return i
+    raise AssertionError
+
+
+@settings(max_examples=60, deadline=None)
+@given(formula_strategy(), st.lists(st.sampled_from("ABC"), max_size=10))
+def test_nfa_sdfa_agree(formula, types):
+    formula = apply_selection(formula)
+    atoms, minterms = formula_alphabet(formula, DECLS)
+    nfa = build_nfa(formula, minterms, streaming=False)
+    sdfa = determinize(nfa, len(minterms))
+    word = [sym_of(minterms, t) for t in types]
+    assert nfa.accepts(word) == sdfa.accepts(word)
+
+
+@settings(max_examples=60, deadline=None)
+@given(formula_strategy(), st.lists(st.sampled_from("ABC"), min_size=1, max_size=12))
+def test_streaming_detection_equals_suffix_oracle(formula, types):
+    formula = apply_selection(formula)
+    atoms, minterms = formula_alphabet(formula, DECLS)
+    plain = build_nfa(formula, minterms, streaming=False)
+    sdfa = determinize(build_nfa(formula, minterms, streaming=True), len(minterms))
+    word = [sym_of(minterms, t) for t in types]
+    state = sdfa.start
+    for t in range(len(word)):
+        state = int(sdfa.delta[state, word[t]])
+        oracle = any(plain.accepts(word[s : t + 1]) for s in range(t + 2))
+        assert (state in sdfa.finals) == oracle
+
+
+@st.composite
+def wt_strategy(draw):
+    h = draw(st.integers(min_value=2, max_value=12))
+    raw = draw(
+        st.lists(
+            st.floats(min_value=0.0, max_value=1.0, allow_nan=False),
+            min_size=h,
+            max_size=h,
+        )
+    )
+    total = sum(raw) or 1.0
+    scale = draw(st.floats(min_value=0.3, max_value=1.0))
+    return WtDistribution({i + 1: v / total * scale for i, v in enumerate(raw)})
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    wt_strategy(),
+    st.floats(min_value=0.05, max_value=0.95),
+)
+def test_interval_builders_invariants(wt, threshold):
+    h = wt.horizon
+    for method in ("argmax", "fullscan", "smartscan", "fixedspread"):
+        fc = wt.forecast(method, threshold, max(h - 1, 1))
+        if fc.valid:
+            assert 1 <= fc.start <= fc.end <= h
+            # reported probability matches the interval mass
+            assert abs(fc.prob - wt.slice_prob(fc.start, fc.end)) < 1e-9
+    # fullscan and smartscan agree on the minimal interval spread
+    full = wt.forecast("fullscan", threshold, h)
+    smart = wt.forecast("smartscan", threshold, h)
+    assert full.valid == smart.valid
+    if full.valid:
+        assert (full.end - full.start) == (smart.end - smart.start)
+    # classify_nextk probability is the prefix mass; empty distributions
+    # yield the invalid Forecast (WtDistribution.buildForecast isEmpty)
+    k = max(1, h // 2)
+    fc = wt.forecast("classify_nextk", threshold, k)
+    if wt.is_empty():
+        assert not fc.valid
+    else:
+        assert abs(fc.prob - wt.slice_prob(1, k)) < 1e-9
+        assert fc.positive == (fc.prob >= threshold)
