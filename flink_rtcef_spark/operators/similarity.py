@@ -212,18 +212,19 @@ class IVFIndex:
         return self
 
     def cell_column(self, vec_col: str = "embedding") -> Column:
-        """argmax-cosine centroid id as a pure column expression over a
-        broadcast centroid literal array."""
+        """argmax-cosine centroid id via one (batch x dim) GEMM pandas
+        UDF against the broadcast centroid matrix."""
         cn = self.centroids / np.linalg.norm(self.centroids, axis=1, keepdims=True)
-        best_score: Column = F.lit(-2.0)
-        best_id: Column = F.lit(0)
-        vnorm = _norm(F.col(vec_col))
-        for cid, c in enumerate(cn):
-            score = _dot(F.col(vec_col), _vec_lit(list(c))) / vnorm
-            better = score > best_score
-            best_id = F.when(better, F.lit(cid)).otherwise(best_id)
-            best_score = F.when(better, score).otherwise(best_score)
-        return best_id
+
+        @F.pandas_udf(T.IntegerType())
+        def _cell(vecs: pd.Series) -> pd.Series:
+            mat = np.array([np.asarray(v, dtype=np.float64) for v in vecs])
+            if len(mat) == 0:
+                return pd.Series([], dtype="int32")
+            mat = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-300)
+            return pd.Series(np.argmax(mat @ cn.T, axis=1).astype("int32"))
+
+        return _cell(F.col(vec_col))
 
     def assign(self, df: DataFrame, vec_col: str = "embedding") -> DataFrame:
         return df.withColumn("cell", self.cell_column(vec_col))

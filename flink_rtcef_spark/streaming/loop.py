@@ -155,6 +155,22 @@ class RTCEFLoop:
         self.metrics.append(point)
         return point
 
+    def metrics_csv(self) -> str:
+        """The results-pipeline CSV shape (data/baseline_metrics.csv /
+        python/log_parser.py output): timestamp,human_time,runtime_mcc,
+        batch_mcc,event."""
+        import datetime
+
+        lines = ["timestamp,human_time,runtime_mcc,batch_mcc,event"]
+        for p in self.metrics:
+            human = datetime.datetime.fromtimestamp(
+                p.timestamp, tz=datetime.timezone.utc
+            ).strftime("%Y-%m-%d %H:%M:%S")
+            lines.append(
+                f"{p.timestamp},{human},{p.runtime_mcc:.6f},{p.batch_mcc:.6f},{p.event}"
+            )
+        return "\n".join(lines) + "\n"
+
     def replay(self, events: DataFrame, batch_seconds: int | None = None) -> list[ReportPoint]:
         """Replay a bounded event DataFrame in event-time order as
         microbatches of ``batch_seconds`` (default: reporting_distance)
