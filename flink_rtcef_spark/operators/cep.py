@@ -103,6 +103,41 @@ def _run_sdfa(
     return out
 
 
+def _run_sdfa_segment(
+    symbols, ts, event_ids, delta, take, finals, window, window_type,
+    reset_symbols, init=None,
+):
+    """_run_sdfa over one key segment with resumable state: ``init`` is
+    (state, counter, min_counter, min_ts, n_matched) carried from the
+    previous Arrow batch of the same key; returns (detections, state)."""
+    out = []
+    state, counter, min_counter, min_ts, n_matched = init or (0, 0, -1, -1, 0)
+    n = len(symbols)
+    i = 0
+    while i < n:
+        sym = symbols[i]
+        counter += 1
+        if sym in reset_symbols:
+            state, min_counter, min_ts, n_matched = 0, -1, -1, 0
+            i += 1
+            continue
+        if window > 0 and min_counter != -1:
+            span = (counter - min_counter) if window_type == "count" else (ts[i] - min_ts)
+            if span >= window:
+                state, min_counter, min_ts, n_matched = 0, -1, -1, 0
+        nxt = int(delta[state, sym])
+        if take[state, sym]:
+            if min_counter == -1:
+                min_counter, min_ts = counter, int(ts[i])
+            n_matched += 1
+        if finals[nxt]:
+            out.append((int(event_ids[i]), int(ts[i]), counter, min_counter, n_matched))
+            min_counter, min_ts, n_matched = -1, -1, 0
+        state = nxt
+        i += 1
+    return out, (state, counter, min_counter, min_ts, n_matched)
+
+
 class BatchCEP:
     """Batch Complex Event Recognition over a DataFrame.
 
@@ -140,9 +175,17 @@ class BatchCEP:
             self.compiled.symbol_column().alias("symbol"),
         )
 
-    def detections(self, df: DataFrame) -> DataFrame:
+    def detections(self, df: DataFrame, fused: bool = True) -> DataFrame:
         """(key, detection_event_id, detection_ts, counter, min_counter,
-        n_matched) — one row per full match, per key."""
+        n_matched) — one row per full match, per key.
+
+        Default physical strategy (``fused``): hash-repartition on the
+        key + sortWithinPartitions(key, ts, id) + ONE mapInPandas pass
+        that walks key segments inside each Arrow batch and carries the
+        open key's run state across batches.  Same shuffle as
+        groupBy().applyInPandas but one Python invocation per batch
+        instead of per key — the per-group overhead dominates when keys
+        are many and small (the common CEP regime)."""
         sym_df = self.symbolized(df)
         delta, take, finals = transition_tables(self.compiled.sdfa)
         window = self.compiled.window
@@ -150,31 +193,63 @@ class BatchCEP:
         resets = self.compiled.reset_symbols()
         key_type = dict(df.dtypes)[self.key_col]
         schema = f"key {key_type}, {DETECTION_SCHEMA_SUFFIX}"
+        columns = [
+            "key",
+            "detection_event_id",
+            "detection_ts",
+            "counter",
+            "min_counter",
+            "n_matched",
+        ]
 
-        def run_group(pdf: pd.DataFrame) -> pd.DataFrame:
-            pdf = pdf.sort_values(["ts", "event_id"], kind="mergesort")
-            rows = _run_sdfa(
-                pdf["symbol"].to_numpy(),
-                pdf["ts"].to_numpy(),
-                pdf["event_id"].to_numpy(),
-                delta,
-                take,
-                finals,
-                window,
-                window_type,
-                resets,
-            )
-            key = pdf["key"].iloc[0]
-            return pd.DataFrame(
-                [(key, *r) for r in rows],
-                columns=[
-                    "key",
-                    "detection_event_id",
-                    "detection_ts",
-                    "counter",
-                    "min_counter",
-                    "n_matched",
-                ],
-            )
+        if not fused:
+            def run_group(pdf: pd.DataFrame) -> pd.DataFrame:
+                pdf = pdf.sort_values(["ts", "event_id"], kind="mergesort")
+                rows = _run_sdfa(
+                    pdf["symbol"].to_numpy(),
+                    pdf["ts"].to_numpy(),
+                    pdf["event_id"].to_numpy(),
+                    delta, take, finals, window, window_type, resets,
+                )
+                key = pdf["key"].iloc[0]
+                return pd.DataFrame([(key, *r) for r in rows], columns=columns)
 
-        return sym_df.groupBy("key").applyInPandas(run_group, schema=schema)
+            return sym_df.groupBy("key").applyInPandas(run_group, schema=schema)
+
+        def run_partition(batches):
+            # state of the key spanning a batch boundary:
+            # (key, dfa_state, counter, min_counter, min_ts, n_matched)
+            open_key = None
+            carry = None
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                keys = pdf["key"].to_numpy()
+                syms = pdf["symbol"].to_numpy()
+                tss = pdf["ts"].to_numpy()
+                ids = pdf["event_id"].to_numpy()
+                out = []
+                # walk contiguous key segments
+                start = 0
+                n = len(keys)
+                while start < n:
+                    end = start
+                    k = keys[start]
+                    while end < n and keys[end] == k:
+                        end += 1
+                    init = carry if (open_key is not None and k == open_key) else None
+                    rows, carry_state = _run_sdfa_segment(
+                        syms[start:end], tss[start:end], ids[start:end],
+                        delta, take, finals, window, window_type, resets,
+                        init,
+                    )
+                    out.extend((k, *r) for r in rows)
+                    open_key, carry = k, carry_state
+                    start = end
+                yield pd.DataFrame(out, columns=columns)
+
+        return (
+            sym_df.repartition("key")
+            .sortWithinPartitions("key", "ts", "event_id")
+            .mapInPandas(run_partition, schema=schema)
+        )

@@ -102,60 +102,90 @@ class ForecastCEP(BatchCEP):
             tss = pdf["ts"].to_numpy()
             ids = pdf["event_id"].to_numpy()
             key = pdf["key"].iloc[0]
-            rows = []
+            n = len(syms)
+            # sequential pass computes only the state trajectory (and
+            # the swap point); all emission is vectorized afterwards
+            states = np.zeros(n, dtype=np.int64)
             state = 0
-            counter = 0
-            d, fin, strt, ftab = delta, finals, started, ftable
+            d = delta
             swapped = new_model is None
-            for i in range(len(syms)):
-                counter += 1
+            swap_at = n
+            for i in range(n):
                 if not swapped and sync_time is not None and tss[i] >= sync_time:
                     # synchronized swap: migrate run state into the new
                     # model at this key's first event past syncTime
                     state = int(migrate[state])
-                    d, fin, strt, ftab = delta2, finals2, started2, ftable2
+                    d = delta2
                     swapped = True
+                    swap_at = i
                 if syms[i] in resets:  # ResetEvent clears run + buffer
                     state = 0
+                else:
+                    state = int(d[state, syms[i]])
+                states[i] = state
+            counters = np.arange(1, n + 1)
+            pre = slice(0, swap_at)
+            post = slice(swap_at, n)
+            det_mask = np.zeros(n, dtype=bool)
+            det_mask[pre] = finals[states[pre]]
+            fc_mask = np.zeros(n, dtype=bool)
+            fstart = np.zeros(n)
+            fend = np.zeros(n)
+            fprob = np.zeros(n)
+            fpos = np.zeros(n)
+            for sl, fin, strt, ftab in (
+                (pre, finals, started, ftable),
+                (post, finals2, started2, ftable2) if not (new_model is None) else (post, finals, started, ftable),
+            ):
+                if sl.stop - (sl.start or 0) <= 0:
                     continue
-                state = int(d[state, syms[i]])
-                detected = bool(fin[state])
-                if detected:
-                    rows.append(
-                        (key, int(tss[i]), int(ids[i]), counter, True, -1.0, -1, -1, False)
+                st = states[sl]
+                det_mask[sl] = fin[st]
+                rowvals = ftab[st]
+                fc_mask[sl] = strt[st] & (rowvals[:, 0] >= 0)
+                fstart[sl], fend[sl], fprob[sl], fpos[sl] = (
+                    rowvals[:, 0], rowvals[:, 1], rowvals[:, 2], rowvals[:, 3]
+                )
+            frames = []
+            if det_mask.any():
+                di = np.where(det_mask)[0]
+                frames.append(
+                    pd.DataFrame(
+                        {
+                            "key": key,
+                            "ts": tss[di].astype("int64"),
+                            "event_id": ids[di].astype("int64"),
+                            "counter": counters[di],
+                            "is_detection": True,
+                            "prob": -1.0,
+                            "start_ctr": -1,
+                            "end_ctr": -1,
+                            "positive": False,
+                        }
                     )
-                # forecasts only once the context buffer is warm
-                # (Run.scala canStart:423 "started" gate)
-                if strt[state]:
-                    fs, fe, fp, fpos = ftab[state]
-                    if fs >= 0:
-                        rows.append(
-                            (
-                                key,
-                                int(tss[i]),
-                                int(ids[i]),
-                                counter,
-                                False,
-                                float(fp),
-                                counter + int(fs),
-                                counter + int(fe),
-                                bool(fpos >= 1.0),
-                            )
-                        )
-            return pd.DataFrame(
-                rows,
-                columns=[
-                    "key",
-                    "ts",
-                    "event_id",
-                    "counter",
-                    "is_detection",
-                    "prob",
-                    "start_ctr",
-                    "end_ctr",
-                    "positive",
-                ],
-            )
+                )
+            if fc_mask.any():
+                fi = np.where(fc_mask)[0]
+                frames.append(
+                    pd.DataFrame(
+                        {
+                            "key": key,
+                            "ts": tss[fi].astype("int64"),
+                            "event_id": ids[fi].astype("int64"),
+                            "counter": counters[fi],
+                            "is_detection": False,
+                            "prob": fprob[fi],
+                            "start_ctr": counters[fi] + fstart[fi].astype("int64"),
+                            "end_ctr": counters[fi] + fend[fi].astype("int64"),
+                            "positive": fpos[fi] >= 1.0,
+                        }
+                    )
+                )
+            cols = ["key", "ts", "event_id", "counter", "is_detection",
+                    "prob", "start_ctr", "end_ctr", "positive"]
+            if not frames:
+                return pd.DataFrame(columns=cols)
+            return pd.concat(frames)[cols]
 
         return sym_df.groupBy("key").applyInPandas(run_group, schema=schema)
 

@@ -45,7 +45,10 @@ def test_cep_single_shuffle_and_jvm_symbolization(spark):
     # symbolization is a Project expression (CASE WHEN + map lookup),
     # evaluated JVM-side before the Python operator
     assert "CASE WHEN" in plan
-    assert "FlatMapGroupsInPandas" in plan
+    # fused strategy: partition-sorted MapInPandas (one Python call per
+    # Arrow batch, not per key)
+    assert "MapInPandas" in plan
+    assert re.search(r"\(\d+\) Sort", plan)
     # scan pruned to the 4 referenced event columns
     m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
     assert m and len(m.group(1).split(",")) <= 4
