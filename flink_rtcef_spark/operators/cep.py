@@ -29,8 +29,6 @@ pattern allows (documented limitation, as in the reference).
 
 from __future__ import annotations
 
-from typing import Iterable
-
 import numpy as np
 import pandas as pd
 

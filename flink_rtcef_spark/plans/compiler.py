@@ -106,11 +106,6 @@ class CompiledPattern:
             i for i, mt in enumerate(self.minterms) if mt.as_dict().get(key, False)
         )
 
-    def symbolize_py(self, row: dict) -> int:
-        """Python-side twin of symbol_column for tests/golden streams."""
-        from flink_rtcef_spark.plans.predicates import _REGISTRY  # noqa: F401
-
-        raise NotImplementedError("use symbol_column on a DataFrame")
 
 
 def compile_pattern(

@@ -145,17 +145,20 @@ def langid_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
 # for each of 4 permutations.  The signature table is the input to LSH
 # banding; at 100 TB this is one shuffle-free map + groupBy(doc_id).
 def _minhash_oracle() -> str:
+    # 3-gram word shingles: hashing whole shingles (not single words)
+    # keeps signatures discriminative on small vocabularies
     sig_cols = ",\n           ".join(
         f"MIN((({a} * (h % {MINHASH_P})) + {b}) % {MINHASH_P}) AS sig{j}"
         for j, (a, b) in enumerate(MINHASH_AB)
     )
     return f"""
-    WITH flat AS (
-      SELECT doc_id, t.tok,
-             CAST(('0x' || substr(md5(t.tok), 1, 15)) AS BIGINT) AS h
-      FROM (SELECT doc_id, {_TOKENIZE_SQL} AS tokens FROM documents),
-           UNNEST(tokens) AS t(tok)
-      WHERE t.tok <> ''
+    WITH toks AS (
+      SELECT doc_id, list_filter({_TOKENIZE_SQL}, x -> x <> '') AS tokens FROM documents
+    ),
+    flat AS (
+      SELECT doc_id,
+             CAST(('0x' || substr(md5(tokens[i] || ' ' || tokens[i+1] || ' ' || tokens[i+2]), 1, 15)) AS BIGINT) AS h
+      FROM toks, UNNEST(range(1, greatest(len(tokens) - 1, 1))) AS t(i)
     )
     SELECT doc_id,
            {sig_cols}
@@ -166,11 +169,18 @@ def _minhash_oracle() -> str:
 @query("minhash_signatures", oracle=_minhash_oracle())
 def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    flat = (
-        docs.select("doc_id", F.explode(_tokens_spark()).alias("tok"))
-        .filter(F.col("tok") != "")
-        .withColumn("h", portable_hash64(F.col("tok")) % MINHASH_P)
+    toks = docs.select(
+        "doc_id", F.filter(_tokens_spark(), lambda x: x != "").alias("tokens")
     )
+    flat = toks.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, greatest(size(tokens) - 2, 0)),"
+                " i -> concat_ws(' ', slice(tokens, i, 3)))"
+            )
+        ).alias("sh"),
+    ).withColumn("h", portable_hash64(F.col("sh")) % MINHASH_P)
     aggs = [
         F.min((F.lit(a) * F.col("h") + F.lit(b)) % MINHASH_P).alias(f"sig{j}")
         for j, (a, b) in enumerate(MINHASH_AB)
