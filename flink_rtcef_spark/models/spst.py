@@ -85,6 +85,33 @@ class SPST:
         self.v_sdfa = np.array([s for s, _ in order], dtype=np.int32)
         self.v_buffer = [b for _, b in order]
 
+    def remaining_percentage(self) -> dict[int, float]:
+        """Per-state expected remaining steps to completion, normalized
+        by the maximum over states (estimateRemainingPercentage
+        semantics): 0.0 = about to complete, 1.0 = farthest state.
+        Requires wt distributions."""
+        expectations = {}
+        for v, dist in self.wt.items():
+            if not dist.is_empty():
+                expectations[v] = dist.conditional_expectation(1, dist.horizon)
+        if not expectations:
+            return {}
+        mx = max(expectations.values())
+        return {v: (e / mx if mx > 0 else 0.0) for v, e in expectations.items()}
+
+    def filter_by_distance(self, lo: float, hi: float) -> None:
+        """Distance-band state filter (computeWtDistsOpt(distance),
+        SPSTInterface.scala:412-416): keep forecasts only for states
+        whose remaining percentage lies within [lo, hi] — the
+        reference's optimization to forecast only near-completion
+        states.  Band (-1, *) disables (reference default)."""
+        if lo == -1 or lo >= 1.0:
+            return
+        pct = self.remaining_percentage()
+        self.wt = {
+            v: d for v, d in self.wt.items() if lo <= pct.get(v, 1.0) <= hi
+        }
+
     def compute_wt_dists(
         self, horizon: int, cutoff: float = 1e-3, only_started: bool = True
     ) -> None:
@@ -158,6 +185,7 @@ def train_spst(
     r: float = 1.05,
     horizon: int = 0,
     cutoff: float = 1e-3,
+    distance: tuple[float, float] = (-1.0, -1.0),
     **cst_cols,
 ) -> SPST:
     """The G7 in-memory train path as Spark-first stages
@@ -174,4 +202,5 @@ def train_spst(
     spst._expand()
     if horizon > 0:
         spst.compute_wt_dists(horizon, cutoff)
+        spst.filter_by_distance(*distance)
     return spst

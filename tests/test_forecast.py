@@ -118,6 +118,26 @@ def test_wt_distribution_matches_markov_truth():
     assert wt.wt[3] == pytest.approx(probs[3], abs=0.02)
 
 
+def test_distance_band_filters_far_states():
+    """computeWtDistsOpt(distance) parity: the band keeps only states
+    whose expected remaining steps (normalized) fall inside [lo, hi]."""
+    spst = _geometric_spst(0.3, horizon=6)
+    n_all = len(spst.wt)
+    pct = spst.remaining_percentage()
+    assert pct and all(0.0 <= v <= 1.0 for v in pct.values())
+    # keep only near-completion states: band up to the median percentage
+    cut = sorted(pct.values())[len(pct) // 2]
+    spst.filter_by_distance(0.0, cut)
+    assert 0 < len(spst.wt) <= n_all
+    assert all(pct[v] <= cut for v in spst.wt)
+    # the state just after seeing A is closer to completion than start
+    assert min(pct.values()) < max(pct.values())
+    # the reference default (-1) disables filtering
+    spst2 = _geometric_spst(0.3, horizon=6)
+    spst2.filter_by_distance(-1.0, -1.0)
+    assert len(spst2.wt) == n_all
+
+
 def test_forecast_operator_end_to_end(spark):
     """Train on a synthetic keyed stream, forecast with classify_nextk,
     evaluate: the pipeline runs distributed and yields sane outputs."""
