@@ -64,6 +64,51 @@ _SEQ_PATTERN = (
 _SEQ_DECLS = "~(IsEventTypePredicate(view),IsEventTypePredicate(click),IsEventTypePredicate(purchase))"
 
 
+# NONOVERLAP count policy through the real operator: pattern
+# ;(click,click) — after a full match the pair is consumed
+# (SDFAUtils.getNonoverlap).  Oracle: within each maximal run of
+# consecutive clicks per user, detections land at even positions.
+_NONOVERLAP_SQL = """
+    WITH marked AS (
+      SELECT user_id, event_id, ts, event_type,
+             CASE WHEN event_type = 'click'
+                   AND LAG(event_type) OVER w = 'click' THEN 0 ELSE 1 END AS run_start
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    runs AS (
+      SELECT user_id, event_id, event_type,
+             SUM(run_start) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_id,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+      FROM marked
+    ),
+    positions AS (
+      SELECT user_id, event_id,
+             ROW_NUMBER() OVER (PARTITION BY user_id, run_id ORDER BY rn) AS pos_in_run
+      FROM runs WHERE event_type = 'click'
+    )
+    SELECT user_id, event_id AS detection_event_id
+    FROM positions WHERE pos_in_run % 2 = 0
+"""
+
+
+@query("cep_nonoverlap_sql", oracle=_NONOVERLAP_SQL)
+def cep_nonoverlap_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_rtcef_spark.operators.cep import BatchCEP
+    from flink_rtcef_spark.plans.compiler import NONOVERLAP, compile_pattern
+
+    compiled = compile_pattern(
+        ";(IsEventTypePredicate(click),IsEventTypePredicate(click)){partitionBy:user_id}",
+        "~(IsEventTypePredicate(click),IsEventTypePredicate(view),"
+        "IsEventTypePredicate(purchase),IsEventTypePredicate(error))",
+        policy=NONOVERLAP,
+    )
+    ev = load_table(spark, sf_dir, "events")
+    det = BatchCEP(compiled, ts_col="ts", id_col="event_id").detections(ev)
+    return det.select(F.col("key").alias("user_id"), "detection_event_id")
+
+
 @query("cep_sdfa_detect", oracle=_SEQ_SQL)
 def cep_sdfa_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
     from flink_rtcef_spark.operators.cep import BatchCEP
