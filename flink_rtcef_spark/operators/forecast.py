@@ -96,22 +96,17 @@ class ForecastCEP(BatchCEP):
             "positive boolean"
         )
 
-        def run_group(pdf: pd.DataFrame) -> pd.DataFrame:
-            pdf = pdf.sort_values(["ts", "event_id"], kind="mergesort")
-            syms = pdf["symbol"].to_numpy()
-            tss = pdf["ts"].to_numpy()
-            ids = pdf["event_id"].to_numpy()
-            key = pdf["key"].iloc[0]
+        def run_segment(key, syms, tss, ids, init):
+            """One key segment; ``init`` = (state, counter0, swapped)
+            carried across Arrow batches.  Sequential pass computes only
+            the state trajectory; emission is vectorized."""
             n = len(syms)
-            # sequential pass computes only the state trajectory (and
-            # the swap point); all emission is vectorized afterwards
             states = np.zeros(n, dtype=np.int64)
-            state = 0
-            d = delta
-            swapped = new_model is None
-            swap_at = n
+            state, counter0, swapped = init
+            d = delta2 if swapped and new_model is not None else delta
+            swap_at = 0 if swapped else n
             for i in range(n):
-                if not swapped and sync_time is not None and tss[i] >= sync_time:
+                if not swapped and new_model is not None and sync_time is not None and tss[i] >= sync_time:
                     # synchronized swap: migrate run state into the new
                     # model at this key's first event past syncTime
                     state = int(migrate[state])
@@ -123,7 +118,7 @@ class ForecastCEP(BatchCEP):
                 else:
                     state = int(d[state, syms[i]])
                 states[i] = state
-            counters = np.arange(1, n + 1)
+            counters = np.arange(counter0 + 1, counter0 + n + 1)
             pre = slice(0, swap_at)
             post = slice(swap_at, n)
             det_mask = np.zeros(n, dtype=bool)
@@ -183,11 +178,52 @@ class ForecastCEP(BatchCEP):
                 )
             cols = ["key", "ts", "event_id", "counter", "is_detection",
                     "prob", "start_ctr", "end_ctr", "positive"]
+            carry = (state, int(counters[-1]) if n else counter0, swapped)
             if not frames:
-                return pd.DataFrame(columns=cols)
-            return pd.concat(frames)[cols]
+                return pd.DataFrame(columns=cols), carry
+            return pd.concat(frames)[cols], carry
 
-        return sym_df.groupBy("key").applyInPandas(run_group, schema=schema)
+        def run_partition(batches):
+            # fused strategy (see BatchCEP.detections): one Python call
+            # per Arrow batch, key segments walked inside, open key's
+            # (state, counter, swapped) carried across batches
+            open_key = None
+            carry = None
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                keys = pdf["key"].to_numpy()
+                syms = pdf["symbol"].to_numpy()
+                tss = pdf["ts"].to_numpy()
+                ids = pdf["event_id"].to_numpy()
+                outs = []
+                start, n = 0, len(keys)
+                while start < n:
+                    end = start
+                    k = keys[start]
+                    while end < n and keys[end] == k:
+                        end += 1
+                    init = (
+                        carry
+                        if (open_key is not None and k == open_key)
+                        else (0, 0, new_model is None)
+                    )
+                    frame, carry = run_segment(
+                        k, syms[start:end], tss[start:end], ids[start:end], init
+                    )
+                    outs.append(frame)
+                    open_key = k
+                    start = end
+                yield pd.concat(outs) if outs else pd.DataFrame(
+                    columns=["key", "ts", "event_id", "counter", "is_detection",
+                             "prob", "start_ctr", "end_ctr", "positive"]
+                )
+
+        return (
+            sym_df.repartition("key")
+            .sortWithinPartitions("key", "ts", "event_id")
+            .mapInPandas(run_partition, schema=schema)
+        )
 
 
 def evaluate_forecasts_windowed(
