@@ -18,6 +18,9 @@ oracles can verify):
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -223,8 +226,6 @@ def embedding_near_dup(
     that runs per-LSH-bucket at 100 TB (broadcast the bucket, GEMM the
     bucket) — beyond broadcastable corpus size, bucket with
     similarity.RandomHyperplaneLSH first and apply this per bucket."""
-    import numpy as np
-    import pandas as pd
 
     spark = df.sparkSession
     pdf = df.select(id_col, vec_col).toPandas()
@@ -263,3 +264,47 @@ def embedding_near_dup(
     return df.select(id_col, vec_col).mapInPandas(
         score, schema="id_a long, id_b long, cosine double"
     )
+
+
+def embedding_near_dup_lsh(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.9,
+    n_planes: int = 6,
+    n_tables: int = 4,
+    seed: int = 11,
+) -> DataFrame:
+    """Semantic near-dup beyond broadcastable corpus size: bucket with
+    multi-table hyperplane LSH, then GEMM WITHIN each bucket group
+    (applyInPandas per bucket) — no global broadcast, no all-pairs.
+    Recall follows the LSH collision probability of the threshold's
+    angle; raise n_tables for higher recall.  Pairs deduped across
+    tables."""
+    from flink_rtcef_spark.operators.similarity import RandomHyperplaneLSH
+
+    dim = len(df.select(vec_col).first()[0])
+    lsh = RandomHyperplaneLSH(dim=dim, n_planes=n_planes, n_tables=n_tables, seed=seed)
+    bucketed = lsh.bucketize(df.select(id_col, vec_col), vec_col)
+
+    def score_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) < 2:
+            return pd.DataFrame({"id_a": [], "id_b": [], "cosine": []})
+        ids = pdf[id_col].to_numpy()
+        mat = np.array([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+        mat = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-300)
+        sims = mat @ mat.T
+        ii, jj = np.where(sims >= threshold)
+        keep = ids[ii] < ids[jj]
+        return pd.DataFrame(
+            {
+                "id_a": ids[ii][keep],
+                "id_b": ids[jj][keep],
+                "cosine": np.round(sims[ii, jj][keep], 6),
+            }
+        )
+
+    pairs = bucketed.groupBy("bucket").applyInPandas(
+        score_bucket, schema="id_a long, id_b long, cosine double"
+    )
+    return pairs.dropDuplicates(["id_a", "id_b"])

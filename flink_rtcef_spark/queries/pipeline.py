@@ -141,6 +141,78 @@ def langid_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Advanced quality: token-distribution entropy and duplicate-3-gram
+# ratio — the repetition/diversity filters LLM pipelines apply before
+# training.  Both reduce to explode + groupBy aggregations.
+_ENTROPY_SQL = f"""
+    WITH toks AS (
+      SELECT doc_id, list_filter({_TOKENIZE_SQL}, x -> x <> '') AS tokens FROM documents
+    ),
+    flat AS (
+      SELECT doc_id, t.tok FROM toks, UNNEST(tokens) AS t(tok)
+    ),
+    freqs AS (
+      SELECT doc_id, tok, COUNT(*) AS c FROM flat GROUP BY doc_id, tok
+    ),
+    totals AS (
+      SELECT doc_id, SUM(c) AS total FROM freqs GROUP BY doc_id
+    ),
+    terms AS (
+      SELECT f.doc_id,
+             ROUND(-(f.c * 1.0 / t.total) * LN(f.c * 1.0 / t.total), 6) AS term
+      FROM freqs f JOIN totals t ON f.doc_id = t.doc_id
+    ),
+    ent2 AS (
+      SELECT doc_id, ROUND(SUM(term), 6) AS token_entropy FROM terms GROUP BY doc_id
+    ),
+    tri AS (
+      SELECT doc_id, tokens[i] || ' ' || tokens[i+1] || ' ' || tokens[i+2] AS g
+      FROM toks, UNNEST(range(1, greatest(len(tokens) - 1, 1))) AS t(i)
+    ),
+    rep AS (
+      SELECT doc_id,
+             ROUND(1.0 - COUNT(DISTINCT g) * 1.0 / COUNT(*), 6) AS dup_trigram_ratio
+      FROM tri GROUP BY doc_id
+    )
+    SELECT r.doc_id, e.token_entropy, r.dup_trigram_ratio
+    FROM rep r JOIN ent2 e ON r.doc_id = e.doc_id
+"""
+
+
+@query("text_entropy_repetition", oracle=_ENTROPY_SQL)
+def text_entropy_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.filter(_tokens_spark(), lambda x: x != "").alias("tokens")
+    )
+    flat = toks.select("doc_id", F.explode("tokens").alias("tok"))
+    freqs = flat.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("c"))
+    totals = freqs.groupBy("doc_id").agg(F.sum("c").alias("total"))
+    p = F.col("c") / F.col("total")
+    ent = (
+        freqs.join(totals, "doc_id")
+        .withColumn("term", F.round(-p * F.log(p), 6))
+        .groupBy("doc_id")
+        .agg(F.round(F.sum("term"), 6).alias("token_entropy"))
+    )
+    tri = toks.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, greatest(size(tokens) - 2, 0)),"
+                " i -> concat_ws(' ', slice(tokens, i, 3)))"
+            )
+        ).alias("g"),
+    )
+    rep = tri.groupBy("doc_id").agg(
+        F.round(1.0 - F.countDistinct("g") / F.count(F.lit(1)), 6).alias(
+            "dup_trigram_ratio"
+        )
+    )
+    return rep.join(ent, "doc_id").select("doc_id", "token_entropy", "dup_trigram_ratio")
+
+
+# --------------------------------------------------------------------------
 # MinHash signatures (word-level): min over tokens of (a*h(tok)+b) mod P
 # for each of 4 permutations.  The signature table is the input to LSH
 # banding; at 100 TB this is one shuffle-free map + groupBy(doc_id).

@@ -1,0 +1,41 @@
+"""Bucketed embedding near-dup: recall vs the exact GEMM operator on
+planted near-duplicates."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from flink_rtcef_spark.operators.dedup import (
+    embedding_near_dup,
+    embedding_near_dup_lsh,
+)
+
+
+def test_bucketed_near_dup_recall(spark):
+    rng = np.random.RandomState(4)
+    rows = []
+    for i in range(500):
+        rows.append((i, [float(x) for x in rng.randn(32)]))
+    # plant 20 near-dup pairs (cosine ~0.97)
+    planted = []
+    for j in range(20):
+        base = rng.randn(32)
+        rows.append((1000 + 2 * j, [float(x) for x in base]))
+        rows.append((1000 + 2 * j + 1, [float(x) for x in base + 0.15 * rng.randn(32)]))
+        planted.append((1000 + 2 * j, 1000 + 2 * j + 1))
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["vec_id", "embedding"]))
+
+    exact = embedding_near_dup(df, threshold=0.9).toPandas()
+    exact_pairs = set(zip(exact.id_a, exact.id_b))
+    assert all(p in exact_pairs for p in planted)
+
+    approx = embedding_near_dup_lsh(
+        df, threshold=0.9, n_planes=6, n_tables=6
+    ).toPandas()
+    approx_pairs = set(zip(approx.id_a, approx.id_b))
+    # no false positives vs exact (scoring is exact within buckets)
+    assert approx_pairs <= exact_pairs
+    # high recall on planted near-dups
+    recall = len(approx_pairs & set(planted)) / len(planted)
+    assert recall >= 0.85, recall

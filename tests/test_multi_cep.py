@@ -1,0 +1,76 @@
+"""Single-pass multi-pattern CEP must equal per-pattern operators."""
+
+from __future__ import annotations
+
+import random
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from flink_rtcef_spark.operators.cep import BatchCEP
+from flink_rtcef_spark.operators.multi_cep import MultiPatternCEP
+from flink_rtcef_spark.plans.compiler import compile_patterns
+
+PATTERNS = (
+    ";(IsEventTypePredicate(A),IsEventTypePredicate(B)){partitionBy:k}"
+    "&"
+    ";(IsEventTypePredicate(C),IsEventTypePredicate(C)){partitionBy:k}"
+    "&"
+    "#(;(IsEventTypePredicate(A),IsEventTypePredicate(C))){partitionBy:k}{window:6}"
+)
+DECLS = "~(IsEventTypePredicate(A),IsEventTypePredicate(B),IsEventTypePredicate(C))"
+
+
+def test_multi_pattern_equals_per_pattern(spark):
+    rng = random.Random(17)
+    rows = [
+        (f"k{rng.randint(1, 5)}", t + 1, t, rng.choice("AABBC")) for t in range(800)
+    ]
+    df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["k", "timestamp", "id", "event_type"])
+    )
+    compiled = compile_patterns(PATTERNS, DECLS)
+    multi = MultiPatternCEP(compiled, ts_col="timestamp", id_col="id")
+    got = multi.detections(df).toPandas()
+    assert set(got.pattern_id) == {0, 1, 2}
+    for p, c in enumerate(compiled):
+        single = (
+            BatchCEP(c, ts_col="timestamp", id_col="id")
+            .detections(df)
+            .toPandas()
+            .sort_values(["key", "counter"])
+            .reset_index(drop=True)
+        )
+        mine = (
+            got[got.pattern_id == p]
+            .drop(columns=["pattern_id"])
+            .sort_values(["key", "counter"])
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(mine, single, check_dtype=False)
+
+
+def test_multi_pattern_single_shuffle(spark):
+    import re
+
+    rows = [("k1", 1, 0, "A")]
+    df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["k", "timestamp", "id", "event_type"])
+    )
+    compiled = compile_patterns(PATTERNS, DECLS)
+    plan_df = MultiPatternCEP(compiled, ts_col="timestamp", id_col="id").detections(df)
+    plan = plan_df._sc._jvm.PythonSQLUtils.explainString(
+        plan_df._jdf.queryExecution(), "formatted"
+    )
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1
+
+
+def test_key_mismatch_rejected(spark):
+    compiled = compile_patterns(
+        ";(IsEventTypePredicate(A),IsEventTypePredicate(B)){partitionBy:k}"
+        "&;(IsEventTypePredicate(C),IsEventTypePredicate(C)){partitionBy:other}",
+        DECLS,
+    )
+    with pytest.raises(ValueError, match="disagree"):
+        MultiPatternCEP(compiled)
