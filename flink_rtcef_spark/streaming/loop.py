@@ -171,6 +171,35 @@ class RTCEFLoop:
             )
         return "\n".join(lines) + "\n"
 
+    def run_streaming(
+        self,
+        stream_df: DataFrame,
+        checkpoint_dir: str,
+        trigger: dict | None = None,
+    ):
+        """Attach the loop to a real Structured Streaming query: each
+        microbatch flows through the full pipeline (collector -> engine
+        report -> observer -> optimize/retrain -> swap) inside
+        foreachBatch — the production wiring; ``replay`` is its bounded
+        event-time simulation.  Returns the StreamingQuery."""
+
+        def process(batch_df: DataFrame, epoch_id: int) -> None:
+            if batch_df.isEmpty():
+                return
+            batch_ts = int(
+                batch_df.agg(
+                    F.max(F.col(self.ts_col).cast("long"))
+                ).collect()[0][0]
+            )
+            self.process_batch(batch_df, batch_ts)
+
+        writer = stream_df.writeStream.foreachBatch(process).option(
+            "checkpointLocation", checkpoint_dir
+        )
+        if trigger:
+            writer = writer.trigger(**trigger)
+        return writer.start()
+
     def replay(self, events: DataFrame, batch_seconds: int | None = None) -> list[ReportPoint]:
         """Replay a bounded event DataFrame in event-time order as
         microbatches of ``batch_seconds`` (default: reporting_distance)
