@@ -385,7 +385,7 @@ def _simhash_oracle() -> str:
            UNNEST(tokens) AS t(tok)
       WHERE t.tok <> ''
     )
-    SELECT doc_id, {bit_terms} AS simhash
+    SELECT doc_id, CAST({bit_terms} AS BIGINT) AS simhash
     FROM flat GROUP BY doc_id
 """
 
@@ -431,7 +431,7 @@ def simhash_16(spark: SparkSession, sf_dir: str) -> DataFrame:
            UNNEST(range(1, len(tokens) + 1)) AS t(i)
     )
     SELECT doc_id,
-           SUM(h * (((i * 31) % 1000003) + 1)) % 1000000007 AS fingerprint
+           CAST(SUM(h * (((i * 31) % 1000003) + 1)) % 1000000007 AS BIGINT) AS fingerprint
     FROM flat GROUP BY doc_id
     """,
 )
@@ -511,9 +511,9 @@ def embedding_near_dup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     "token_counts_bpe",
     oracle=r"""
     SELECT doc_id,
-           len(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), x -> x <> '')) AS n_words,
-           len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]', 0)) AS n_bpe_tokens,
-           length(text) AS n_chars
+           CAST(len(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), x -> x <> '')) AS INTEGER) AS n_words,
+           CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]', 0)) AS INTEGER) AS n_bpe_tokens,
+           CAST(length(text) AS INTEGER) AS n_chars
     FROM documents
     """,
 )

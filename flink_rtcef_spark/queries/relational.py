@@ -144,7 +144,9 @@ _METRIC_SQL = """
              SUM(CASE WHEN value <= 10 AND event_type = 'purchase' THEN 1 ELSE 0 END) AS fn
       FROM events GROUP BY user_id
     )
-    SELECT user_id, tp, tn, fp, fn,
+    SELECT user_id,
+      CAST(tp AS BIGINT) AS tp, CAST(tn AS BIGINT) AS tn,
+      CAST(fp AS BIGINT) AS fp, CAST(fn AS BIGINT) AS fn,
       ROUND(CASE WHEN tp + fp = 0 THEN -1.0 ELSE CAST(tp AS DOUBLE) / (tp + fp) END, 6) AS precision,
       ROUND(CASE WHEN tp + fn = 0 THEN -1.0 ELSE CAST(tp AS DOUBLE) / (tp + fn) END, 6) AS recall,
       ROUND(CASE WHEN tp + fp = 0 OR tp + fn = 0
@@ -390,7 +392,7 @@ def topk_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "topk_per_group",
     oracle="""
-    SELECT user_id, event_id, ROUND(value, 4) AS value, rn
+    SELECT user_id, event_id, ROUND(value, 4) AS value, CAST(rn AS INTEGER) AS rn
     FROM (
       SELECT user_id, event_id, value,
              ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY value DESC, event_id ASC) AS rn
@@ -596,10 +598,10 @@ def semi_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     "pivot_event_counts",
     oracle="""
     SELECT user_id,
-           SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS view,
-           SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS click,
-           SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS purchase,
-           SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS error
+           CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view,
+           CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click,
+           CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
+           CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error
     FROM events GROUP BY user_id
     """,
 )
@@ -662,8 +664,8 @@ _SESSION_SQL = """
     ),
     sessions AS (
       SELECT user_id,
-             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+             CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
       FROM gaps
     )
     SELECT user_id, session_id, COUNT(*) AS n_events

@@ -49,6 +49,13 @@ def compare(name: str, spark_df: pd.DataFrame, duck_df: pd.DataFrame) -> list[st
     if sorted(spark_df.columns) != sorted(duck_df.columns):
         problems.append(f"schema: spark={sorted(spark_df.columns)} duck={sorted(duck_df.columns)}")
         return problems
+    # pandas dtypes must agree exactly: a DuckDB HUGEINT surfacing as
+    # float64 against Spark's int64 can defeat value hashing (5.0 vs 5)
+    for c in spark_df.columns:
+        if str(spark_df[c].dtype) != str(duck_df[c].dtype):
+            problems.append(
+                f"dtype[{c}]: spark={spark_df[c].dtype} duck={duck_df[c].dtype}"
+            )
     if len(spark_df) != len(duck_df):
         problems.append(f"rows: spark={len(spark_df)} duck={len(duck_df)}")
     s, d = normalize(spark_df), normalize(duck_df)
