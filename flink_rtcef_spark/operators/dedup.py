@@ -55,8 +55,11 @@ def hash_params(n_hashes: int, seed: int = 7) -> list[tuple[int, int]]:
 def exact_dedup(
     df: DataFrame, content_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
-    """Keep one canonical row (min id) per normalized content value."""
-    norm = F.lower(F.trim(F.col(content_col)))
+    """Keep one canonical row (min id) per normalized content value.
+
+    Groups on md5 of the normalized content so the dedup shuffle moves
+    32-byte digests, not documents — the only viable layout at scale."""
+    norm = F.md5(F.lower(F.trim(F.col(content_col))))
     canon = (
         df.groupBy(norm.alias("__norm"))
         .agg(F.min(id_col).alias(id_col), F.count(F.lit(1)).alias("n_copies"))

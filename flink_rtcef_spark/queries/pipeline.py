@@ -42,13 +42,16 @@ def _tokens_spark():
     oracle="""
     SELECT MIN(doc_id) AS canonical_doc_id, COUNT(*) AS n_copies
     FROM documents
-    GROUP BY lower(trim(text))
+    GROUP BY md5(lower(trim(text)))
     """,
 )
 def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # group on the content HASH, not the content: the shuffle carries
+    # 32 bytes per row instead of whole documents — the only viable
+    # layout at 100 TB (md5 collision risk is negligible vs data size)
     docs = load_table(spark, sf_dir, "documents")
     return (
-        docs.groupBy(F.lower(F.trim(F.col("text"))).alias("norm"))
+        docs.groupBy(F.md5(F.lower(F.trim(F.col("text")))).alias("norm"))
         .agg(F.min("doc_id").alias("canonical_doc_id"), F.count(F.lit(1)).alias("n_copies"))
         .drop("norm")
         .select("canonical_doc_id", "n_copies")
