@@ -1,0 +1,210 @@
+"""CEP over register patterns (SREMO/NSRA, B14): per-key ordered
+nondeterministic execution with configurations (state, valuation).
+
+Reference semantics: fsm/symbolic/sra/SRA.scala
+(yieldsSuccessorConfigWithEpsilon — configuration sets advanced per
+event), Configuration.scala (state + valuation), Valuation.scala
+(register -> stored event), with the SREMO window mandatory
+(docs/lang.md:129-135).  A run terminates when it reaches a final
+state (full match) or when its window expires.
+
+Physical strategy mirrors operators/cep.py: hash-repartition on the
+key + sortWithinPartitions + ONE mapInPandas pass walking key segments,
+carrying open-key configurations across Arrow batches.  The shuffle
+payload is (key, ts, id, bits, <register attrs>): every register-free
+predicate is folded JVM-side into the bit-encoded ``bits`` column, so
+Python evaluates only the register comparisons.
+
+Scale: live configurations per key are window-bounded (count window w
+-> at most w concurrent runs), so per-key state is O(w·|registers|)
+regardless of stream length; the shuffle is the same single hash
+exchange as the deterministic operator.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from flink_rtcef_spark.plans.nsra import CompiledRegisterPattern
+
+DETECTION_COLUMNS = [
+    "key",
+    "detection_event_id",
+    "detection_ts",
+    "counter",
+    "min_counter",
+    "n_matched",
+]
+
+
+def _val_key(valuation: dict) -> tuple:
+    return tuple(
+        (reg, tuple(sorted((k, v) for k, v in stored.items())))
+        for reg, stored in sorted(valuation.items())
+    )
+
+
+def _run_nsra_segment(
+    bits,
+    ts,
+    event_ids,
+    attr_arrays: dict,
+    table: dict,
+    finals: frozenset,
+    start_states: tuple,
+    window: int,
+    window_type: str,
+    init=None,
+):
+    """Config-set run over one key segment.  ``init`` carries the
+    previous batch's (configs, counter) for the same key.  Returns
+    (detections, carry).  configs: {(state, val_key, min_counter):
+    (valuation, min_ts, n_matched)}."""
+    out = []
+    configs, counter = init if init is not None else ({}, 0)
+    attr_names = list(attr_arrays)
+    n = len(bits)
+    for i in range(n):
+        counter += 1
+        b = int(bits[i])
+        t = int(ts[i])
+        ev = {a: attr_arrays[a][i] for a in attr_names}
+        # seed a fresh run at every event (streaming Sigma*;f semantics)
+        for s in start_states:
+            configs.setdefault((s, (), -1), ({}, -1, 0))
+        nxt: dict = {}
+        best = None  # (min_counter, -n_matched) of accepting configs
+        for (state, vkey, min_counter), (valuation, min_ts, n_matched) in configs.items():
+            # window check (Run.checkRuntimeWindow:221-238 analogue):
+            # an expired run simply dies — nondeterministic runs don't
+            # restart, the per-event seeding covers that.
+            if window > 0 and min_counter != -1:
+                span = (counter - min_counter) if window_type == "count" else (t - min_ts)
+                if span >= window:
+                    continue
+            for guard, dst_closure, take, writes in table.get(state, ()):
+                if not guard(b, ev, valuation):
+                    continue
+                if writes:
+                    stored = {a: ev[a] for a in attr_names}
+                    new_val = dict(valuation)
+                    for r in writes:
+                        new_val[r] = stored
+                else:
+                    new_val = valuation
+                if take:
+                    nmc = min_counter if min_counter != -1 else counter
+                    nmt = min_ts if min_counter != -1 else t
+                    nnm = n_matched + 1
+                else:
+                    nmc, nmt, nnm = min_counter, min_ts, n_matched
+                for dst in dst_closure:
+                    if dst in finals:
+                        cand = (nmc, -nnm)
+                        if best is None or cand < best:
+                            best = cand
+                        continue  # full match: the run terminates
+                    k = (dst, _val_key(new_val) if writes else vkey, nmc)
+                    prev = nxt.get(k)
+                    if prev is None or nnm > prev[2]:
+                        nxt[k] = (new_val, nmt, nnm)
+        configs = nxt
+        if best is not None:
+            out.append(
+                (int(event_ids[i]), t, counter, int(best[0]), int(-best[1]))
+            )
+    return out, (configs, counter)
+
+
+class RegisterCEP:
+    """Batch recognition for register (SREMO) patterns.
+
+    >>> cp = compile_register_pattern(';(IsEventTypePredicate(view)["x"],'
+    ...     '^(IsEventTypePredicate(click),GTAttr(value,"x")))'
+    ...     '{partitionBy:user_id}{window:2}')
+    >>> RegisterCEP(cp, ts_col="ts", id_col="event_id").detections(events)
+    """
+
+    def __init__(
+        self,
+        compiled: CompiledRegisterPattern,
+        key_col: str | None = None,
+        ts_col: str = "timestamp",
+        id_col: str = "id",
+    ):
+        self.compiled = compiled
+        self.key_col = key_col or compiled.partition_by
+        if not self.key_col:
+            raise ValueError("pattern needs {partitionBy:...} or an explicit key_col")
+        self.ts_col = ts_col
+        self.id_col = id_col
+
+    def symbolized(self, df: DataFrame) -> DataFrame:
+        ts = F.col(self.ts_col)
+        ts_ms = (
+            F.unix_millis(ts)
+            if dict(df.dtypes).get(self.ts_col) in ("timestamp", "timestamp_ntz")
+            else ts.cast("long")
+        )
+        cols = [
+            F.col(self.key_col).alias("key"),
+            ts_ms.alias("ts"),
+            F.col(self.id_col).alias("event_id"),
+            self.compiled.bits_column().alias("bits"),
+        ]
+        cols += [F.col(a) for a in self.compiled.register_attrs]
+        return df.select(*cols)
+
+    def detections(self, df: DataFrame) -> DataFrame:
+        sym_df = self.symbolized(df)
+        cp = self.compiled
+        table = cp.table
+        finals = frozenset(cp.nsra.finals)
+        start_states = cp.start_states
+        window, window_type = cp.window, cp.window_type
+        attrs = cp.register_attrs
+        key_type = dict(df.dtypes)[self.key_col]
+        schema = (
+            f"key {key_type}, detection_event_id long, detection_ts long, "
+            "counter long, min_counter long, n_matched int"
+        )
+
+        def run_partition(batches):
+            open_key = None
+            carry = None
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                keys = pdf["key"].to_numpy()
+                bits = pdf["bits"].to_numpy()
+                tss = pdf["ts"].to_numpy()
+                ids = pdf["event_id"].to_numpy()
+                attr_arrays = {a: pdf[a].to_numpy() for a in attrs}
+                out = []
+                start = 0
+                n = len(keys)
+                while start < n:
+                    end = start
+                    k = keys[start]
+                    while end < n and keys[end] == k:
+                        end += 1
+                    init = carry if (open_key is not None and k == open_key) else None
+                    seg_attrs = {a: arr[start:end] for a, arr in attr_arrays.items()}
+                    rows, carry = _run_nsra_segment(
+                        bits[start:end], tss[start:end], ids[start:end],
+                        seg_attrs, table, finals, start_states,
+                        window, window_type, init,
+                    )
+                    out.extend((k, *r) for r in rows)
+                    open_key = k
+                    start = end
+                yield pd.DataFrame(out, columns=DETECTION_COLUMNS)
+
+        return (
+            sym_df.repartition("key")
+            .sortWithinPartitions("key", "ts", "event_id")
+            .mapInPandas(run_partition, schema=schema)
+        )

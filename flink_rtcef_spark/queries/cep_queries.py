@@ -109,6 +109,39 @@ def cep_nonoverlap_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     return det.select(F.col("key").alias("user_id"), "detection_event_id")
 
 
+# SREMO (register variables, B14) through the NSRA path: the first
+# event is stored in register x and the adjacent click must exceed its
+# value (EQAttr-family semantics, docs/lang.md:95-136).  The adjacent-
+# pair special case is SQL-expressible via lag() — DuckDB cross-
+# validates the nondeterministic configuration-set runtime.
+_REGISTER_SQL = """
+    WITH seq AS (
+      SELECT user_id, event_id, event_type, value,
+             LAG(event_type) OVER w AS prev_type,
+             LAG(value) OVER w AS prev_value
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT user_id, event_id AS detection_event_id
+    FROM seq
+    WHERE prev_type = 'view' AND event_type = 'click' AND value > prev_value
+"""
+
+
+@query("cep_register_gtattr", oracle=_REGISTER_SQL)
+def cep_register_gtattr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_rtcef_spark.operators.cep_register import RegisterCEP
+    from flink_rtcef_spark.plans.nsra import compile_register_pattern
+
+    cp = compile_register_pattern(
+        ';(IsEventTypePredicate(view)["x"],^(IsEventTypePredicate(click),'
+        'GTAttr(value,"x"))){partitionBy:user_id}{window:2}'
+    )
+    ev = load_table(spark, sf_dir, "events")
+    det = RegisterCEP(cp, ts_col="ts", id_col="event_id").detections(ev)
+    return det.select(F.col("key").alias("user_id"), "detection_event_id")
+
+
 @query("cep_sdfa_detect", oracle=_SEQ_SQL)
 def cep_sdfa_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
     from flink_rtcef_spark.operators.cep import BatchCEP
