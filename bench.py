@@ -31,6 +31,7 @@ HEADLINE = [
     "sessionize",
     "cep_seq_contiguous_sql",
     "cep_sdfa_detect",  # real CEP operator (present from round-1 task 2 on)
+    "cep_register_gtattr",  # NSRA register-pattern operator (SREMO)
     "dedup_exact",
     "minhash_signatures",
     "simhash_16",

@@ -58,11 +58,20 @@ def _run_nsra_segment(
     window: int,
     window_type: str,
     init=None,
+    enumerate_matches: bool = False,
 ):
     """Config-set run over one key segment.  ``init`` carries the
     previous batch's (configs, counter) for the same key.  Returns
-    (detections, carry).  configs: {(state, val_key, min_counter):
-    (valuation, min_ts, n_matched)}."""
+    (detections, carry).  configs: {(state, val_key, min_counter,
+    matched): (valuation, min_ts, n_matched)} — ``matched`` is the
+    tuple of TAKE-event ids (Match.scala:17-54's events list) and is
+    always () unless ``enumerate_matches``.
+
+    Detection rows: (event_id, ts, counter, min_counter, n_matched)
+    — one per event with >=1 full match, earliest-start first; with
+    ``enumerate_matches``, one row PER full match with its matched-id
+    list appended (the reference's nondeterministic run path,
+    ERFEngine.processEventAtRunNonDet:295, enumerates every match)."""
     out = []
     configs, counter = init if init is not None else ({}, 0)
     attr_names = list(attr_arrays)
@@ -71,13 +80,19 @@ def _run_nsra_segment(
         counter += 1
         b = int(bits[i])
         t = int(ts[i])
+        eid = int(event_ids[i])
         ev = {a: attr_arrays[a][i] for a in attr_names}
         # seed a fresh run at every event (streaming Sigma*;f semantics)
         for s in start_states:
-            configs.setdefault((s, (), -1), ({}, -1, 0))
+            configs.setdefault((s, (), -1, ()), ({}, -1, 0))
         nxt: dict = {}
         best = None  # (min_counter, -n_matched) of accepting configs
-        for (state, vkey, min_counter), (valuation, min_ts, n_matched) in configs.items():
+        emitted: set = set()  # matched tuples emitted at this event
+        for (state, vkey, min_counter, matched), (
+            valuation,
+            min_ts,
+            n_matched,
+        ) in configs.items():
             # window check (Run.checkRuntimeWindow:221-238 analogue):
             # an expired run simply dies — nondeterministic runs don't
             # restart, the per-event seeding covers that.
@@ -99,23 +114,30 @@ def _run_nsra_segment(
                     nmc = min_counter if min_counter != -1 else counter
                     nmt = min_ts if min_counter != -1 else t
                     nnm = n_matched + 1
+                    nmatched = matched + (eid,) if enumerate_matches else ()
                 else:
                     nmc, nmt, nnm = min_counter, min_ts, n_matched
+                    nmatched = matched
                 for dst in dst_closure:
                     if dst in finals:
-                        cand = (nmc, -nnm)
-                        if best is None or cand < best:
-                            best = cand
+                        if enumerate_matches:
+                            if nmatched not in emitted:
+                                emitted.add(nmatched)
+                                out.append(
+                                    (eid, t, counter, int(nmc), int(nnm), list(nmatched))
+                                )
+                        else:
+                            cand = (nmc, -nnm)
+                            if best is None or cand < best:
+                                best = cand
                         continue  # full match: the run terminates
-                    k = (dst, _val_key(new_val) if writes else vkey, nmc)
+                    k = (dst, _val_key(new_val) if writes else vkey, nmc, nmatched)
                     prev = nxt.get(k)
                     if prev is None or nnm > prev[2]:
                         nxt[k] = (new_val, nmt, nnm)
         configs = nxt
-        if best is not None:
-            out.append(
-                (int(event_ids[i]), t, counter, int(best[0]), int(-best[1]))
-            )
+        if not enumerate_matches and best is not None:
+            out.append((eid, t, counter, int(best[0]), int(-best[1])))
     return out, (configs, counter)
 
 
@@ -159,6 +181,19 @@ class RegisterCEP:
         return df.select(*cols)
 
     def detections(self, df: DataFrame) -> DataFrame:
+        """One row per event completing >=1 full match (earliest start
+        reported) — mirrors the deterministic path's output shape."""
+        return self._run(df, enumerate_matches=False)
+
+    def matches(self, df: DataFrame) -> DataFrame:
+        """Match ENUMERATION (F2, the nondeterministic run path): one
+        row per full match with ``matched_event_ids`` = the TAKE-event
+        id list (Match.scala events list).  Combinatorial under
+        skip-till selection — same inherent cost as the reference's
+        non-det runs; the window bounds it."""
+        return self._run(df, enumerate_matches=True)
+
+    def _run(self, df: DataFrame, enumerate_matches: bool) -> DataFrame:
         sym_df = self.symbolized(df)
         cp = self.compiled
         table = cp.table
@@ -171,6 +206,10 @@ class RegisterCEP:
             f"key {key_type}, detection_event_id long, detection_ts long, "
             "counter long, min_counter long, n_matched int"
         )
+        columns = list(DETECTION_COLUMNS)
+        if enumerate_matches:
+            schema += ", matched_event_ids array<long>"
+            columns = columns + ["matched_event_ids"]
 
         def run_partition(batches):
             open_key = None
@@ -197,11 +236,12 @@ class RegisterCEP:
                         bits[start:end], tss[start:end], ids[start:end],
                         seg_attrs, table, finals, start_states,
                         window, window_type, init,
+                        enumerate_matches=enumerate_matches,
                     )
                     out.extend((k, *r) for r in rows)
                     open_key = k
                     start = end
-                yield pd.DataFrame(out, columns=DETECTION_COLUMNS)
+                yield pd.DataFrame(out, columns=columns)
 
         return (
             sym_df.repartition("key")

@@ -283,14 +283,20 @@ class CompiledRegisterPattern:
         return code.cast("long")
 
 
-def compile_register_pattern(pattern_text: str) -> CompiledRegisterPattern:
+def compile_register_pattern(
+    pattern_text: str, require_registers: bool = True
+) -> CompiledRegisterPattern:
+    """``require_registers=False`` admits plain SRE — the NSRA runtime
+    is then an NSFA and serves as the nondeterministic run path (F2,
+    ERFEngine.processEventAtRunNonDet:295): match *enumeration*, where
+    the deterministic SDFA path reports only detections."""
     pattern = parse_pattern(pattern_text)
     formula = apply_selection(pattern.formula)
     atoms = formula_atoms(formula)
     if not atoms:
         raise ValueError("pattern has no predicates")
-    if not any(a.register is not None for a in atoms) and not any(
-        references_register(a) for a in atoms
+    if require_registers and not any(
+        a.register is not None or references_register(a) for a in atoms
     ):
         raise ValueError(
             "no register variables — use compile_pattern (SDFA path) instead"

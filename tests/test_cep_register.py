@@ -77,38 +77,41 @@ def _vkey(val):
     return tuple(sorted((r, tuple(sorted(e.items()))) for r, e in val.items()))
 
 
-def _match_set(f, events, pos, val):
-    """All (end, valuation) pairs derivable by matching f at pos."""
+def _match_set(f, events, pos, val, matched=()):
+    """All (end, valuation, matched-ids) triples derivable by matching
+    f at pos.  ``matched`` accumulates the ids of TAKE (marked-sentence)
+    events — the reference Match's events list."""
     if isinstance(f, Sent):
         if pos < len(events) and _eval_sent(f.sentence, events[pos], val):
             regs = {a.register for a in f.sentence.atoms() if a.register}
             nv = dict(val)
             for r in regs:
                 nv[r] = events[pos]
-            return {(pos + 1, _vkey(nv)): nv}
+            nm = matched + (events[pos]["_id"],) if f.marked else matched
+            return {(pos + 1, _vkey(nv), nm): nv}
         return {}
     if isinstance(f, Empty):
-        return {(pos, _vkey(val)): val}
+        return {(pos, _vkey(val), matched): val}
     if isinstance(f, Seq):
-        frontier = {(pos, _vkey(val)): val}
+        frontier = {(pos, _vkey(val), matched): val}
         for c in f.children:
             nxt = {}
-            for (p, _), v in frontier.items():
-                nxt.update(_match_set(c, events, p, v))
+            for (p, _, m), v in frontier.items():
+                nxt.update(_match_set(c, events, p, v, m))
             frontier = nxt
         return frontier
     if isinstance(f, Choice):
         out = {}
         for c in f.children:
-            out.update(_match_set(c, events, pos, val))
+            out.update(_match_set(c, events, pos, val, matched))
         return out
     if isinstance(f, Iter):
-        out = {(pos, _vkey(val)): val}
+        out = {(pos, _vkey(val), matched): val}
         frontier = dict(out)
         while frontier:
             nxt = {}
-            for (p, _), v in frontier.items():
-                for k, nv in _match_set(f.child, events, p, v).items():
+            for (p, _, m), v in frontier.items():
+                for k, nv in _match_set(f.child, events, p, v, m).items():
                     if k not in out:
                         out[k] = nv
                         nxt[k] = nv
@@ -126,7 +129,7 @@ def _brute_detections(formula, events, window):
         for j in range(max(0, i - window + 1), i + 1):
             sub = events[j : i + 1]
             ends = _match_set(formula, sub, 0, {})
-            if any(p == len(sub) for (p, _) in ends):
+            if any(p == len(sub) for (p, _, _) in ends):
                 found = j
                 break  # earliest start
         if found is not None:
@@ -134,13 +137,27 @@ def _brute_detections(formula, events, window):
     return hits
 
 
+def _brute_matches(formula, events, window):
+    """Full enumeration: event index -> set of matched-id tuples for
+    every match ending there (length <= window)."""
+    out: dict[int, set] = {}
+    for i in range(len(events)):
+        for j in range(max(0, i - window + 1), i + 1):
+            sub = events[j : i + 1]
+            for (p, _, m) in _match_set(formula, sub, 0, {}):
+                if p == len(sub):
+                    out.setdefault(i, set()).add(m)
+    return out
+
+
 def _gen_events(rng, n):
     return [
         {
+            "_id": i,
             "event_type": rng.choice(["A", "B"]),
             "value": float(rng.randint(0, 3)),
         }
-        for _ in range(n)
+        for i in range(n)
     ]
 
 
@@ -223,6 +240,88 @@ def test_cross_batch_carry_equals_single_pass():
         )
         split.extend(rows)
     assert split == whole
+
+
+ENUM_PATTERNS = PATTERNS + [
+    # register-free skip-till-any: the NSFA match-enumeration path (F2)
+    "#(;(IsEventTypePredicate(A),IsEventTypePredicate(B))){partitionBy:k}{window:4}",
+    # register-free with Kleene
+    ";(IsEventTypePredicate(A),*(IsEventTypePredicate(A)),IsEventTypePredicate(B))"
+    "{partitionBy:k}{window:3}",
+]
+
+
+@pytest.mark.parametrize("pattern_text", ENUM_PATTERNS)
+def test_match_enumeration_matches_brute_force(pattern_text):
+    cp = compile_register_pattern(pattern_text, require_registers=False)
+    formula = apply_selection(parse_pattern(pattern_text).formula)
+    rng = random.Random(23)
+    for trial in range(20):
+        events = _gen_events(rng, rng.randint(5, 30))
+        expected = _brute_matches(formula, events, cp.window)
+        bits = np.array(
+            [
+                sum(
+                    (1 << i)
+                    for i, a in enumerate(cp.static_atoms)
+                    if _eval_sent(a, ev, {})
+                )
+                for ev in events
+            ],
+            dtype=np.int64,
+        )
+        ts = np.arange(len(events), dtype=np.int64)
+        ids = np.arange(len(events), dtype=np.int64)
+        attrs = {a: np.array([ev[a] for ev in events]) for a in cp.register_attrs}
+        rows, _ = _run_nsra_segment(
+            bits, ts, ids, attrs, cp.table, frozenset(cp.nsra.finals),
+            cp.start_states, cp.window, cp.window_type,
+            enumerate_matches=True,
+        )
+        got: dict[int, set] = {}
+        for r in rows:
+            got.setdefault(int(r[0]), set()).add(tuple(r[5]))
+        assert got == expected, f"trial {trial}\n{events}"
+
+
+def test_match_enumeration_spark(spark):
+    import duckdb
+
+    from flink_rtcef_spark.operators.cep_register import RegisterCEP
+    from flink_rtcef_spark.sources.io import load_table
+
+    sf_dir = "/root/testdata/sf0.001"
+    cp = compile_register_pattern(
+        ";(IsEventTypePredicate(view),IsEventTypePredicate(click),"
+        "IsEventTypePredicate(purchase)){partitionBy:user_id}{window:3}",
+        require_registers=False,
+    )
+    ev = load_table(spark, sf_dir, "events")
+    got = RegisterCEP(cp, ts_col="ts", id_col="event_id").matches(ev).collect()
+    # each match lists exactly its three TAKE events, ending at the
+    # detection event
+    for r in got:
+        assert len(r["matched_event_ids"]) == 3
+        assert r["matched_event_ids"][-1] == r["detection_event_id"]
+        assert r["n_matched"] == 3
+    # detection set equals the deterministic SQL formulation
+    want = duckdb.sql(
+        f"""
+        WITH seq AS (
+          SELECT user_id, event_id, event_type,
+                 LEAD(event_type, 1) OVER w AS n1, LEAD(event_type, 2) OVER w AS n2,
+                 LEAD(event_id, 2) OVER w AS final_id
+          FROM '{sf_dir}/events.parquet'
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        )
+        SELECT user_id, final_id FROM seq
+        WHERE event_type='view' AND n1='click' AND n2='purchase'
+        ORDER BY user_id, final_id
+        """
+    ).fetchall()
+    assert sorted((r["key"], r["detection_event_id"]) for r in got) == [
+        (u, e) for u, e in want
+    ]
 
 
 def test_compile_rejects_windowless_and_registerless():
