@@ -129,7 +129,7 @@ def lsh_candidate_pairs(
 
 def jaccard_verify(
     df: DataFrame,
-    pairs: DataFrame,
+    pairs: DataFrame | None,
     text_col: str = "text",
     id_col: str = "doc_id",
     shingle_n: int = 3,
@@ -137,7 +137,10 @@ def jaccard_verify(
 ) -> DataFrame:
     """Exact shingle-Jaccard for candidate pairs via inverted-index
     join: intersection counts from a shingle-equality join restricted to
-    candidates, union sizes from per-doc distinct counts."""
+    candidates, union sizes from per-doc distinct counts.  ``pairs=None``
+    scores EVERY shingle-sharing pair — exact (no LSH recall loss) but
+    the inverted-index join is the full posting-list blowup; at scale
+    pass LSH candidates."""
     toks = df.select(F.col(id_col), _tokens(text_col).alias("tokens"))
     sh = toks.select(id_col, F.explode(shingles(n=shingle_n)).alias("sh")).distinct()
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
@@ -147,8 +150,9 @@ def jaccard_verify(
         .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("n_common"))
-        .join(pairs, ["id_a", "id_b"], "left_semi")
     )
+    if pairs is not None:
+        inter = inter.join(pairs, ["id_a", "id_b"], "left_semi")
     sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
     sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
     scored = (
@@ -311,3 +315,57 @@ def embedding_near_dup_lsh(
         score_bucket, schema="id_a long, id_b long, cosine double"
     )
     return pairs.dropDuplicates(["id_a", "id_b"])
+
+
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iterations: int = 20,
+) -> DataFrame:
+    """Resolve duplicate-pair sets into clusters: (id, component) with
+    component = min id reachable over the pair graph.
+
+    near_dedup's one-round min-id drop is exact only when duplicate
+    groups are cliques; transitive chains (A~B~C without A~C) need the
+    closure.  Iterative min-label propagation: each round joins the
+    edge list with current labels and takes the neighborhood min —
+    pure DataFrame joins/aggregations, shuffling on node id every
+    round.  Rounds needed = graph diameter, which for near-dup
+    clusters (dense, cliquish) is 2-3; ``max_iterations`` guards
+    pathological chains.  Lineage is cut per round with
+    localCheckpoint so plans don't grow exponentially at scale.
+    """
+    edges = (
+        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .union(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("label", F.col("id"))
+    )
+    for _ in range(max_iterations):
+        nbr_min = (
+            edges.join(
+                labels.select(F.col("id").alias("dst"), F.col("label").alias("dst_label")),
+                "dst",
+            )
+            .groupBy(F.col("src").alias("id"))
+            .agg(F.min("dst_label").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(nbr_min, "id", "left")
+            .select(
+                "id",
+                F.least(F.col("label"), F.coalesce("nbr_label", "label")).alias("label"),
+                (F.col("nbr_label") < F.col("label")).alias("changed"),
+            )
+        ).localCheckpoint(eager=True)
+        n_changed = new_labels.filter(F.col("changed")).count()
+        labels = new_labels.select("id", "label")
+        if n_changed == 0:
+            break
+    return labels.select(F.col("id"), F.col("label").alias("component"))

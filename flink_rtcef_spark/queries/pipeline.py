@@ -597,3 +597,60 @@ def cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return scored.orderBy(F.col("cosine").desc(), F.col("vec_id").asc()).limit(10)
+
+
+# --------------------------------------------------------------------------
+# Near-dup cluster resolution: verified Jaccard pairs -> connected
+# components, component = min reachable doc_id.  One-round min-id
+# dropping (near_dedup) is exact only for cliques; chains A~B~C need
+# the closure.  Oracle: recursive CTE over the same pair set.
+_COMPONENTS_SQL = f"""
+    WITH RECURSIVE toks AS (
+      SELECT doc_id, list_filter({_TOKENIZE_SQL}, x -> x <> '') AS tokens FROM documents
+    ),
+    shingles AS (
+      SELECT DISTINCT doc_id,
+             tokens[i] || ' ' || tokens[i+1] || ' ' || tokens[i+2] AS sh
+      FROM toks, UNNEST(range(1, greatest(len(tokens) - 1, 1))) AS t(i)
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM shingles GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+      FROM shingles a JOIN shingles b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    ),
+    pairs AS (
+      SELECT i.doc_a, i.doc_b
+      FROM inter i
+      JOIN sizes sa ON i.doc_a = sa.doc_id
+      JOIN sizes sb ON i.doc_b = sb.doc_id
+      WHERE i.n_common * 1.0 / (sa.n_sh + sb.n_sh - i.n_common) >= 0.8
+    ),
+    edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM pairs
+      UNION SELECT doc_b, doc_a FROM pairs
+    ),
+    reach(id, label) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT e.src, r.label FROM edges e JOIN reach r ON e.dst = r.id
+    )
+    SELECT id AS doc_id, CAST(MIN(label) AS BIGINT) AS component
+    FROM reach GROUP BY id
+"""
+
+
+@query("dedup_components", oracle=_COMPONENTS_SQL)
+def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_rtcef_spark.operators.dedup import (
+        connected_components,
+        jaccard_verify,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    # candidate scope = all shingle-sharing pairs (the oracle's exact
+    # pair set; swap in lsh_candidate_pairs as the recall/cost knob at
+    # scale — the LSH tier has its own oracle-checked query)
+    dupes = jaccard_verify(docs, None, threshold=0.8)
+    cc = connected_components(dupes.select("id_a", "id_b"))
+    return cc.select(F.col("id").alias("doc_id"), "component")

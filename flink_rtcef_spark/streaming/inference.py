@@ -210,6 +210,109 @@ def streaming_forecasts(
     )
 
 
+REGISTER_STATE_SCHEMA = "configs binary, counter long"
+
+
+def make_register_stateful_fn(compiled_register, state_ttl_ms: int = 0):
+    """Streaming twin of RegisterCEP (SREMO/NSRA): the configuration
+    set — (state, valuation, window accounting) per live run — is the
+    cross-batch state, pickled into a binary GroupState column.  The
+    mandatory SREMO window bounds its size (at most `window` concurrent
+    runs per key), so the state stays small regardless of stream length."""
+    import pickle
+
+    from flink_rtcef_spark.operators.cep_register import _run_nsra_segment
+
+    cp = compiled_register
+    table = cp.table
+    finals = frozenset(cp.nsra.finals)
+    start_states = cp.start_states
+    window, window_type = cp.window, cp.window_type
+    attrs = cp.register_attrs
+    columns = [
+        "key",
+        "detection_event_id",
+        "detection_ts",
+        "counter",
+        "min_counter",
+        "n_matched",
+    ]
+
+    def fn(
+        key: tuple, pdf_iter: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state_ttl_ms > 0 and state.hasTimedOut:
+            state.remove()
+            yield pd.DataFrame([], columns=columns)
+            return
+        if state.exists:
+            blob, counter = state.get
+            init = (pickle.loads(bytes(blob)), int(counter))
+        else:
+            init = None
+        out = []
+        for pdf in pdf_iter:
+            pdf = pdf.sort_values(["ts", "event_id"], kind="mergesort")
+            attr_arrays = {a: pdf[a].to_numpy() for a in attrs}
+            rows, init = _run_nsra_segment(
+                pdf["bits"].to_numpy(),
+                pdf["ts"].to_numpy(),
+                pdf["event_id"].to_numpy(),
+                attr_arrays, table, finals, start_states,
+                window, window_type, init,
+            )
+            out.extend((key[0], *r) for r in rows)
+        configs, counter = init if init is not None else ({}, 0)
+        state.update((pickle.dumps(configs), int(counter)))
+        if state_ttl_ms > 0:
+            state.setTimeoutDuration(state_ttl_ms)
+        yield pd.DataFrame(out, columns=columns)
+
+    return fn
+
+
+def streaming_register_detections(
+    stream_df: DataFrame,
+    compiled_register,
+    key_col: str | None = None,
+    ts_col: str = "timestamp",
+    id_col: str = "id",
+    watermark: str = "60 seconds",
+    state_ttl_ms: int = 0,
+) -> DataFrame:
+    """Streaming recognition for register (SREMO) patterns.  Static
+    predicates fold into the JVM-side ``bits`` column exactly as in
+    batch; only register comparisons run in the stateful Python loop."""
+    cp = compiled_register
+    key = key_col or cp.partition_by
+    ts_is_timestamp = dict(stream_df.dtypes).get(ts_col) in ("timestamp", "timestamp_ntz")
+    with_event_time = (
+        stream_df
+        if ts_is_timestamp
+        else stream_df.withColumn("__event_time", F.timestamp_seconds(F.col(ts_col)))
+    )
+    et_col = ts_col if ts_is_timestamp else "__event_time"
+    cols = [
+        F.col(key).cast("string").alias("key"),
+        F.unix_millis(F.col(et_col)).alias("ts"),
+        F.col(id_col).alias("event_id"),
+        cp.bits_column().alias("bits"),
+    ]
+    cols += [F.col(a) for a in cp.register_attrs]
+    sym = with_event_time.withWatermark(et_col, watermark).select(*cols)
+    return sym.groupBy("key").applyInPandasWithState(
+        make_register_stateful_fn(cp, state_ttl_ms),
+        outputStructType=OUTPUT_SCHEMA,
+        stateStructType=REGISTER_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=(
+            GroupStateTimeout.ProcessingTimeTimeout
+            if state_ttl_ms > 0
+            else GroupStateTimeout.NoTimeout
+        ),
+    )
+
+
 def streaming_detections(
     stream_df: DataFrame,
     compiled: CompiledPattern,

@@ -335,6 +335,67 @@ def test_compile_rejects_windowless_and_registerless():
         )
 
 
+def test_streaming_register_equals_batch(spark, tmp_path):
+    """Chunked file-stream replay of a register pattern: the pickled
+    configuration-set state must survive microbatch boundaries and
+    reproduce the batch operator exactly."""
+    import pandas as pd
+
+    from flink_rtcef_spark.operators.cep_register import RegisterCEP
+    from flink_rtcef_spark.streaming.inference import streaming_register_detections
+
+    rng = random.Random(5)
+    rows = []
+    for k in ("a", "b", "c"):
+        for i, ev in enumerate(_gen_events(rng, 120)):
+            rows.append(
+                {
+                    "k": k,
+                    "timestamp": i,
+                    "id": len(rows),
+                    "event_type": ev["event_type"],
+                    "value": ev["value"],
+                }
+            )
+    pdf = pd.DataFrame(rows)
+    cp = compile_register_pattern(PATTERNS[1])  # skip-till-any + GTAttr
+
+    src = tmp_path / "src"
+    src.mkdir()
+    chunks = np.array_split(pdf.sort_values("timestamp"), 5)
+    for c, chunk in enumerate(chunks):
+        spark.createDataFrame(chunk).coalesce(1).write.mode("overwrite").parquet(
+            str(src / f"c{c}")
+        )
+    schema = "k string, timestamp long, id long, event_type string, value double"
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "c*"))
+    )
+    out = streaming_register_detections(stream, cp, ts_col="timestamp", id_col="id")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("stream_reg_dets")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("select * from stream_reg_dets").toPandas()
+
+    batch = RegisterCEP(cp, ts_col="timestamp", id_col="id").detections(
+        spark.createDataFrame(pdf)
+    ).toPandas()
+
+    gs = got.sort_values(["key", "detection_event_id"]).reset_index(drop=True)
+    es = batch.sort_values(["key", "detection_event_id"]).reset_index(drop=True)
+    assert len(gs) == len(es) and len(gs) > 0
+    assert list(gs["key"]) == list(es["key"].astype(str))
+    assert list(gs["detection_event_id"]) == list(es["detection_event_id"])
+    assert list(gs["min_counter"]) == list(es["min_counter"])
+
+
 def test_register_cep_spark_vs_duckdb(spark):
     import duckdb
 

@@ -171,3 +171,19 @@ def test_fake_decode_shapes():
     assert f.shape == (16,)
     assert f[0] == 11  # n_bytes
     assert fake_decode(b"", "audio").shape == (16,)
+
+
+def test_connected_components_resolves_chains(spark):
+    """A~B~C without A~C: one-round min-id dropping is insufficient;
+    the closure must land all three in component A (and the separate
+    pair D~E in component D)."""
+    from flink_rtcef_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(2, 3), (1, 2), (5, 4), (7, 8), (6, 7), (8, 9)],
+        "id_a long, id_b long",
+    )
+    got = {
+        r["id"]: r["component"] for r in connected_components(pairs).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 4, 5: 4, 6: 6, 7: 6, 8: 6, 9: 6}

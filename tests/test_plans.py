@@ -82,3 +82,18 @@ def test_semi_join_for_lsh_verify(spark):
         df._jdf.queryExecution(), "formatted"
     )
     assert "LeftSemi" in plan
+
+
+def test_register_cep_single_shuffle_and_jvm_bits(spark):
+    """The NSRA path keeps the same physical shape as the SDFA path:
+    one hash exchange on the key, partition-sorted MapInPandas, the
+    static-predicate bit vector computed as a JVM Project expression,
+    and a scan pruned to key/ts/id/static-atoms/register-attrs."""
+    plan = plan_of(spark, "cep_register_gtattr")
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1
+    assert "hashpartitioning(key" in plan
+    assert "CASE WHEN" in plan
+    assert "MapInPandas" in plan
+    assert re.search(r"\(\d+\) Sort", plan)
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m and len(m.group(1).split(",")) <= 5
