@@ -1,0 +1,75 @@
+"""Deterministic sampling operators for training-data pipelines.
+
+Large-scale dataset curation needs *reproducible* sampling — the same
+(row, seed) must land on the same side on every run, cluster size, and
+partitioning, so pipelines can be re-run, audited, and incrementally
+extended.  Spark's ``df.sample`` is partition-order-dependent; these
+operators key the decision on a portable content hash instead
+(functions/scalar.portable_hash64, md5-derived — identical in DuckDB,
+so every sampler is oracle-checkable).
+
+All three are embarrassingly parallel: the bernoulli/stratified
+samplers are pure map-side filters (no shuffle at all — the predicate
+pushes into the scan's Project); per-group top-k shuffles once on the
+group key, the same exchange any per-group operator pays.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window as W
+from pyspark.sql import functions as F
+
+from flink_rtcef_spark.functions.scalar import portable_hash64
+
+_HASH_SPACE = float(1 << 60)  # portable_hash64 is uniform on [0, 2^60)
+
+
+def hash_fraction(key: Column, seed: int = 0) -> Column:
+    """Uniform [0,1) fraction from a key column + seed — the sampling
+    coin.  Deterministic across runs/partitionings."""
+    return portable_hash64(F.concat(key.cast("string"), F.lit(f"#{seed}"))) / F.lit(
+        _HASH_SPACE
+    )
+
+
+def bernoulli_sample(
+    df: DataFrame, rate: float, key_col: str, seed: int = 0
+) -> DataFrame:
+    """Keep each row iff hash(key, seed) < rate.  Map-side only."""
+    return df.filter(hash_fraction(F.col(key_col), seed) < F.lit(float(rate)))
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    rates: dict[str, float],
+    key_col: str,
+    seed: int = 0,
+    default_rate: float = 0.0,
+) -> DataFrame:
+    """Per-stratum bernoulli rates (data mixing / rebalancing: e.g.
+    downsample web crawl, keep all books).  The rate table is a literal
+    CASE chain — no join, still map-side only."""
+    rate_col: Column = F.lit(float(default_rate))
+    for value, rate in rates.items():
+        rate_col = F.when(
+            F.col(strata_col) == str(value), F.lit(float(rate))
+        ).otherwise(rate_col)
+    return df.filter(hash_fraction(F.col(key_col), seed) < rate_col)
+
+
+def top_k_per_group(
+    df: DataFrame, group_col: str, k: int, key_col: str, seed: int = 0
+) -> DataFrame:
+    """Deterministic k-per-group subsample ("reservoir" with a hash
+    order): rank rows within each group by their sampling coin and keep
+    the k smallest.  One shuffle on the group key; ties broken by the
+    key column so the result is total-order stable."""
+    coin = hash_fraction(F.col(key_col), seed).alias("__coin")
+    w = W.partitionBy(group_col).orderBy(F.col("__coin"), F.col(key_col))
+    return (
+        df.withColumn("__coin", coin)
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__coin", "__rn")
+    )

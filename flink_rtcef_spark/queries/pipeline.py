@@ -654,3 +654,65 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     dupes = jaccard_verify(docs, None, threshold=0.8)
     cc = connected_components(dupes.select("id_a", "id_b"))
     return cc.select(F.col("id").alias("doc_id"), "component")
+
+
+# --------------------------------------------------------------------------
+# Deterministic sampling (operators/sampling.py): the coin is a portable
+# md5-derived hash of (key, seed), so the SAME rows are kept on every
+# run, partitioning, and engine — oracle-checkable by construction.
+_COIN_SQL = (
+    "CAST(('0x' || substr(md5(CAST({key} AS VARCHAR) || '#0'), 1, 15)) AS BIGINT)"
+    " / 1152921504606846976.0"
+)
+
+_BERNOULLI_SQL = f"""
+    SELECT doc_id, lang FROM documents
+    WHERE {_COIN_SQL.format(key='doc_id')} < 0.25
+"""
+
+
+@query("sample_bernoulli", oracle=_BERNOULLI_SQL)
+def sample_bernoulli(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_rtcef_spark.operators.sampling import bernoulli_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    return bernoulli_sample(docs, 0.25, "doc_id").select("doc_id", "lang")
+
+
+_STRATIFIED_SQL = f"""
+    SELECT event_id, event_type FROM events
+    WHERE {_COIN_SQL.format(key='event_id')} <
+          CASE event_type WHEN 'error' THEN 1.0 WHEN 'click' THEN 0.5
+                          WHEN 'view' THEN 0.1 ELSE 0.0 END
+"""
+
+
+@query("sample_stratified", oracle=_STRATIFIED_SQL)
+def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_rtcef_spark.operators.sampling import stratified_sample
+
+    ev = load_table(spark, sf_dir, "events")
+    return stratified_sample(
+        ev, "event_type", {"error": 1.0, "click": 0.5, "view": 0.1}, "event_id"
+    ).select("event_id", "event_type")
+
+
+_TOPK_GROUP_SQL = f"""
+    WITH coined AS (
+      SELECT doc_id, lang, {_COIN_SQL.format(key='doc_id')} AS coin FROM documents
+    ),
+    ranked AS (
+      SELECT doc_id, lang,
+             ROW_NUMBER() OVER (PARTITION BY lang ORDER BY coin, doc_id) AS rn
+      FROM coined
+    )
+    SELECT doc_id, lang FROM ranked WHERE rn <= 5
+"""
+
+
+@query("sample_topk_group", oracle=_TOPK_GROUP_SQL)
+def sample_topk_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_rtcef_spark.operators.sampling import top_k_per_group
+
+    docs = load_table(spark, sf_dir, "documents")
+    return top_k_per_group(docs, "lang", 5, "doc_id").select("doc_id", "lang")

@@ -187,3 +187,38 @@ def test_connected_components_resolves_chains(spark):
         r["id"]: r["component"] for r in connected_components(pairs).collect()
     }
     assert got == {1: 1, 2: 1, 3: 1, 4: 4, 5: 4, 6: 6, 7: 6, 8: 6, 9: 6}
+
+
+def test_sampling_is_partitioning_invariant(spark):
+    """The sampler must pick the SAME rows regardless of partitioning —
+    the reproducibility property df.sample lacks."""
+    from flink_rtcef_spark.operators.sampling import bernoulli_sample, top_k_per_group
+    from flink_rtcef_spark.sources.io import load_table
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    a = sorted(r["doc_id"] for r in bernoulli_sample(docs, 0.3, "doc_id").collect())
+    b = sorted(
+        r["doc_id"]
+        for r in bernoulli_sample(docs.repartition(17), 0.3, "doc_id").collect()
+    )
+    assert a == b and 0 < len(a) < docs.count()
+    ta = sorted(r["doc_id"] for r in top_k_per_group(docs, "lang", 3, "doc_id").collect())
+    tb = sorted(
+        r["doc_id"]
+        for r in top_k_per_group(docs.repartition(5), "lang", 3, "doc_id").collect()
+    )
+    assert ta == tb
+
+
+def test_bernoulli_sampler_is_map_side_only(spark):
+    """No exchange in the plan: the coin filter runs inside the scan
+    stage (pure map-side, shuffle-free at any scale)."""
+    from flink_rtcef_spark.operators.sampling import bernoulli_sample
+    from flink_rtcef_spark.sources.io import load_table
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    df = bernoulli_sample(docs, 0.25, "doc_id").select("doc_id")
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    assert "Exchange" not in plan
