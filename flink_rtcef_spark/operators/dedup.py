@@ -134,17 +134,36 @@ def jaccard_verify(
     id_col: str = "doc_id",
     shingle_n: int = 3,
     threshold: float = 0.8,
+    max_df: int | None = None,
 ) -> DataFrame:
     """Exact shingle-Jaccard for candidate pairs via inverted-index
     join: intersection counts from a shingle-equality join restricted to
     candidates, union sizes from per-doc distinct counts.  ``pairs=None``
     scores EVERY shingle-sharing pair — exact (no LSH recall loss) but
     the inverted-index join is the full posting-list blowup; at scale
-    pass LSH candidates."""
+    pass LSH candidates.
+
+    ``max_df`` drops shingles appearing in more than that many docs
+    before the pair join — the posting-list skew guard.  A boilerplate
+    shingle shared by 1M docs would alone generate ~5·10^11 pairs; its
+    information content for near-dup detection is nil.  The n_common
+    count then undercounts by at most the dropped shingles, so scores
+    are a lower bound (denominator sizes stay exact) — recall on true
+    near-dups is preserved when threshold < 1 and duplicated content
+    dominates the shingle set, the standard large-corpus trade."""
     toks = df.select(F.col(id_col), _tokens(text_col).alias("tokens"))
     sh = toks.select(id_col, F.explode(shingles(n=shingle_n)).alias("sh")).distinct()
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
-    a, b = sh.alias("a"), sh.alias("b")
+    join_sh = sh
+    if max_df is not None:
+        rare = (
+            sh.groupBy("sh")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") <= max_df)
+            .select("sh")
+        )
+        join_sh = sh.join(rare, "sh", "left_semi")
+    a, b = join_sh.alias("a"), join_sh.alias("b")
     inter = (
         a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
         .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))

@@ -102,3 +102,67 @@ def rolling_fingerprint(
             "fingerprint"
         )
     )
+
+
+def pack_sequences(
+    df: DataFrame,
+    budget: int,
+    id_col: str = "doc_id",
+    tokens_col: str = "n_tokens",
+    n_buckets: int = 64,
+) -> DataFrame:
+    """Sequence packing: assign documents to fixed-token-budget packs
+    (training-batch construction — maximize tokens per pack, never
+    exceed ``budget``).
+
+    Distributed shape: documents hash into ``n_buckets`` independent
+    packing groups (deterministic on the id, so results are stable
+    across runs/partitionings); each group runs first-fit-decreasing
+    in one applyInPandas call.  One shuffle on the bucket key; bin
+    state never leaves the group.  FFD within a bounded group is the
+    standard quality/scale trade-off: global optimal packing would
+    serialize, per-group FFD wastes <~1/2 bin per group worst-case
+    and parallelizes embarrassingly.  Documents longer than the
+    budget get a singleton (oversized) pack rather than truncation —
+    chunking is the upstream tokenizer's decision.
+
+    Output: (id, pack_id, pack_tokens) — pack_id = "bucket/idx".
+    """
+    import pandas as pd
+
+    from flink_rtcef_spark.functions.scalar import portable_hash64
+
+    bucketed = df.select(
+        F.col(id_col).alias("id"),
+        F.col(tokens_col).cast("long").alias("n_tokens"),
+        (portable_hash64(F.col(id_col).cast("string")) % n_buckets).alias("bucket"),
+    )
+
+    def pack_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["n_tokens", "id"], ascending=[False, True])
+        bucket = int(pdf["bucket"].iloc[0])
+        bins: list[int] = []  # remaining capacity per bin
+        assign: list[int] = []
+        for t in pdf["n_tokens"]:
+            t = int(t)
+            placed = -1
+            for j, rem in enumerate(bins):
+                if t <= rem:
+                    placed = j
+                    bins[j] = rem - t
+                    break
+            if placed == -1:
+                bins.append(max(budget - t, 0))
+                placed = len(bins) - 1
+            assign.append(placed)
+        out = pdf[["id", "n_tokens"]].copy()
+        out["pack_id"] = [f"{bucket}/{a}" for a in assign]
+        return out
+
+    packed = bucketed.groupBy("bucket").applyInPandas(
+        pack_group, schema="id long, n_tokens long, pack_id string"
+    )
+    totals = packed.groupBy("pack_id").agg(F.sum("n_tokens").alias("pack_tokens"))
+    return packed.join(totals, "pack_id").select(
+        "id", "n_tokens", "pack_id", "pack_tokens"
+    )

@@ -716,3 +716,86 @@ def sample_topk_group(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return top_k_per_group(docs, "lang", 5, "doc_id").select("doc_id", "lang")
+
+
+# --------------------------------------------------------------------------
+# Sequence packing (training-batch construction).  Greedy first-fit-
+# decreasing is not SQL-expressible (running-remainder recursion), so
+# this query has NO oracle — the driver records rows-only; invariants
+# (exactly-once, budget, determinism) are pytest-verified in
+# tests/test_pipeline_ops.py.
+@query("pack_sequences_2k")
+def pack_sequences_2k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_rtcef_spark.operators.text import pack_sequences, token_counts
+
+    docs = load_table(spark, sf_dir, "documents")
+    counted = token_counts(docs).withColumnRenamed("n_bpe_tokens", "n_tokens")
+    return pack_sequences(counted, budget=2048)
+
+
+# --------------------------------------------------------------------------
+# End-to-end corpus curation: the composed pipeline a pre-training data
+# team actually runs — quality gate -> langid routing -> exact dedup
+# (keep canonical copy) -> stratified downsample by predicted language.
+# Every stage is a Catalyst-visible relational op, so the WHOLE chain
+# has a SQL oracle: one scan, two hash aggregations, one map-side
+# sample filter.
+_CURATION_SQL = f"""
+    WITH flat AS (
+      SELECT doc_id, lang, n_chars, text, t.tok
+      FROM (SELECT *, {_TOKENIZE_SQL} AS tokens FROM documents),
+           UNNEST(tokens) AS t(tok)
+      WHERE t.tok <> ''
+    ),
+    scored AS (
+      SELECT doc_id, ANY_VALUE(lang) AS lang, ANY_VALUE(n_chars) AS n_chars,
+             ANY_VALUE(text) AS text, COUNT(*) AS n_tokens,
+             SUM(CASE WHEN tok IN ('the','a','of','and','to','in','is') THEN 1 ELSE 0 END) * 1.0
+               / COUNT(*) AS en_score
+      FROM flat GROUP BY doc_id
+    ),
+    quality AS (
+      SELECT *, CASE WHEN en_score > 0.05 THEN 'en' ELSE 'other' END AS pred_lang
+      FROM scored
+      WHERE n_chars >= 100 AND n_tokens >= 20
+    ),
+    deduped AS (
+      SELECT MIN(doc_id) AS doc_id FROM quality GROUP BY md5(lower(trim(text)))
+    )
+    SELECT q.doc_id, q.pred_lang, q.n_tokens
+    FROM quality q JOIN deduped d ON q.doc_id = d.doc_id
+    WHERE CAST(('0x' || substr(md5(CAST(q.doc_id AS VARCHAR) || '#0'), 1, 15)) AS BIGINT)
+            / 1152921504606846976.0
+          < CASE q.pred_lang WHEN 'en' THEN 0.9 ELSE 0.3 END
+"""
+
+
+@query("corpus_curation", oracle=_CURATION_SQL)
+def corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_rtcef_spark.operators.sampling import stratified_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    flat = (
+        docs.select("doc_id", "lang", "n_chars", "text", F.explode(_tokens_spark()).alias("tok"))
+        .filter(F.col("tok") != "")
+    )
+    stop = F.col("tok").isin("the", "a", "of", "and", "to", "in", "is")
+    scored = flat.groupBy("doc_id").agg(
+        F.any_value("lang").alias("lang"),
+        F.any_value("n_chars").alias("n_chars"),
+        F.any_value("text").alias("text"),
+        F.count(F.lit(1)).alias("n_tokens"),
+        (F.sum(stop.cast("int")) / F.count(F.lit(1))).alias("en_score"),
+    )
+    quality = scored.filter(
+        (F.col("n_chars") >= 100) & (F.col("n_tokens") >= 20)
+    ).withColumn(
+        "pred_lang", F.when(F.col("en_score") > 0.05, "en").otherwise("other")
+    )
+    canon = quality.groupBy(
+        F.md5(F.lower(F.trim(F.col("text")))).alias("norm")
+    ).agg(F.min("doc_id").alias("doc_id"))
+    deduped = quality.join(canon.select("doc_id"), "doc_id", "left_semi")
+    return stratified_sample(
+        deduped, "pred_lang", {"en": 0.9, "other": 0.3}, "doc_id"
+    ).select("doc_id", "pred_lang", "n_tokens")

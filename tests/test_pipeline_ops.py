@@ -222,3 +222,56 @@ def test_bernoulli_sampler_is_map_side_only(spark):
         df._jdf.queryExecution(), "formatted"
     )
     assert "Exchange" not in plan
+
+
+def test_pack_sequences_invariants(spark):
+    """Exactly-once assignment, budget respected (oversized docs get
+    singleton packs), deterministic under repartitioning, and FFD
+    utilization is sane."""
+    from flink_rtcef_spark.operators.text import pack_sequences, token_counts
+    from flink_rtcef_spark.sources.io import load_table
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    counted = token_counts(docs).withColumnRenamed("n_bpe_tokens", "n_tokens")
+    budget = 512
+    packed = pack_sequences(counted, budget=budget, n_buckets=8).toPandas()
+
+    # every doc exactly once
+    assert sorted(packed["id"]) == sorted(
+        r["doc_id"] for r in counted.select("doc_id").collect()
+    )
+    # per-pack budget: multi-doc packs never exceed; oversized docs sit alone
+    per_pack = packed.groupby("pack_id").agg(
+        n=("id", "size"), tokens=("n_tokens", "sum")
+    )
+    over = per_pack[per_pack["tokens"] > budget]
+    assert (over["n"] == 1).all()
+    # utilization: packs (excluding oversized singletons) average >60% full
+    ok = per_pack[per_pack["tokens"] <= budget]
+    assert ok["tokens"].mean() > 0.6 * budget
+    # determinism across partitionings
+    again = pack_sequences(
+        counted.repartition(13), budget=budget, n_buckets=8
+    ).toPandas()
+    a = packed.sort_values("id").reset_index(drop=True)
+    b = again.sort_values("id").reset_index(drop=True)
+    assert list(a["pack_id"]) == list(b["pack_id"])
+
+
+def test_jaccard_max_df_drops_boilerplate_not_dups(spark):
+    """A boilerplate shingle shared by all docs must not create pairs
+    once capped; true near-dup pairs survive because their scores are
+    dominated by their duplicated content."""
+    from flink_rtcef_spark.operators.dedup import jaccard_verify
+
+    boiler = "terms of service apply here"
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [(1, f"{base} {boiler}"), (2, f"{base} {boiler}")]  # near-dups
+    rows += [(i, f"doc {i} unique words nothing alike number {i} {boiler}") for i in range(3, 9)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    capped = jaccard_verify(docs, None, threshold=0.5, max_df=4).collect()
+    got = {(r["id_a"], r["id_b"]) for r in capped}
+    assert (1, 2) in got
+    # boilerplate-only pairs are gone
+    assert all(p == (1, 2) for p in got)
