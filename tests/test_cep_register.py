@@ -427,3 +427,64 @@ def test_register_cep_spark_vs_duckdb(spark):
         """
     ).fetchall()
     assert got == [(u, e) for u, e in want]
+
+
+def test_streaming_register_checkpoint_restart(spark, tmp_path):
+    """Kill the query after half the input, restart from the
+    checkpoint: the pickled configuration-set state must recover and
+    the union of both runs' outputs must equal the batch result (A20
+    for the register path; parquet sink — memory sinks can't restart)."""
+    import pandas as pd
+
+    from flink_rtcef_spark.operators.cep_register import RegisterCEP
+    from flink_rtcef_spark.streaming.inference import streaming_register_detections
+
+    rng = random.Random(29)
+    rows = []
+    for k in ("a", "b"):
+        for i, ev in enumerate(_gen_events(rng, 80)):
+            rows.append(
+                {"k": k, "timestamp": i, "id": len(rows),
+                 "event_type": ev["event_type"], "value": ev["value"]}
+            )
+    pdf = pd.DataFrame(rows)
+    cp = compile_register_pattern(PATTERNS[0])  # adjacent pair + EQAttr
+    src = tmp_path / "src"
+    src.mkdir()
+    chunks = np.array_split(pdf.sort_values("timestamp"), 4)
+    schema = "k string, timestamp long, id long, event_type string, value double"
+    ckpt, sink = str(tmp_path / "ckpt"), str(tmp_path / "sink")
+
+    def run_once():
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src / "c*"))
+        )
+        out = streaming_register_detections(stream, cp, ts_col="timestamp", id_col="id")
+        q = (
+            out.writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    for c, chunk in enumerate(chunks[:2]):
+        spark.createDataFrame(chunk).coalesce(1).write.mode("overwrite").parquet(str(src / f"c{c}"))
+    run_once()
+    for c, chunk in enumerate(chunks[2:], start=2):
+        spark.createDataFrame(chunk).coalesce(1).write.mode("overwrite").parquet(str(src / f"c{c}"))
+    run_once()
+
+    got = spark.read.parquet(sink).toPandas()
+    batch = RegisterCEP(cp, ts_col="timestamp", id_col="id").detections(
+        spark.createDataFrame(pdf)
+    ).toPandas()
+    gs = got.sort_values(["key", "detection_event_id"]).reset_index(drop=True)
+    es = batch.sort_values(["key", "detection_event_id"]).reset_index(drop=True)
+    assert len(gs) == len(es) and len(gs) > 0
+    assert list(gs["detection_event_id"]) == list(es["detection_event_id"])
+    assert list(gs["counter"]) == list(es["counter"])
