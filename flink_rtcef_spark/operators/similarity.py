@@ -252,3 +252,104 @@ class IVFIndex:
             .orderBy(F.col("cosine").desc(), F.col(id_col).asc())
             .limit(k)
         )
+
+
+class ProductQuantizer:
+    """Product quantization (Jégou et al., PAMI 2011 — public method):
+    split each d-dim vector into m subvectors, k-means each subspace to
+    k centroids, store each vector as m uint8 codes.  At 100 TB this is
+    the memory-bound similarity path: a 768-float embedding (3 KB)
+    compresses to m bytes (~256x), so the code table for a corpus that
+    cannot hold raw vectors fits scan-resident; queries score via a
+    per-subspace lookup table (ADC) — one numpy gather+sum per batch,
+    no decompression.
+
+    Train: driver-side deterministic k-means on a sample.  Encode: one
+    vectorized pandas UDF (argmin per subspace).  Search: broadcast the
+    m x k LUT of partial inner products, mapInPandas gather-sum,
+    TakeOrdered top-k.
+    """
+
+    def __init__(self, m: int = 8, k: int = 16, n_iter: int = 12, seed: int = 17):
+        self.m = m
+        self.k = k
+        self.n_iter = n_iter
+        self.seed = seed
+        self.codebooks: np.ndarray | None = None  # [m, k, d/m]
+
+    def fit(self, df: DataFrame, vec_col: str = "embedding", sample: int = 10000) -> "ProductQuantizer":
+        vecs = np.array(
+            [np.asarray(r[0], dtype=float) for r in df.select(vec_col).limit(sample).collect()]
+        )
+        vecs = vecs / np.maximum(np.linalg.norm(vecs, axis=1, keepdims=True), 1e-300)
+        d = vecs.shape[1]
+        if d % self.m:
+            raise ValueError(f"dim {d} not divisible by m={self.m}")
+        sub = d // self.m
+        rng = np.random.RandomState(self.seed)
+        books = np.empty((self.m, self.k, sub))
+        for j in range(self.m):
+            x = vecs[:, j * sub : (j + 1) * sub]
+            c = x[rng.choice(len(x), size=min(self.k, len(x)), replace=False)]
+            for _ in range(self.n_iter):
+                d2 = ((x[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+                a = np.argmin(d2, axis=1)
+                for ci in range(len(c)):
+                    members = x[a == ci]
+                    if len(members):
+                        c[ci] = members.mean(axis=0)
+            books[j, : len(c)] = c
+        self.codebooks = books
+        return self
+
+    def encode(self, df: DataFrame, vec_col: str = "embedding") -> DataFrame:
+        """vector -> array<int> of m codebook indices (vectorized
+        argmin per subspace; normalize first so ADC approximates
+        cosine)."""
+        books = self.codebooks
+        m, k, sub = books.shape
+
+        @F.pandas_udf(T.ArrayType(T.IntegerType()))
+        def _codes(vecs: pd.Series) -> pd.Series:
+            mat = np.array([np.asarray(v, dtype=np.float64) for v in vecs])
+            if len(mat) == 0:
+                return pd.Series([], dtype=object)
+            mat = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-300)
+            out = np.empty((len(mat), m), dtype=np.int32)
+            for j in range(m):
+                x = mat[:, j * sub : (j + 1) * sub]
+                d2 = ((x[:, None, :] - books[j][None, :, :]) ** 2).sum(axis=2)
+                out[:, j] = np.argmin(d2, axis=1)
+            return pd.Series(list(out))
+
+        return df.withColumn("pq_codes", _codes(F.col(vec_col)))
+
+    def ann_topk(
+        self,
+        encoded: DataFrame,
+        query_vec: list[float],
+        kk: int = 10,
+        id_col: str = "vec_id",
+    ) -> DataFrame:
+        """Asymmetric distance computation: LUT[j, c] = <q_j, book[j,c]>;
+        score = sum_j LUT[j, codes[j]] ~ cosine(q, v)."""
+        q = np.asarray(query_vec, dtype=float)
+        q = q / np.linalg.norm(q)
+        books = self.codebooks
+        m, k, sub = books.shape
+        lut = np.empty((m, k))
+        for j in range(m):
+            lut[j] = books[j] @ q[j * sub : (j + 1) * sub]
+
+        def score(batches):
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                codes = np.array(list(pdf["pq_codes"]), dtype=np.int64)
+                s = lut[np.arange(m)[None, :], codes].sum(axis=1)
+                yield pd.DataFrame({id_col: pdf[id_col], "score": np.round(s, 6)})
+
+        scored = encoded.select(id_col, "pq_codes").mapInPandas(
+            score, schema=f"{id_col} long, score double"
+        )
+        return scored.orderBy(F.col("score").desc(), F.col(id_col).asc()).limit(kk)

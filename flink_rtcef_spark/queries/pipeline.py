@@ -799,3 +799,58 @@ def corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stratified_sample(
         deduped, "pred_lang", {"en": 0.9, "other": 0.3}, "doc_id"
     ).select("doc_id", "pred_lang", "n_tokens")
+
+
+# --------------------------------------------------------------------------
+# Semantic duplicate clusters: the embedding near-dup pair graph
+# resolved to components (min reachable vec_id).  Same CC operator and
+# recursive-CTE oracle shape as dedup_components, over the cosine pair
+# set instead of the shingle one.
+_EMB_COMPONENTS_SQL = """
+    WITH RECURSIVE pairs AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+      WHERE list_sum(list_transform(list_zip(a.embedding, b.embedding),
+                     p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+            / (SQRT(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+               * SQRT(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))
+            >= 0.4
+    ),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION SELECT id_b, id_a FROM pairs
+    ),
+    reach(id, label) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT e.src, r.label FROM edges e JOIN reach r ON e.dst = r.id
+    )
+    SELECT id AS vec_id, CAST(MIN(label) AS BIGINT) AS component
+    FROM reach GROUP BY id
+"""
+
+
+@query("embedding_dup_clusters", oracle=_EMB_COMPONENTS_SQL)
+def embedding_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_rtcef_spark.operators.dedup import (
+        connected_components,
+        embedding_near_dup,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    pairs = embedding_near_dup(emb, threshold=0.4)
+    cc = connected_components(pairs.select("id_a", "id_b"))
+    return cc.select(F.col("id").alias("vec_id"), "component")
+
+
+# --------------------------------------------------------------------------
+# PQ-compressed ANN (rows-only: k-means codebooks are not SQL-
+# expressible; recall-vs-bruteforce is pytest-verified).
+@query("ann_pq_topk")
+def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_rtcef_spark.operators.similarity import ProductQuantizer
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qvec = [float(x) for x in emb.select("embedding").first()[0]]
+    pq = ProductQuantizer(m=8, k=16, n_iter=6).fit(emb)
+    return pq.ann_topk(pq.encode(emb), qvec, kk=10)

@@ -275,3 +275,20 @@ def test_jaccard_max_df_drops_boilerplate_not_dups(spark):
     assert (1, 2) in got
     # boilerplate-only pairs are gone
     assert all(p == (1, 2) for p in got)
+
+
+def test_ann_pq_recall_and_compression(spark, planted_embeddings):
+    """ADC over m uint8 codes must still rank the planted neighbors
+    top; codes are m ints per vector (the ~d*4/m compression that makes
+    scan-resident ANN possible at 100 TB)."""
+    from flink_rtcef_spark.operators.similarity import ProductQuantizer
+
+    df, qvec = planted_embeddings
+    exact = set(cosine_topk(df, qvec, k=10).toPandas().vec_id)
+    pq = ProductQuantizer(m=8, k=16, n_iter=8).fit(df)
+    encoded = pq.encode(df).cache()
+    row = encoded.select("pq_codes").first()
+    assert len(row[0]) == 8 and all(0 <= c < 16 for c in row[0])
+    approx = set(pq.ann_topk(encoded, qvec, kk=10).toPandas().vec_id)
+    assert len(exact & approx) / 10 >= 0.8
+    encoded.unpersist()
