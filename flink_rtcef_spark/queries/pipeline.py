@@ -14,7 +14,7 @@ deterministic 60-bit non-negative value both engines agree on.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from flink_rtcef_spark.functions.scalar import portable_hash64
@@ -792,10 +792,14 @@ def corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumn(
         "pred_lang", F.when(F.col("en_score") > 0.05, "en").otherwise("other")
     )
-    canon = quality.groupBy(
-        F.md5(F.lower(F.trim(F.col("text")))).alias("norm")
-    ).agg(F.min("doc_id").alias("doc_id"))
-    deduped = quality.join(canon.select("doc_id"), "doc_id", "left_semi")
+    # canonical-copy selection as a window-min over the content hash:
+    # one shuffle on the hash, single pass — no second scan of the
+    # quality subtree + join (the groupBy+semi-join formulation computes
+    # that subtree twice; at 100 TB the extra scan dominates)
+    wnorm = W.partitionBy(F.md5(F.lower(F.trim(F.col("text")))))
+    deduped = quality.withColumn(
+        "canon_id", F.min("doc_id").over(wnorm)
+    ).filter(F.col("doc_id") == F.col("canon_id"))
     return stratified_sample(
         deduped, "pred_lang", {"en": 0.9, "other": 0.3}, "doc_id"
     ).select("doc_id", "pred_lang", "n_tokens")

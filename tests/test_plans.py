@@ -97,3 +97,13 @@ def test_register_cep_single_shuffle_and_jvm_bits(spark):
     assert re.search(r"\(\d+\) Sort", plan)
     m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
     assert m and len(m.group(1).split(",")) <= 5
+
+
+def test_curation_is_single_pass(spark):
+    """The composed curation chain must stay one scan + two exchanges
+    (doc aggregation, content-hash window); the groupBy+semi-join
+    formulation of canonical-copy selection would scan the quality
+    subtree twice."""
+    plan = plan_of(spark, "corpus_curation")
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 2
