@@ -117,3 +117,50 @@ def test_interval_builders_invariants(wt, threshold):
     else:
         assert abs(fc.prob - wt.slice_prob(1, k)) < 1e-9
         assert fc.positive == (fc.prob >= threshold)
+
+
+# ---------------------------------------------------------------- NSRA fuzz
+@settings(max_examples=60, deadline=None)
+@given(
+    events=st.lists(
+        st.tuples(st.sampled_from("AB"), st.integers(0, 2)), min_size=1, max_size=25
+    ),
+    window=st.integers(2, 5),
+)
+def test_nsra_register_runtime_vs_derivational(events, window):
+    """The configuration-set runtime must agree with the independent
+    derivational matcher on generated event sequences and windows
+    (pattern: stored A followed within the window by a B with a larger
+    value, under skip-till-any)."""
+    import numpy as np
+
+    from flink_rtcef_spark.operators.cep_register import _run_nsra_segment
+    from flink_rtcef_spark.plans.nsra import compile_register_pattern
+    from flink_rtcef_spark.plans.sre_parser import parse_pattern
+    from tests.test_cep_register import _brute_detections, _eval_sent
+
+    pattern = (
+        '#(;(IsEventTypePredicate(A)["x"],^(IsEventTypePredicate(B),'
+        f'GTAttr(value,"x")))){{partitionBy:k}}{{window:{window}}}'
+    )
+    cp = compile_register_pattern(pattern)
+    formula = apply_selection(parse_pattern(pattern).formula)
+    evs = [
+        {"_id": i, "event_type": t, "value": float(v)}
+        for i, (t, v) in enumerate(events)
+    ]
+    expected = _brute_detections(formula, evs, window)
+    bits = np.array(
+        [
+            sum((1 << i) for i, a in enumerate(cp.static_atoms) if _eval_sent(a, e, {}))
+            for e in evs
+        ],
+        dtype=np.int64,
+    )
+    idx = np.arange(len(evs), dtype=np.int64)
+    attrs = {a: np.array([e[a] for e in evs]) for a in cp.register_attrs}
+    rows, _ = _run_nsra_segment(
+        bits, idx, idx, attrs, cp.table, frozenset(cp.nsra.finals),
+        cp.start_states, cp.window, cp.window_type,
+    )
+    assert [(int(r[0]), int(r[3]) - 1) for r in rows] == expected
