@@ -136,6 +136,125 @@ def _run_sdfa_segment(
     return out, (state, counter, min_counter, min_ts, n_matched)
 
 
+def _run_sdfa_batch_vectorized(
+    keys, symbols, ts, event_ids, delta, take, finals_arr, reset_symbols,
+    carry_key=None, carry=None,
+):
+    """Windowless fast path: one whole Arrow batch (all key segments) in
+    O(n·S·log n) numpy instead of an O(n) Python loop.
+
+    A DFA transition on symbol a is a mapping M_a: S -> S over the state
+    set; mappings compose associatively, so the running state is an
+    inclusive prefix scan under composition — computed in log2(n)
+    doubling rounds of row-wise gathers (np.take_along_axis).  Key
+    starts and RESET events become CONSTANT mappings (everything ->
+    delta[start, sym] resp. start), which erase history exactly where
+    the loop would restart, letting ONE scan cover every key segment in
+    the batch.  Only valid with window == 0: window violations rewind
+    state based on match accounting, which breaks pure composition (the
+    loop path handles windowed patterns).
+
+    Match accounting (min_counter / n_matched per detection) is
+    reconstructed per epoch — the stretches delimited by key starts,
+    resets, and detections — with flatnonzero/searchsorted, all
+    vectorized.  Returns (rows, (last_key, carry_tuple)) bit-identical
+    to running _run_sdfa_segment over each key segment.
+    """
+    n = len(symbols)
+    if n == 0:
+        return [], (carry_key, carry)
+    state0, counter0, minc0, mints0, nm0 = carry if carry is not None else (0, 0, -1, -1, 0)
+
+    key_start = np.empty(n, dtype=bool)
+    key_start[0] = True
+    key_start[1:] = keys[1:] != keys[:-1]
+    continuing = carry is not None and carry_key is not None and keys[0] == carry_key
+    is_reset = (
+        np.isin(symbols, list(reset_symbols)) if reset_symbols else np.zeros(n, dtype=bool)
+    )
+
+    # per-event mappings M[i, s] = next state from s on symbols[i]
+    maps = delta.T[symbols].astype(np.int32)  # (n, S)
+    const_start = key_start.copy()
+    if continuing:
+        const_start[0] = False
+    if const_start.any():
+        maps[const_start] = delta[0, symbols[const_start]][:, None]
+    if is_reset.any():
+        maps[is_reset] = 0  # ResetEvent: state -> start, no transition
+
+    # inclusive prefix scan under composition (doubling)
+    P = maps.copy()
+    d = 1
+    while d < n:
+        # P[i] = P[i] ∘ P[i-d]  (earlier prefix applied first)
+        P[d:] = np.take_along_axis(P[d:], P[:-d], axis=1)
+        d *= 2
+    s0 = state0 if continuing else 0
+    states = P[:, s0]
+
+    prev_states = np.empty(n, dtype=np.int32)
+    prev_states[0] = state0 if continuing else 0
+    prev_states[1:] = states[:-1]
+    prev_states[const_start] = 0  # fresh keys advance from the start state
+
+    takes = take[prev_states, symbols] & ~is_reset
+    det = finals_arr[states] & ~is_reset
+
+    # per-key counters: counter restarts at each key boundary
+    kstarts = np.flatnonzero(key_start)
+    kseg = np.searchsorted(kstarts, np.arange(n), side="right") - 1
+    counters = np.arange(n, dtype=np.int64) - kstarts[kseg] + 1
+    if continuing:
+        first_seg_end = kstarts[1] if len(kstarts) > 1 else n
+        counters[:first_seg_end] += counter0
+
+    # epochs: new match-accounting stretch at key starts, after resets,
+    # after detections
+    epoch_start = key_start.copy()
+    epoch_start[1:] |= det[:-1] | is_reset[:-1]
+    starts = np.flatnonzero(epoch_start)
+    epoch_of = np.searchsorted(starts, np.arange(n), side="right") - 1
+
+    take_idx = np.flatnonzero(takes)
+    take_epochs = epoch_of[take_idx]
+    first_take: dict = {}
+    count_take: dict = {}
+    for pos, ep in zip(take_idx.tolist(), take_epochs.tolist()):
+        if ep not in first_take:
+            first_take[ep] = pos
+        count_take[ep] = count_take.get(ep, 0) + 1
+
+    carried_epoch0 = continuing and nm0 > 0
+    rows: list = []
+    for i in np.flatnonzero(det).tolist():
+        ep = epoch_of[i]
+        nm = count_take.get(ep, 0)
+        mc = int(counters[first_take[ep]]) if ep in first_take else -1
+        if ep == 0 and carried_epoch0:
+            nm += nm0
+            mc = minc0
+        rows.append((keys[i], int(event_ids[i]), int(ts[i]), int(counters[i]), mc, nm))
+
+    # carry-out: the open (last) epoch of the last key
+    if det[-1] or is_reset[-1]:
+        out_minc, out_mints, out_nm = -1, -1, 0
+    else:
+        last_ep = int(epoch_of[-1])
+        out_nm = count_take.get(last_ep, 0)
+        if last_ep in first_take:
+            ft = first_take[last_ep]
+            out_minc, out_mints = int(counters[ft]), int(ts[ft])
+        else:
+            out_minc, out_mints = -1, -1
+        if last_ep == 0 and carried_epoch0:
+            out_nm += nm0
+            out_minc, out_mints = minc0, mints0
+    out_state = 0 if is_reset[-1] else int(states[-1])
+    carry_out = (out_state, int(counters[-1]), out_minc, out_mints, out_nm)
+    return rows, (keys[-1], carry_out)
+
+
 class BatchCEP:
     """Batch Complex Event Recognition over a DataFrame.
 
@@ -219,6 +338,7 @@ class BatchCEP:
             # (key, dfa_state, counter, min_counter, min_ts, n_matched)
             open_key = None
             carry = None
+            vectorized = window == 0  # see _run_sdfa_batch_vectorized
             for pdf in batches:
                 if len(pdf) == 0:
                     continue
@@ -226,6 +346,13 @@ class BatchCEP:
                 syms = pdf["symbol"].to_numpy()
                 tss = pdf["ts"].to_numpy()
                 ids = pdf["event_id"].to_numpy()
+                if vectorized:
+                    rows, (open_key, carry) = _run_sdfa_batch_vectorized(
+                        keys, syms, tss, ids, delta, take, finals, resets,
+                        carry_key=open_key, carry=carry,
+                    )
+                    yield pd.DataFrame(rows, columns=columns)
+                    continue
                 out = []
                 # walk contiguous key segments
                 start = 0

@@ -150,3 +150,63 @@ def test_run_loop_equals_suffix_oracle_random(seed):
     for t in range(len(word)):
         oracle = any(plain.accepts(word[s : t + 1]) for s in range(t + 2))
         assert ((t + 1) in detected_at) == oracle, (pat_text, t)
+
+
+def test_vectorized_batch_equals_loop():
+    """The prefix-composition fast path must be bit-identical to the
+    per-segment loop across random automata, multi-key batches, RESET
+    symbols, and arbitrary Arrow-batch splits (carry)."""
+    import numpy as np
+
+    from flink_rtcef_spark.operators.cep import (
+        _run_sdfa_batch_vectorized,
+        _run_sdfa_segment,
+    )
+
+    rng = np.random.default_rng(13)
+    for trial in range(40):
+        n_states = int(rng.integers(2, 9))
+        n_syms = int(rng.integers(2, 6))
+        delta = rng.integers(0, n_states, size=(n_states, n_syms)).astype(np.int32)
+        take = rng.random((n_states, n_syms)) < 0.5
+        finals = np.zeros(n_states, dtype=bool)
+        finals[rng.integers(1, n_states)] = True
+        resets = frozenset([0]) if trial % 3 == 0 else frozenset()
+
+        n = int(rng.integers(1, 120))
+        keys = np.sort(rng.integers(0, 4, size=n))
+        syms = rng.integers(0, n_syms, size=n)
+        tss = np.arange(n, dtype=np.int64)
+        ids = np.arange(n, dtype=np.int64)
+
+        # reference: loop per key segment
+        expected = []
+        start = 0
+        while start < n:
+            end = start
+            k = keys[start]
+            while end < n and keys[end] == k:
+                end += 1
+            rows, _ = _run_sdfa_segment(
+                syms[start:end], tss[start:end], ids[start:end],
+                delta, take, finals, 0, "count", resets,
+            )
+            expected.extend((k, *r) for r in rows)
+            start = end
+
+        # vectorized, split into random batch chunks with carry
+        cuts = sorted(
+            set([0, n] + list(rng.integers(0, n + 1, size=int(rng.integers(0, 4)))))
+        )
+        got = []
+        open_key, carry = None, None
+        for lo, hi in zip(cuts, cuts[1:]):
+            rows, (open_key, carry) = _run_sdfa_batch_vectorized(
+                keys[lo:hi], syms[lo:hi], tss[lo:hi], ids[lo:hi],
+                delta, take, finals, resets,
+                carry_key=open_key, carry=carry,
+            )
+            got.extend(rows)
+        assert [tuple(int(x) for x in r) for r in got] == [
+            tuple(int(x) for x in r) for r in expected
+        ], f"trial {trial}"
