@@ -338,7 +338,10 @@ class BatchCEP:
             # (key, dfa_state, counter, min_counter, min_ts, n_matched)
             open_key = None
             carry = None
-            vectorized = window == 0  # see _run_sdfa_batch_vectorized
+            # prefix-composition scan costs O(S) per event; past ~64
+            # states (large disambiguated automata) the O(1)-per-event
+            # loop wins — and windows break composition entirely
+            vectorized = window == 0 and delta.shape[0] <= 64
             for pdf in batches:
                 if len(pdf) == 0:
                     continue
