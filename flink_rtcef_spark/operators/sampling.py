@@ -73,3 +73,37 @@ def top_k_per_group(
         .filter(F.col("__rn") <= k)
         .drop("__coin", "__rn")
     )
+
+
+def token_budget_sample(
+    df: DataFrame,
+    source_col: str,
+    budgets: dict[str, int],
+    tokens_col: str,
+    key_col: str,
+    seed: int = 0,
+) -> DataFrame:
+    """Domain mixing under token budgets ("N tokens of web, M of
+    code"): within each source, take documents in hash-coin order until
+    the running token total fills that source's budget.  A document
+    that would cross the boundary is dropped (strict cap).
+
+    Deterministic and partitioning-invariant like the other samplers;
+    one shuffle on the source column for the running-sum window.
+    Sources absent from ``budgets`` are dropped."""
+    coin = hash_fraction(F.col(key_col), seed)
+    w = (
+        W.partitionBy(source_col)
+        .orderBy(coin, F.col(key_col))
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    budget_col: Column = F.lit(0)
+    for value, budget in budgets.items():
+        budget_col = F.when(
+            F.col(source_col) == str(value), F.lit(int(budget))
+        ).otherwise(budget_col)
+    return (
+        df.withColumn("__cum", F.sum(F.col(tokens_col)).over(w))
+        .filter(F.col("__cum") <= budget_col)
+        .drop("__cum")
+    )

@@ -858,3 +858,40 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     qvec = [float(x) for x in emb.select("embedding").first()[0]]
     pq = ProductQuantizer(m=8, k=16, n_iter=6).fit(emb)
     return pq.ann_topk(pq.encode(emb), qvec, kk=10)
+
+
+# --------------------------------------------------------------------------
+# Token-budget domain mixing: per-source running token sum in coin
+# order, strict cap (operators/sampling.token_budget_sample).
+_TOKEN_BUDGET_SQL = f"""
+    WITH counted AS (
+      SELECT doc_id, source,
+             len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]', 0)) AS n_tokens,
+             {_COIN_SQL.format(key='doc_id')} AS coin
+      FROM documents
+    ),
+    running AS (
+      SELECT doc_id, source, n_tokens,
+             SUM(n_tokens) OVER (PARTITION BY source ORDER BY coin, doc_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      FROM counted
+    )
+    SELECT doc_id, source, CAST(n_tokens AS BIGINT) AS n_tokens
+    FROM running
+    WHERE cum <= CASE source WHEN 'src0' THEN 20000 WHEN 'src1' THEN 5000
+                             WHEN 'src2' THEN 3000 ELSE 0 END
+"""
+
+
+@query("sample_token_budget", oracle=_TOKEN_BUDGET_SQL)
+def sample_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_rtcef_spark.operators.sampling import token_budget_sample
+    from flink_rtcef_spark.operators.text import bpe_ish_tokens
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.size(bpe_ish_tokens()).cast("long").alias("n_tokens")
+    )
+    return token_budget_sample(
+        docs, "source", {"src0": 20000, "src1": 5000, "src2": 3000},
+        "n_tokens", "doc_id",
+    ).select("doc_id", "source", "n_tokens")

@@ -292,3 +292,22 @@ def test_ann_pq_recall_and_compression(spark, planted_embeddings):
     approx = set(pq.ann_topk(encoded, qvec, kk=10).toPandas().vec_id)
     assert len(exact & approx) / 10 >= 0.8
     encoded.unpersist()
+
+
+def test_token_budget_sample_strict_cap(spark):
+    """Per-source token totals never exceed the budget; the selection is
+    partitioning-invariant; unbudgeted sources are dropped."""
+    from flink_rtcef_spark.operators.sampling import token_budget_sample
+
+    rows = [(i, f"s{i % 3}", 100 + (i % 7) * 50) for i in range(60)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, n_tokens long")
+    budgets = {"s0": 900, "s1": 400}
+    out = token_budget_sample(df, "source", budgets, "n_tokens", "doc_id").toPandas()
+    totals = out.groupby("source")["n_tokens"].sum().to_dict()
+    assert set(totals) <= set(budgets)
+    for s, total in totals.items():
+        assert total <= budgets[s]
+    again = token_budget_sample(
+        df.repartition(7), "source", budgets, "n_tokens", "doc_id"
+    ).toPandas()
+    assert sorted(out["doc_id"]) == sorted(again["doc_id"])
