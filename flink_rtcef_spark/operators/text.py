@@ -166,3 +166,43 @@ def pack_sequences(
     return packed.join(totals, "pack_id").select(
         "id", "n_tokens", "pack_id", "pack_tokens"
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    chunk_tokens: int,
+    stride: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Split documents into fixed-token-window chunks with overlap
+    (stride < chunk_tokens ⇒ overlapping windows — the standard
+    pretraining prep for long documents).  Entirely JVM-side:
+    sequence → transform → slice → posexplode, no Python in the path;
+    map-side only (no shuffle).  Emits (id, chunk_idx, chunk_text,
+    n_chunk_tokens); trailing windows shorter than ``chunk_tokens``
+    are kept (the remainder matters for training)."""
+    if stride <= 0 or chunk_tokens <= 0:
+        raise ValueError("chunk_tokens and stride must be positive")
+    toks = F.filter(whitespace_tokens(text_col), lambda t: t != "")
+    starts = F.sequence(
+        F.lit(1),
+        F.greatest(F.size(toks) - 0, F.lit(1)),
+        F.lit(stride),
+    )
+    chunks = F.transform(
+        starts, lambda i: F.slice(toks, i, chunk_tokens)
+    )
+    return (
+        df.select(
+            F.col(id_col),
+            F.posexplode(chunks).alias("chunk_idx", "chunk_toks"),
+        )
+        .filter(F.size("chunk_toks") > 0)
+        .select(
+            id_col,
+            "chunk_idx",
+            F.array_join("chunk_toks", " ").alias("chunk_text"),
+            F.size("chunk_toks").alias("n_chunk_tokens"),
+        )
+    )

@@ -895,3 +895,29 @@ def sample_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, "source", {"src0": 20000, "src1": 5000, "src2": 3000},
         "n_tokens", "doc_id",
     ).select("doc_id", "source", "n_tokens")
+
+
+# --------------------------------------------------------------------------
+# Document chunking: fixed token windows with stride (overlapping when
+# stride < window) — long-document prep for training.  Map-side only:
+# sequence/slice/posexplode, no shuffle.
+_CHUNK_SQL = r"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), x -> x <> '') AS tokens
+      FROM documents
+    )
+    SELECT doc_id, CAST((t.i - 1) / 30 AS INT) AS chunk_idx,
+           array_to_string(tokens[t.i : t.i + 49], ' ') AS chunk_text,
+           CAST(len(tokens[t.i : t.i + 49]) AS INT) AS n_chunk_tokens
+    FROM toks, UNNEST(range(1, greatest(len(tokens), 1) + 1, 30)) AS t(i)
+    WHERE len(tokens[t.i : t.i + 49]) > 0
+"""
+
+
+@query("chunk_documents_50_30", oracle=_CHUNK_SQL)
+def chunk_documents_50_30(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_rtcef_spark.operators.text import chunk_documents
+
+    docs = load_table(spark, sf_dir, "documents")
+    return chunk_documents(docs, chunk_tokens=50, stride=30)

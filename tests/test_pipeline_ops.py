@@ -311,3 +311,31 @@ def test_token_budget_sample_strict_cap(spark):
         df.repartition(7), "source", budgets, "n_tokens", "doc_id"
     ).toPandas()
     assert sorted(out["doc_id"]) == sorted(again["doc_id"])
+
+
+def test_chunk_documents_coverage_and_overlap(spark):
+    """Every token position is covered; consecutive chunks overlap by
+    chunk-stride tokens; reconstruction at stride offsets matches the
+    source tokens."""
+    from flink_rtcef_spark.operators.text import chunk_documents
+
+    text = " ".join(f"w{i}" for i in range(110))
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    out = (
+        chunk_documents(df, chunk_tokens=40, stride=25)
+        .orderBy("chunk_idx")
+        .collect()
+    )
+    toks = text.split()
+    assert [r["chunk_idx"] for r in out] == list(range(len(out)))
+    for r in out:
+        start = r["chunk_idx"] * 25
+        expect = toks[start : start + 40]
+        assert r["chunk_text"].split() == expect
+        assert r["n_chunk_tokens"] == len(expect)
+    # full coverage: union of chunk spans is the whole doc
+    covered = set()
+    for r in out:
+        start = r["chunk_idx"] * 25
+        covered.update(range(start, start + r["n_chunk_tokens"]))
+    assert covered == set(range(110))
