@@ -99,19 +99,27 @@ def lsh_candidate_pairs(
     hash are candidates.  The self-join runs per band on the band-hash
     key — shuffle size is the banded signature table, not the corpus."""
     rows_per_band = n_hashes // bands
-    parts = []
-    for b in range(bands):
-        cols = [f"sig{j}" for j in range(b * rows_per_band, (b + 1) * rows_per_band)]
-        parts.append(
-            sig_df.select(
-                F.col(id_col),
+    # one scan: explode an array of (band, bandhash) structs instead of
+    # a union of per-band selects (which rescans the signature table
+    # per band — bands× the IO at scale)
+    band_structs = F.array(
+        *[
+            F.struct(
                 F.lit(b).alias("band"),
-                F.concat_ws("_", *cols).alias("bh"),
+                F.concat_ws(
+                    "_",
+                    *[
+                        f"sig{j}"
+                        for j in range(b * rows_per_band, (b + 1) * rows_per_band)
+                    ],
+                ).alias("bh"),
             )
-        )
-    bands_df = parts[0]
-    for p in parts[1:]:
-        bands_df = bands_df.unionAll(p)
+            for b in range(bands)
+        ]
+    )
+    bands_df = sig_df.select(
+        F.col(id_col), F.explode(band_structs).alias("bb")
+    ).select(id_col, F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh"))
     a, b_ = bands_df.alias("a"), bands_df.alias("b")
     return (
         a.join(
@@ -151,36 +159,39 @@ def jaccard_verify(
     are a lower bound (denominator sizes stay exact) — recall on true
     near-dups is preserved when threshold < 1 and duplicated content
     dominates the shingle set, the standard large-corpus trade."""
+    from pyspark.sql import Window as W
+
     toks = df.select(F.col(id_col), _tokens(text_col).alias("tokens"))
     sh = toks.select(id_col, F.explode(shingles(n=shingle_n)).alias("sh")).distinct()
-    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
-    join_sh = sh
+    # per-doc shingle count as a window over the SAME rows — no separate
+    # sizes aggregation + two joins (which would rescan the shingle
+    # subtree twice more); n_a/n_b ride through the pair join for free
+    sh = sh.withColumn("n_sh", F.count(F.lit(1)).over(W.partitionBy(id_col)))
     if max_df is not None:
-        rare = (
-            sh.groupBy("sh")
-            .agg(F.count(F.lit(1)).alias("df"))
-            .filter(F.col("df") <= max_df)
-            .select("sh")
-        )
-        join_sh = sh.join(rare, "sh", "left_semi")
-    a, b = join_sh.alias("a"), join_sh.alias("b")
+        sh = sh.withColumn(
+            "df", F.count(F.lit(1)).over(W.partitionBy("sh"))
+        ).filter(F.col("df") <= max_df).drop("df")
+    a, b = sh.alias("a"), sh.alias("b")
     inter = (
         a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
-        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col("a.n_sh").alias("n_a"),
+            F.col("b.n_sh").alias("n_b"),
+        )
         .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("n_common"))
+        .agg(
+            F.count(F.lit(1)).alias("n_common"),
+            F.first("n_a").alias("n_a"),
+            F.first("n_b").alias("n_b"),
+        )
     )
     if pairs is not None:
         inter = inter.join(pairs, ["id_a", "id_b"], "left_semi")
-    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
-    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
-    scored = (
-        inter.join(sa, "id_a")
-        .join(sb, "id_b")
-        .withColumn(
-            "jaccard",
-            F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
-        )
+    scored = inter.withColumn(
+        "jaccard",
+        F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
     )
     return scored.filter(F.col("jaccard") >= threshold).select(
         "id_a", "id_b", F.round("jaccard", 6).alias("jaccard")

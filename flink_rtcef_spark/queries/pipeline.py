@@ -283,21 +283,13 @@ def _lsh_oracle() -> str:
 
 @query("lsh_candidate_pairs", oracle=_lsh_oracle())
 def lsh_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # through the operator: banding is one scan + explode of (band, bh)
+    # structs, not a union of per-band selects (operators/dedup.py)
+    from flink_rtcef_spark.operators.dedup import lsh_candidate_pairs as lsh_op
+
     sigs = minhash_signatures(spark, sf_dir)
-    b0 = sigs.select("doc_id", F.lit(0).alias("band"), F.concat_ws("_", "sig0", "sig1").alias("bh"))
-    b1 = sigs.select("doc_id", F.lit(1).alias("band"), F.concat_ws("_", "sig2", "sig3").alias("bh"))
-    bands = b0.unionAll(b1)
-    a = bands.alias("a")
-    b = bands.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bh") == F.col("b.bh"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .distinct()
+    return lsh_op(sigs, n_hashes=4, bands=2).select(
+        F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b")
     )
 
 
@@ -332,44 +324,15 @@ _JACCARD_SQL = f"""
 
 @query("ngram_jaccard_dedup", oracle=_JACCARD_SQL)
 def ngram_jaccard_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # through the operator: per-doc sizes ride the shingle rows as a
+    # window count, so the shingle subtree is built once, not three
+    # times (operators/dedup.jaccard_verify)
+    from flink_rtcef_spark.operators.dedup import jaccard_verify
+
     docs = load_table(spark, sf_dir, "documents")
-    toks = docs.select(
-        "doc_id", F.filter(_tokens_spark(), lambda x: x != "").alias("tokens")
+    return jaccard_verify(docs, None, threshold=0.8).select(
+        F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b"), "jaccard"
     )
-    # 3-gram shingles via transform over a sliced sequence (JVM-side)
-    sh = toks.select(
-        "doc_id",
-        F.explode(
-            F.expr(
-                "transform(sequence(1, greatest(size(tokens) - 2, 0)),"
-                " i -> concat_ws(' ', slice(tokens, i, 3)))"
-            )
-        ).alias("sh"),
-    ).distinct()
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    a = sh.alias("a")
-    b = sh.alias("b")
-    inter = (
-        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .agg(F.count(F.lit(1)).alias("n_common"))
-    )
-    sa = sizes.alias("sa")
-    sb = sizes.alias("sb")
-    out = (
-        inter.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
-        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
-        .withColumn(
-            "jaccard",
-            F.round(
-                F.col("n_common") / (F.col("sa.n_sh") + F.col("sb.n_sh") - F.col("n_common")), 6
-            ),
-        )
-        .filter(
-            F.col("n_common") / (F.col("sa.n_sh") + F.col("sb.n_sh") - F.col("n_common")) >= 0.8
-        )
-    )
-    return out.select("doc_a", "doc_b", "jaccard")
 
 
 # --------------------------------------------------------------------------
