@@ -190,11 +190,12 @@ def text_entropy_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     flat = toks.select("doc_id", F.explode("tokens").alias("tok"))
     freqs = flat.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("c"))
-    totals = freqs.groupBy("doc_id").agg(F.sum("c").alias("total"))
-    p = F.col("c") / F.col("total")
+    # doc totals as a window over the freq rows: the doc_id partition
+    # already co-locates them, so no second aggregation + join
+    totals_w = W.partitionBy("doc_id")
+    p = F.col("c") / F.sum("c").over(totals_w)
     ent = (
-        freqs.join(totals, "doc_id")
-        .withColumn("term", F.round(-p * F.log(p), 6))
+        freqs.withColumn("term", F.round(-p * F.log(p), 6))
         .groupBy("doc_id")
         .agg(F.round(F.sum("term"), 6).alias("token_entropy"))
     )
