@@ -399,3 +399,27 @@ def connected_components(
         if n_changed == 0:
             break
     return labels.select(F.col("id"), F.col("label").alias("component"))
+
+
+def near_dedup_transitive(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_hashes: int = 8,
+    bands: int = 4,
+    shingle_n: int = 3,
+    threshold: float = 0.8,
+    max_df: int | None = None,
+) -> DataFrame:
+    """near_dedup with exact transitive closure: duplicate groups are
+    resolved through connected components, so chains A~B~C collapse to
+    one survivor even when A~C was never scored (the clique assumption
+    near_dedup makes).  Keeps each component's min-id document."""
+    sigs = minhash_signatures(df, text_col, id_col, n_hashes, shingle_n)
+    cands = lsh_candidate_pairs(sigs, id_col, n_hashes, bands)
+    dupes = jaccard_verify(df, cands, text_col, id_col, shingle_n, threshold, max_df)
+    cc = connected_components(dupes.select("id_a", "id_b"))
+    losers = cc.filter(F.col("id") != F.col("component")).select(
+        F.col("id").alias(id_col)
+    )
+    return df.join(losers, id_col, "left_anti")

@@ -339,3 +339,25 @@ def test_chunk_documents_coverage_and_overlap(spark):
         start = r["chunk_idx"] * 25
         covered.update(range(start, start + r["n_chunk_tokens"]))
     assert covered == set(range(110))
+
+
+def test_near_dedup_transitive_collapses_chains(spark):
+    """A chain of near-dups (each adjacent pair >=0.8 Jaccard, ends
+    dissimilar enough) keeps exactly one survivor under the transitive
+    variant."""
+    from flink_rtcef_spark.operators.dedup import near_dedup, near_dedup_transitive
+
+    base = [f"tok{i}" for i in range(40)]
+    v1 = " ".join(base)
+    v2 = " ".join(base[:37] + ["x1", "x2", "x3"])          # ~0.85 vs v1
+    v3 = " ".join(base[:34] + ["x1", "x2", "x3", "y1", "y2", "y3"])  # ~0.85 vs v2
+    others = [" ".join(f"w{i}_{j}" for j in range(30)) for i in range(3)]
+    docs = spark.createDataFrame(
+        [(1, v1), (2, v2), (3, v3)] + [(10 + i, t) for i, t in enumerate(others)],
+        "doc_id long, text string",
+    )
+    kept = sorted(
+        r["doc_id"]
+        for r in near_dedup_transitive(docs, threshold=0.75, bands=8).collect()
+    )
+    assert kept == [1, 10, 11, 12]
