@@ -98,6 +98,12 @@ def lsh_candidate_pairs(
     """Band the signature into ``bands`` groups; docs sharing any band
     hash are candidates.  The self-join runs per band on the band-hash
     key — shuffle size is the banded signature table, not the corpus."""
+    if n_hashes % bands != 0:
+        raise ValueError(
+            f"n_hashes ({n_hashes}) must be divisible by bands ({bands}); "
+            "a remainder would silently drop trailing signature columns "
+            "and change recall"
+        )
     rows_per_band = n_hashes // bands
     # one scan: explode an array of (band, bandhash) structs instead of
     # a union of per-band selects (which rescans the signature table
@@ -144,12 +150,12 @@ def jaccard_verify(
     threshold: float = 0.8,
     max_df: int | None = None,
 ) -> DataFrame:
-    """Exact shingle-Jaccard for candidate pairs via inverted-index
-    join: intersection counts from a shingle-equality join restricted to
-    candidates, union sizes from per-doc distinct counts.  ``pairs=None``
-    scores EVERY shingle-sharing pair — exact (no LSH recall loss) but
-    the inverted-index join is the full posting-list blowup; at scale
-    pass LSH candidates.
+    """Exact shingle-Jaccard for candidate pairs.  With ``pairs`` given,
+    the plan starts from the candidate set and joins the two shingle
+    sides onto it (pairs-first), so cost is |pairs| x shingles-per-doc.
+    ``pairs=None`` scores EVERY shingle-sharing pair via the
+    inverted-index self-join — exact (no LSH recall loss) but the full
+    posting-list blowup; at scale pass LSH candidates.
 
     ``max_df`` drops shingles appearing in more than that many docs
     before the pair join — the posting-list skew guard.  A boilerplate
@@ -171,24 +177,47 @@ def jaccard_verify(
         sh = sh.withColumn(
             "df", F.count(F.lit(1)).over(W.partitionBy("sh"))
         ).filter(F.col("df") <= max_df).drop("df")
-    a, b = sh.alias("a"), sh.alias("b")
-    inter = (
-        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
-        .select(
-            F.col(f"a.{id_col}").alias("id_a"),
-            F.col(f"b.{id_col}").alias("id_b"),
-            F.col("a.n_sh").alias("n_a"),
-            F.col("b.n_sh").alias("n_b"),
-        )
-        .groupBy("id_a", "id_b")
-        .agg(
-            F.count(F.lit(1)).alias("n_common"),
-            F.first("n_a").alias("n_a"),
-            F.first("n_b").alias("n_b"),
-        )
-    )
     if pairs is not None:
-        inter = inter.join(pairs, ["id_a", "id_b"], "left_semi")
+        # start FROM the candidate pairs and hang the two shingle sides
+        # onto them, so the inverted-index blowup never materializes:
+        # work is |pairs| x shingles-per-doc, not the posting-list
+        # quadratic.  (A post-hoc semi-join can't be pushed below the
+        # shingle self-join by Catalyst because its condition spans both
+        # sides.)
+        p = pairs.select("id_a", "id_b").distinct()
+        a_sh = sh.select(
+            F.col(id_col).alias("id_a"), F.col("sh"), F.col("n_sh").alias("n_a")
+        )
+        b_sh = sh.select(
+            F.col(id_col).alias("id_b"), F.col("sh"), F.col("n_sh").alias("n_b")
+        )
+        inter = (
+            p.join(a_sh, "id_a")
+            .join(b_sh, ["id_b", "sh"])
+            .groupBy("id_a", "id_b")
+            .agg(
+                F.count(F.lit(1)).alias("n_common"),
+                F.first("n_a").alias("n_a"),
+                F.first("n_b").alias("n_b"),
+            )
+        )
+    else:
+        a, b = sh.alias("a"), sh.alias("b")
+        inter = (
+            a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+            .select(
+                F.col(f"a.{id_col}").alias("id_a"),
+                F.col(f"b.{id_col}").alias("id_b"),
+                F.col("a.n_sh").alias("n_a"),
+                F.col("b.n_sh").alias("n_b"),
+            )
+            .groupBy("id_a", "id_b")
+            .agg(
+                F.count(F.lit(1)).alias("n_common"),
+                F.first("n_a").alias("n_a"),
+                F.first("n_b").alias("n_b"),
+            )
+        )
     scored = inter.withColumn(
         "jaccard",
         F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
@@ -225,6 +254,8 @@ def simhash64(
     """SimHash over token hashes: per bit, majority vote of +-1; near
     duplicates land within small Hamming distance.  One explode + one
     groupBy with ``bits`` conditional sums."""
+    if not 1 <= bits <= 64:
+        raise ValueError(f"bits must be in [1, 64], got {bits}")
     flat = (
         df.select(F.col(id_col), F.explode(_tokens(text_col)).alias("tok"))
         .withColumn("h", portable_hash64(F.col("tok")))
@@ -244,7 +275,10 @@ def simhash64(
     per_doc = flat.groupBy(id_col).agg(*bit_aggs)
     acc = F.lit(0).cast("long")
     for b in range(bits):
-        acc = acc + (F.col(f"b{b}") * F.lit(1 << b)).cast("long")
+        # bit 63's positional weight (1<<63) overflows LongType; in two's
+        # complement the sign bit contributes -(1<<63), which fits.
+        weight = -(1 << 63) if b == 63 else (1 << b)
+        acc = acc + (F.col(f"b{b}") * F.lit(weight)).cast("long")
     return per_doc.select(F.col(id_col), acc.alias("simhash"))
 
 

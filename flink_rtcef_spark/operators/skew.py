@@ -27,7 +27,16 @@ def salted_join(
 ) -> DataFrame:
     """Equi-join with the probe side salted and the build side
     replicated n_salts times: the shuffle key becomes (key, salt), so a
-    hot key's rows spread over n_salts reducers instead of one."""
+    hot key's rows spread over n_salts reducers instead of one.
+
+    Only ``inner`` and ``left`` (probe-outer) are sound: the build side
+    is replicated, so a right/full join would surface each unmatched
+    build row once per salt replica (n_salts duplicates)."""
+    if how not in ("inner", "left"):
+        raise ValueError(
+            f"salted_join supports how='inner'|'left', got {how!r}: the "
+            "replicated build side would emit unmatched rows once per salt"
+        )
     salted_probe = probe.withColumn(
         "__salt", (F.rand(seed=7) * n_salts).cast("int")
     )

@@ -361,3 +361,71 @@ def test_near_dedup_transitive_collapses_chains(spark):
         for r in near_dedup_transitive(docs, threshold=0.75, bands=8).collect()
     )
     assert kept == [1, 10, 11, 12]
+
+
+def test_simhash_full_64_bits(spark, doc_df):
+    """bits=64 must build without LongType overflow (bit 63 is the sign
+    bit: weight -(1<<63)) and agree with a numpy two's-complement
+    reference computed from the same portable hash."""
+    from flink_rtcef_spark.functions.scalar import portable_hash64
+
+    out = simhash64(doc_df, bits=64).toPandas().set_index("doc_id")["simhash"]
+    # numpy reference on one doc
+    row = doc_df.filter(F.col("doc_id") == 0).select("text").first()
+    toks = [t for t in row[0].lower().strip().split(" ") if t]
+    hashes = [
+        r[0]
+        for r in spark.createDataFrame([(t,) for t in toks], "tok string")
+        .select(portable_hash64(F.col("tok")))
+        .collect()
+    ]
+    acc = 0
+    for b in range(64):
+        votes = sum(1 if (h >> b) & 1 else -1 for h in hashes)
+        if votes > 0:
+            acc |= 1 << b
+    expect = acc - (1 << 64) if acc >= (1 << 63) else acc
+    assert int(out[0]) == expect
+    with pytest.raises(ValueError):
+        simhash64(doc_df, bits=65)
+
+
+def test_lsh_rejects_indivisible_bands(spark, doc_df):
+    sigs = minhash_signatures(doc_df, n_hashes=8)
+    with pytest.raises(ValueError, match="divisible"):
+        lsh_candidate_pairs(sigs, n_hashes=8, bands=3)
+
+
+def test_jaccard_verify_pairs_first_matches_full_scan(spark, doc_df):
+    """The pairs-first plan must produce exactly the full-scan scores
+    restricted to the candidate set (identical n_common semantics)."""
+    from flink_rtcef_spark.operators.dedup import jaccard_verify
+
+    sigs = minhash_signatures(doc_df, n_hashes=8)
+    cands = lsh_candidate_pairs(sigs, n_hashes=8, bands=4)
+    via_pairs = jaccard_verify(doc_df, cands, threshold=0.1).toPandas()
+    full = jaccard_verify(doc_df, None, threshold=0.1).toPandas()
+    cand_set = {(r.id_a, r.id_b) for r in cands.collect()}
+    full_restricted = full[
+        full.apply(lambda r: (r.id_a, r.id_b) in cand_set, axis=1)
+    ]
+    a = via_pairs.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+    b = full_restricted.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_jaccard_verify_pairs_plan_has_no_shingle_self_join(spark, doc_df):
+    """Plan-shape guard: with candidates supplied, the physical plan
+    must not contain the shingle-equality self-join (the posting-list
+    blowup the LSH tier exists to avoid)."""
+    from flink_rtcef_spark.operators.dedup import jaccard_verify
+
+    sigs = minhash_signatures(doc_df, n_hashes=8)
+    cands = lsh_candidate_pairs(sigs, n_hashes=8, bands=4)
+    plan = jaccard_verify(doc_df, cands, threshold=0.5)._jdf.queryExecution().optimizedPlan().toString()
+    import re
+
+    # pairs-first: joins keyed on id_a / (id_b, sh); a sh=sh equi-join
+    # with id<id appears only in the full-scan path
+    self_join = re.search(r"Join .*\bsh#\d+ = sh#\d+.*<", plan)
+    assert self_join is None, f"posting-list self-join found:\n{plan}"

@@ -38,3 +38,27 @@ def test_two_phase_agg_equals_plain(spark):
         two.sort_values("k").reset_index(drop=True),
         check_dtype=False,
     )
+
+
+def test_salted_join_left_equals_plain_left(spark):
+    probe = spark.createDataFrame(
+        pd.DataFrame({"k": ["hot"] * 50 + ["nomatch"] * 3, "v": range(53)})
+    )
+    build = spark.createDataFrame(
+        pd.DataFrame({"k": ["hot", "c"], "w": [1, 4]})
+    )
+    plain = probe.join(build, "k", "left").select("k", "v", "w").toPandas()
+    salted = salted_join(probe, build, "k", how="left").select("k", "v", "w").toPandas()
+    ps = plain.sort_values(["k", "v"]).reset_index(drop=True)
+    ss = salted.sort_values(["k", "v"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(ps, ss)
+
+
+def test_salted_join_rejects_outer_builds(spark):
+    import pytest
+
+    probe = spark.createDataFrame(pd.DataFrame({"k": ["a"], "v": [1]}))
+    build = spark.createDataFrame(pd.DataFrame({"k": ["a"], "w": [1]}))
+    for how in ("right", "full", "outer", "left_anti"):
+        with pytest.raises(ValueError, match="salted_join supports"):
+            salted_join(probe, build, "k", how=how)
