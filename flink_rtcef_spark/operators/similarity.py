@@ -211,6 +211,29 @@ class IVFIndex:
         self.centroids = centroids
         return self
 
+    def fit_from_rows(
+        self,
+        df: DataFrame,
+        ids: list[int],
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+    ) -> "IVFIndex":
+        """Centroids = the given corpus rows verbatim (id order).  The
+        sampled-codebook variant: at scale centroids are trained once
+        and become constants; pinning them to named rows makes the whole
+        index SQL-reproducible (the driver oracle re-derives assignment
+        and probing from the same rows), while the Lloyd-trained path
+        (``fit``) remains the quality option."""
+        rows = (
+            df.filter(F.col(id_col).isin(list(ids)))
+            .select(id_col, vec_col)
+            .orderBy(id_col)
+            .collect()
+        )
+        self.centroids = np.array([np.asarray(r[1], dtype=float) for r in rows])
+        self.n_cells = len(rows)
+        return self
+
     def cell_column(self, vec_col: str = "embedding") -> Column:
         """argmax-cosine centroid id via one (batch x dim) GEMM pandas
         UDF against the broadcast centroid matrix."""
@@ -233,7 +256,9 @@ class IVFIndex:
         q = np.asarray(query_vec, dtype=float)
         cn = self.centroids / np.linalg.norm(self.centroids, axis=1, keepdims=True)
         scores = cn @ (q / np.linalg.norm(q))
-        return [int(i) for i in np.argsort(-scores)[:n_probe]]
+        # stable sort so equal scores break ties by cell id — keeps the
+        # probe set deterministic and oracle-reproducible
+        return [int(i) for i in np.argsort(-scores, kind="stable")[:n_probe]]
 
     def ann_topk(
         self,
@@ -300,6 +325,35 @@ class ProductQuantizer:
                         c[ci] = members.mean(axis=0)
             books[j, : len(c)] = c
         self.codebooks = books
+        return self
+
+    def fit_from_rows(
+        self,
+        df: DataFrame,
+        ids: list[int],
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+    ) -> "ProductQuantizer":
+        """Codebooks = subvectors of the given (normalized) corpus rows
+        in id order: book[j][c] = rows[c][j*sub:(j+1)*sub].  The
+        sampled-codebook variant — SQL-reproducible for the driver
+        oracle; k-means (``fit``) remains the quality path."""
+        rows = (
+            df.filter(F.col(id_col).isin(list(ids)))
+            .select(id_col, vec_col)
+            .orderBy(id_col)
+            .collect()
+        )
+        vecs = np.array([np.asarray(r[1], dtype=float) for r in rows])
+        vecs = vecs / np.maximum(np.linalg.norm(vecs, axis=1, keepdims=True), 1e-300)
+        d = vecs.shape[1]
+        if d % self.m:
+            raise ValueError(f"dim {d} not divisible by m={self.m}")
+        sub = d // self.m
+        self.k = len(rows)
+        self.codebooks = np.stack(
+            [vecs[:, j * sub : (j + 1) * sub] for j in range(self.m)]
+        )
         return self
 
     def encode(self, df: DataFrame, vec_col: str = "embedding") -> DataFrame:

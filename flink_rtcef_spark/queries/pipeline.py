@@ -492,10 +492,132 @@ def token_counts_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# ANN via random-hyperplane LSH and IVF: rows-only driver check (the
-# bucketing decision is not SQL-expressible); recall-vs-bruteforce is
-# pytest-verified (tests/test_pipeline_ops.py).
-@query("ann_lsh_topk")
+# ANN oracles.  Each re-derives the FULL approximate algorithm in SQL —
+# not a recall bound against brute force — so the driver verifies the
+# bucketing/probing/scoring machinery itself:
+# - LSH: the seeded hyperplanes are constants, embedded as literals; a
+#   row is a candidate iff some table's sign pattern is within
+#   n_probe_bits Hamming distance of the query's.
+# - IVF / PQ: the codebooks are pinned corpus rows (fit_from_rows), so
+#   assignment, probing, encoding, and ADC are all SQL-derivable from
+#   the same parquet.  The Lloyd-trained codebook paths stay
+#   pytest-verified (recall vs brute force, tests/test_pipeline_ops.py).
+
+
+def _ip(a: str, b: str) -> str:
+    """DuckDB inner product of two double lists."""
+    return f"list_sum(list_transform(list_zip({a}, {b}), p -> p[1] * p[2]))"
+
+
+def _lsh_oracle_sql(
+    dim: int = 64,
+    n_planes: int = 6,
+    n_tables: int = 4,
+    seed: int = 11,
+    n_probe_bits: int = 1,
+    k: int = 10,
+) -> str:
+    import numpy as np
+
+    rng = np.random.RandomState(seed)
+    tables = [rng.randn(n_planes, dim) for _ in range(n_tables)]
+
+    def lit(vec):
+        return "[" + ", ".join(repr(float(x)) for x in vec) + "]"
+
+    def pat(expr, planes):
+        terms = " + ".join(
+            f"(CASE WHEN {_ip(expr, lit(planes[i]))} >= 0 THEN {1 << i} ELSE 0 END)"
+            for i in range(len(planes))
+        )
+        return f"({terms})"
+
+    pcols = ",\n         ".join(
+        f"{pat('v.ed', tables[t])} AS p{t}, {pat('q.qd', tables[t])} AS q{t}"
+        for t in range(n_tables)
+    )
+    cond = " OR ".join(
+        f"bit_count(CAST(xor(p{t}, q{t}) AS BIGINT)) <= {n_probe_bits}"
+        for t in range(n_tables)
+    )
+    return f"""
+WITH ev AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ed FROM embeddings),
+q AS (SELECT ed AS qd FROM ev WHERE vec_id = 0),
+pat AS (
+  SELECT v.vec_id, v.ed, q.qd,
+         {pcols}
+  FROM ev v, q WHERE v.vec_id <> 0
+),
+scored AS (
+  SELECT vec_id,
+         ROUND({_ip('ed', 'qd')} / (SQRT({_ip('ed', 'ed')}) * SQRT({_ip('qd', 'qd')})), 6) AS cosine
+  FROM pat WHERE {cond}
+)
+SELECT vec_id, cosine FROM scored ORDER BY cosine DESC, vec_id ASC LIMIT {k}
+"""
+
+
+def _ivf_oracle_sql(n_cells: int = 8, n_probe: int = 3, k: int = 10) -> str:
+    def cos(a, b):
+        return f"{_ip(a, b)} / (SQRT({_ip(a, a)}) * SQRT({_ip(b, b)}))"
+
+    return f"""
+WITH ev AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ed FROM embeddings),
+q AS (SELECT ed AS qd FROM ev WHERE vec_id = 0),
+cent AS (SELECT vec_id - 1 AS cell, ed AS cd FROM ev WHERE vec_id BETWEEN 1 AND {n_cells}),
+assign AS (
+  SELECT v.vec_id, v.ed, c.cell,
+         ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                            ORDER BY {cos('v.ed', 'c.cd')} DESC, c.cell ASC) AS rn
+  FROM ev v CROSS JOIN cent c WHERE v.vec_id <> 0
+),
+cells AS (SELECT vec_id, ed, cell FROM assign WHERE rn = 1),
+probe AS (
+  SELECT cell FROM (
+    SELECT c.cell, ROW_NUMBER() OVER (ORDER BY {cos('c.cd', 'q.qd')} DESC, c.cell ASC) AS rn
+    FROM cent c, q) t WHERE rn <= {n_probe}
+),
+scored AS (
+  SELECT s.vec_id, ROUND({cos('s.ed', 'q.qd')}, 6) AS cosine
+  FROM cells s JOIN probe p ON s.cell = p.cell, q
+)
+SELECT vec_id, cosine FROM scored ORDER BY cosine DESC, vec_id ASC LIMIT {k}
+"""
+
+
+def _pq_oracle_sql(m: int = 8, kcode: int = 16, k: int = 10, dim: int = 64) -> str:
+    sub = dim // m
+    return f"""
+WITH ev AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ed FROM embeddings),
+nv AS (SELECT vec_id, list_transform(ed, x -> x / SQRT({_ip('ed', 'ed')})) AS ne FROM ev),
+q AS (SELECT ne AS qn FROM nv WHERE vec_id = 0),
+books AS (SELECT vec_id - 1 AS code, ne AS bv FROM nv WHERE vec_id BETWEEN 1 AND {kcode}),
+sub AS (SELECT CAST(j AS INT) AS j FROM range(0, {m}) t(j)),
+enc AS (
+  SELECT v.vec_id, s.j, b.code,
+         list_sum(list_transform(list_zip(v.ne[s.j*{sub}+1 : s.j*{sub}+{sub}], b.bv[s.j*{sub}+1 : s.j*{sub}+{sub}]),
+                  p -> (p[1] - p[2]) * (p[1] - p[2]))) AS d2
+  FROM nv v CROSS JOIN sub s CROSS JOIN books b WHERE v.vec_id <> 0
+),
+codes AS (
+  SELECT vec_id, j, code FROM (
+    SELECT vec_id, j, code, ROW_NUMBER() OVER (PARTITION BY vec_id, j ORDER BY d2 ASC, code ASC) AS rn
+    FROM enc) t WHERE rn = 1
+),
+lut AS (
+  SELECT b.code, s.j, {_ip(f'b.bv[s.j*{sub}+1 : s.j*{sub}+{sub}]', f'q.qn[s.j*{sub}+1 : s.j*{sub}+{sub}]')} AS ip
+  FROM books b CROSS JOIN sub s, q
+),
+scored AS (
+  SELECT c.vec_id, ROUND(SUM(l.ip), 6) AS score
+  FROM codes c JOIN lut l ON c.code = l.code AND c.j = l.j
+  GROUP BY c.vec_id
+)
+SELECT vec_id, score FROM scored ORDER BY score DESC, vec_id ASC LIMIT {k}
+"""
+
+
+@query("ann_lsh_topk", oracle=_lsh_oracle_sql())
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from flink_rtcef_spark.operators.similarity import RandomHyperplaneLSH
 
@@ -507,21 +629,35 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("ann_ivf_topk")
+@query("ann_ivf_topk", oracle=_ivf_oracle_sql())
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from flink_rtcef_spark.operators.similarity import IVFIndex
 
     emb = load_table(spark, sf_dir, "embeddings")
     qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
-    ivf = IVFIndex(n_cells=8, n_iter=5).fit(emb)
+    ivf = IVFIndex().fit_from_rows(emb, ids=list(range(1, 9)))
     return ivf.ann_topk(emb.filter(F.col("vec_id") != 0), qvec, k=10, n_probe=3)
 
 
 # --------------------------------------------------------------------------
 # Multimodal plumbing: synthesized binary payloads -> mapInPandas
 # feature extraction (deterministic byte-stat stub) -> per-type rollup.
-# Rows-only: binary columns are not oracle-comparable.
-@query("multimodal_features")
+# The synthesis is encode(text, 'utf-8') over ASCII documents, so the
+# byte statistics are SQL-derivable: n_bytes = length, byte mean = mean
+# of the character code points.
+_MULTIMODAL_SQL = """
+    SELECT CASE WHEN doc_id % 3 = 0 THEN 'image'
+                WHEN doc_id % 3 = 1 THEN 'audio'
+                ELSE 'video' END AS media_type,
+           COUNT(*) AS n_media,
+           ROUND(AVG(CAST(length(text) AS DOUBLE)), 4) AS avg_n_bytes,
+           ROUND(AVG(list_sum(list_transform(string_split(text, ''), x -> ascii(x))) * 1.0
+                     / length(text)), 4) AS avg_byte_mean
+    FROM documents GROUP BY 1
+"""
+
+
+@query("multimodal_features", oracle=_MULTIMODAL_SQL)
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     from flink_rtcef_spark.operators.multimodal import extract_features, synthesize_media
 
@@ -683,18 +819,57 @@ def sample_topk_group(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# Sequence packing (training-batch construction).  Greedy first-fit-
-# decreasing is not SQL-expressible (running-remainder recursion), so
-# this query has NO oracle — the driver records rows-only; invariants
-# (exactly-once, budget, determinism) are pytest-verified in
-# tests/test_pipeline_ops.py.
-@query("pack_sequences_2k")
+# Sequence packing (training-batch construction).  The greedy
+# first-fit-decreasing assignment itself is not SQL-expressible
+# (running-remainder recursion), so the query emits the packing's
+# falsifiable INVARIANTS computed from the real assignment, and the
+# oracle asserts them:
+# - every doc_id appears exactly once with its exact token count
+#   (hash over the full id + count set);
+# - budget_ok: the doc's pack total <= budget, or the doc alone
+#   exceeds the budget (oversized singleton pack);
+# - halfempty_ok: First-Fit guarantee — within the doc's packing
+#   bucket at most ONE pack is <= half-full (if two were, the later
+#   pack's contents would have fit in the earlier one).
+# A broken packer (doc dropped/duplicated, overfilled pack, or
+# degenerate one-doc-per-pack output) flips a value and fails the hash.
+_PACK_SQL = r"""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]', 0)) AS BIGINT) AS n_tokens,
+           TRUE AS budget_ok,
+           TRUE AS halfempty_ok
+    FROM documents
+"""
+
+
+@query("pack_sequences_2k", oracle=_PACK_SQL)
 def pack_sequences_2k(spark: SparkSession, sf_dir: str) -> DataFrame:
     from flink_rtcef_spark.operators.text import pack_sequences, token_counts
 
+    budget = 2048
     docs = load_table(spark, sf_dir, "documents")
     counted = token_counts(docs).withColumnRenamed("n_bpe_tokens", "n_tokens")
-    return pack_sequences(counted, budget=2048)
+    packed = pack_sequences(counted, budget=budget)
+    packed = packed.withColumn("bucket", F.split(F.col("pack_id"), "/")[0])
+    per_bucket = packed.groupBy("bucket").agg(
+        (
+            F.count_distinct(
+                F.when(F.col("pack_tokens") <= budget // 2, F.col("pack_id"))
+            )
+            <= 1
+        ).alias("halfempty_ok")
+    )
+    return (
+        packed.join(per_bucket, "bucket")
+        .select(
+            F.col("id").alias("doc_id"),
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            ((F.col("pack_tokens") <= budget) | (F.col("n_tokens") > budget)).alias(
+                "budget_ok"
+            ),
+            "halfempty_ok",
+        )
+    )
 
 
 # --------------------------------------------------------------------------
@@ -812,16 +987,17 @@ def embedding_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# PQ-compressed ANN (rows-only: k-means codebooks are not SQL-
-# expressible; recall-vs-bruteforce is pytest-verified).
-@query("ann_pq_topk")
+# PQ-compressed ANN with a pinned-row codebook (see the ANN-oracle note
+# above): encode + ADC verified end-to-end against the SQL re-derivation;
+# the k-means codebook path stays pytest-verified.
+@query("ann_pq_topk", oracle=_pq_oracle_sql())
 def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from flink_rtcef_spark.operators.similarity import ProductQuantizer
 
     emb = load_table(spark, sf_dir, "embeddings")
-    qvec = [float(x) for x in emb.select("embedding").first()[0]]
-    pq = ProductQuantizer(m=8, k=16, n_iter=6).fit(emb)
-    return pq.ann_topk(pq.encode(emb), qvec, kk=10)
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    pq = ProductQuantizer(m=8).fit_from_rows(emb, ids=list(range(1, 17)))
+    return pq.ann_topk(pq.encode(emb.filter(F.col("vec_id") != 0)), qvec, kk=10)
 
 
 # --------------------------------------------------------------------------
