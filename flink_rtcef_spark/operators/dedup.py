@@ -290,13 +290,12 @@ def embedding_near_dup(
 ) -> DataFrame:
     """Semantic near-dup: pairs with cosine >= threshold.
 
-    Physical plan: block-broadcast matrix multiply.  The normalized
-    corpus matrix is broadcast once; each Arrow batch of rows computes
-    a (block x corpus) numpy GEMM and emits only above-threshold pairs.
-    ~100x faster than per-pair expression evaluation and the same shape
-    that runs per-LSH-bucket at 100 TB (broadcast the bucket, GEMM the
-    bucket) — beyond broadcastable corpus size, bucket with
-    similarity.RandomHyperplaneLSH first and apply this per bucket."""
+    SMALL-CORPUS FAST PATH: the corpus matrix is materialized on the
+    driver and broadcast, then each Arrow batch GEMMs against it —
+    exact (recall 1.0) and ~100x faster than per-pair expression
+    evaluation, but bounded by driver/broadcast memory.  At scale use
+    embedding_near_dup_lsh (bucketed GEMM, no global broadcast) or the
+    size-based router embedding_near_dup_auto."""
 
     spark = df.sparkSession
     pdf = df.select(id_col, vec_col).toPandas()
@@ -379,6 +378,25 @@ def embedding_near_dup_lsh(
         score_bucket, schema="id_a long, id_b long, cosine double"
     )
     return pairs.dropDuplicates(["id_a", "id_b"])
+
+
+def embedding_near_dup_auto(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.99,
+    broadcast_limit: int = 500_000,
+    **lsh_kwargs,
+) -> DataFrame:
+    """Route by corpus size: up to ``broadcast_limit`` rows the
+    driver-broadcast GEMM (exact, fastest); beyond it the LSH-bucketed
+    GEMM (no global broadcast, recall set by the table count).  The
+    limit default assumes ~1 KB/vector -> ~0.5 GB broadcast, the usual
+    executor-memory comfort zone; tune per deployment."""
+    n = df.count()
+    if n <= broadcast_limit:
+        return embedding_near_dup(df, vec_col, id_col, threshold)
+    return embedding_near_dup_lsh(df, vec_col, id_col, threshold, **lsh_kwargs)
 
 
 def connected_components(

@@ -30,6 +30,11 @@ MINHASH_AB = [(1031, 7), (2053, 11), (4099, 13), (8209, 17)]
 _TOKENIZE_SQL = "string_split(lower(trim(text)), ' ')"
 
 
+def _ip(a: str, b: str) -> str:
+    """DuckDB inner product of two double lists."""
+    return f"list_sum(list_transform(list_zip({a}, {b}), p -> p[1] * p[2]))"
+
+
 def _tokens_spark():
     return F.split(F.lower(F.trim(F.col("text"))), " ")
 
@@ -465,10 +470,61 @@ _NEARDUP_SQL = """
 
 @query("embedding_near_dup", oracle=_NEARDUP_SQL)
 def embedding_near_dup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from flink_rtcef_spark.operators.dedup import embedding_near_dup
+    from flink_rtcef_spark.operators.dedup import embedding_near_dup_auto
 
     emb = load_table(spark, sf_dir, "embeddings")
-    return embedding_near_dup(emb, threshold=0.4)
+    # size-routed: broadcast GEMM under the limit (exact — matches the
+    # brute-force oracle at test SFs), LSH-bucketed GEMM beyond it
+    return embedding_near_dup_auto(emb, threshold=0.4)
+
+
+def _emb_lsh_pairs_oracle_sql(
+    threshold: float,
+    dim: int = 64,
+    n_planes: int = 6,
+    n_tables: int = 4,
+    seed: int = 11,
+) -> str:
+    """Re-derive the LSH-bucketed near-dup pair set in SQL: the seeded
+    hyperplanes are literals; (a, b) is a candidate iff some table
+    hashes both to the same sign pattern; candidates are scored with
+    exact cosine.  Verifies the scale path's ACTUAL output — bucketing
+    included — not a recall bound."""
+    import numpy as np
+
+    rng = np.random.RandomState(seed)
+    tables = [rng.randn(n_planes, dim) for _ in range(n_tables)]
+
+    def lit(vec):
+        return "[" + ", ".join(repr(float(x)) for x in vec) + "]"
+
+    def pat(expr, planes):
+        terms = " + ".join(
+            f"(CASE WHEN {_ip(expr, lit(planes[i]))} >= 0 THEN {1 << i} ELSE 0 END)"
+            for i in range(len(planes))
+        )
+        return f"({terms})"
+
+    pcols = ", ".join(f"{pat('ed', tables[t])} AS p{t}" for t in range(n_tables))
+    same_bucket = " OR ".join(f"a.p{t} = b.p{t}" for t in range(n_tables))
+    cos = f"{_ip('a.ed', 'b.ed')} / (SQRT({_ip('a.ed', 'a.ed')}) * SQRT({_ip('b.ed', 'b.ed')}))"
+    return f"""
+WITH ev AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ed FROM embeddings),
+pat AS (SELECT vec_id, ed, {pcols} FROM ev)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b, ROUND({cos}, 6) AS cosine
+FROM pat a JOIN pat b ON a.vec_id < b.vec_id AND ({same_bucket})
+WHERE {cos} >= {threshold}
+"""
+
+
+@query("embedding_near_dup_lsh", oracle=_emb_lsh_pairs_oracle_sql(0.4))
+def embedding_near_dup_lsh_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_rtcef_spark.operators.dedup import embedding_near_dup_lsh
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return embedding_near_dup_lsh(
+        emb, threshold=0.4, n_planes=6, n_tables=4, seed=11
+    )
 
 
 # --------------------------------------------------------------------------
@@ -502,11 +558,6 @@ def token_counts_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
 #   assignment, probing, encoding, and ADC are all SQL-derivable from
 #   the same parquet.  The Lloyd-trained codebook paths stay
 #   pytest-verified (recall vs brute force, tests/test_pipeline_ops.py).
-
-
-def _ip(a: str, b: str) -> str:
-    """DuckDB inner product of two double lists."""
-    return f"list_sum(list_transform(list_zip({a}, {b}), p -> p[1] * p[2]))"
 
 
 def _lsh_oracle_sql(
@@ -700,10 +751,15 @@ def cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# Near-dup cluster resolution: verified Jaccard pairs -> connected
-# components, component = min reachable doc_id.  One-round min-id
-# dropping (near_dedup) is exact only for cliques; chains A~B~C need
-# the closure.  Oracle: recursive CTE over the same pair set.
+# Near-dup cluster resolution: LSH candidates -> Jaccard verify (with
+# the max_df posting-list guard) -> connected components, component =
+# min reachable doc_id.  One-round min-id dropping (near_dedup) is
+# exact only for cliques; chains A~B~C need the closure.  The candidate
+# scope is the SCALE path (banded LSH, never all-pairs); the oracle CTE
+# mirrors exactly that scope: same bands, same df cap, same exact
+# denominators.
+_COMPONENTS_MAX_DF = 100
+
 _COMPONENTS_SQL = f"""
     WITH RECURSIVE toks AS (
       SELECT doc_id, list_filter({_TOKENIZE_SQL}, x -> x <> '') AS tokens FROM documents
@@ -714,10 +770,18 @@ _COMPONENTS_SQL = f"""
       FROM toks, UNNEST(range(1, greatest(len(tokens) - 1, 1))) AS t(i)
     ),
     sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM shingles GROUP BY doc_id),
+    sh_df AS (SELECT sh, COUNT(*) AS df FROM shingles GROUP BY sh),
+    capped AS (
+      SELECT s.doc_id, s.sh FROM shingles s JOIN sh_df d ON s.sh = d.sh
+      WHERE d.df <= {_COMPONENTS_MAX_DF}
+    ),
+    cands AS (SELECT doc_a, doc_b FROM ({{lsh_pairs}}) lshp),
     inter AS (
-      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
-      FROM shingles a JOIN shingles b ON a.sh = b.sh AND a.doc_id < b.doc_id
-      GROUP BY a.doc_id, b.doc_id
+      SELECT c.doc_a, c.doc_b, COUNT(*) AS n_common
+      FROM cands c
+      JOIN capped a ON a.doc_id = c.doc_a
+      JOIN capped b ON b.doc_id = c.doc_b AND a.sh = b.sh
+      GROUP BY c.doc_a, c.doc_b
     ),
     pairs AS (
       SELECT i.doc_a, i.doc_b
@@ -740,18 +804,20 @@ _COMPONENTS_SQL = f"""
 """
 
 
-@query("dedup_components", oracle=_COMPONENTS_SQL)
+@query("dedup_components", oracle=_COMPONENTS_SQL.format(lsh_pairs=_lsh_oracle()))
 def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     from flink_rtcef_spark.operators.dedup import (
         connected_components,
         jaccard_verify,
+        lsh_candidate_pairs as lsh_op,
     )
 
     docs = load_table(spark, sf_dir, "documents")
-    # candidate scope = all shingle-sharing pairs (the oracle's exact
-    # pair set; swap in lsh_candidate_pairs as the recall/cost knob at
-    # scale — the LSH tier has its own oracle-checked query)
-    dupes = jaccard_verify(docs, None, threshold=0.8)
+    sigs = minhash_signatures(spark, sf_dir)
+    cands = lsh_op(sigs, id_col="doc_id", n_hashes=4, bands=2)
+    dupes = jaccard_verify(
+        docs, cands, threshold=0.8, max_df=_COMPONENTS_MAX_DF
+    )
     cc = connected_components(dupes.select("id_a", "id_b"))
     return cc.select(F.col("id").alias("doc_id"), "component")
 
@@ -977,11 +1043,11 @@ _EMB_COMPONENTS_SQL = """
 def embedding_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from flink_rtcef_spark.operators.dedup import (
         connected_components,
-        embedding_near_dup,
+        embedding_near_dup_auto,
     )
 
     emb = load_table(spark, sf_dir, "embeddings")
-    pairs = embedding_near_dup(emb, threshold=0.4)
+    pairs = embedding_near_dup_auto(emb, threshold=0.4)
     cc = connected_components(pairs.select("id_a", "id_b"))
     return cc.select(F.col("id").alias("vec_id"), "component")
 

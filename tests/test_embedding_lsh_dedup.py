@@ -39,3 +39,35 @@ def test_bucketed_near_dup_recall(spark):
     # high recall on planted near-dups
     recall = len(approx_pairs & set(planted)) / len(planted)
     assert recall >= 0.85, recall
+
+
+def test_auto_router_picks_lsh_beyond_limit(spark):
+    """Below the limit the exact broadcast path runs (recall 1.0); above
+    it the LSH-bucketed path runs — a subset of the exact pair set with
+    identical cosines for the pairs it keeps."""
+    from flink_rtcef_spark.operators.dedup import embedding_near_dup_auto
+
+    rng = np.random.RandomState(9)
+    rows = [(i, [float(x) for x in rng.randn(32)]) for i in range(300)]
+    for j in range(15):
+        base = rng.randn(32)
+        rows.append((1000 + 2 * j, [float(x) for x in base]))
+        rows.append(
+            (1000 + 2 * j + 1, [float(x) for x in base + 0.1 * rng.randn(32)])
+        )
+    emb_df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["vec_id", "embedding"])
+    )
+    exact = embedding_near_dup_auto(
+        emb_df, threshold=0.9, broadcast_limit=10**6
+    ).toPandas()
+    lsh = embedding_near_dup_auto(
+        emb_df, threshold=0.9, broadcast_limit=1, n_tables=8, seed=11
+    ).toPandas()
+    exact_pairs = {(r.id_a, r.id_b): r.cosine for r in exact.itertuples()}
+    lsh_pairs = {(r.id_a, r.id_b): r.cosine for r in lsh.itertuples()}
+    assert set(lsh_pairs) <= set(exact_pairs)
+    for p, c in lsh_pairs.items():
+        assert abs(c - exact_pairs[p]) < 1e-9
+    # with 8 tables on this clustered fixture recall should be high
+    assert len(lsh_pairs) >= 0.8 * len(exact_pairs)
