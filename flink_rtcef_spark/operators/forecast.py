@@ -314,3 +314,203 @@ def evaluate_forecasts(results: DataFrame) -> DataFrame:
         F.sum(((~pos) & hit).cast("long")).alias("fn"),
     )
     return conf.select("key", "tp", "tn", "fp", "fn", *metrics_columns())
+
+
+def reference_report_trajectory(
+    results: DataFrame,
+    events: DataFrame,
+    key_col: str = "key",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    reporting_distance: int = 3600,
+    skip_first: bool = True,
+) -> pd.DataFrame:
+    """Replicate the reference's full reporting chain, exactly:
+
+    1. per-key LOCAL reports (WayebEngine.java:370-430): every event
+       calls checkAndReportStats; the first event arms
+       nextReportTime = ts + reportingDistance, and each event with
+       ts >= nextReportTime emits a report carrying the key's
+       CUMULATIVE confusion counts at that instant (re-evaluated over
+       everything collected so far, ClassificationForecastCollector
+       .scala:76-150: a positive forecast counts FP until a detection
+       lands in its interval, then flips to TP; negatives TN -> FN)
+       plus the delta since the key's previous report, then re-arms
+       nextReportTime = ts + reportingDistance.
+    2. GLOBAL aggregation (InferenceJob.java:259-263 +
+       MetricsAggregator.java:28-88): epoch-aligned tumbling
+       event-time windows of reportingDistance seconds over the report
+       stream; a cross-window ship-history map keeps each key's latest
+       runtime counts; global runtime = sum over history, batch = sum
+       of in-window deltas; windows with batch tp+fp+fn == 0 are
+       suppressed ("silent"); report timestamp = max local-report ts
+       in the window.
+    3. the committed baseline_metrics.csv drops the first global
+       report (log_parser.py:30-51, skip_first).
+
+    The per-forecast flip trick makes step 1 a pure cumulative-sum
+    window: each forecast contributes (FP|TN) at its emission counter
+    and, iff a detection ever lands in its interval, (+TP -FP | +FN
+    -TN) at that detection's counter — so "re-evaluate everything at
+    time T" collapses to a running sum over contribution events.
+
+    Steps 1 is distributed (one shuffle on key); step 2 is the
+    reference's own single global operator — a driver-side loop over
+    the (tiny) report stream.  Returns a pandas DataFrame
+    (timestamp, runtime_mcc, batch_mcc, tp, tn, fp, fn, batch_tp,
+    batch_fp, batch_fn, n_local_reports)."""
+    from pyspark.sql import Window as W
+
+    forecasts = results.filter(~F.col("is_detection")).select(
+        "key", "counter", "start_ctr", "end_ctr", "positive"
+    )
+    detections = results.filter(F.col("is_detection")).select(
+        F.col("key").alias("d_key"), F.col("counter").alias("det_ctr")
+    )
+    flips = (
+        forecasts.join(
+            detections,
+            (forecasts.key == detections.d_key)
+            & (detections.det_ctr >= forecasts.start_ctr)
+            & (detections.det_ctr <= forecasts.end_ctr),
+            "inner",
+        )
+        .groupBy("key", "counter", "positive")
+        .agg(F.min("det_ctr").alias("flip_ctr"))
+    )
+    pos = F.col("positive").cast("long")
+    neg = (~F.col("positive")).cast("long")
+    zero = F.lit(0).cast("long")
+    emission = forecasts.select(
+        "key",
+        F.col("counter").alias("ctr"),
+        zero.alias("dtp"),
+        neg.alias("dtn"),
+        pos.alias("dfp"),
+        zero.alias("dfn"),
+    )
+    flip = flips.select(
+        "key",
+        F.col("flip_ctr").alias("ctr"),
+        pos.alias("dtp"),
+        (-neg).alias("dtn"),
+        (-pos).alias("dfp"),
+        neg.alias("dfn"),
+    )
+    contributions = emission.unionByName(flip).withColumn("is_report", F.lit(0))
+
+    # per-key report instants: a sequential arm/fire recurrence -> one
+    # applyInPandas over the key's event times (the reference's keyed
+    # ValueState loop, WayebEngine.java:370-377)
+    ev = events.select(
+        F.col(key_col).alias("key"), F.col(ts_col).alias("ts"), F.col(id_col).alias("id")
+    ).withColumn(
+        "ctr", F.row_number().over(W.partitionBy("key").orderBy("ts", "id"))
+    )
+    dist = reporting_distance
+
+    def _report_points(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("ctr")
+        ts = pdf["ts"].to_numpy()
+        ctr = pdf["ctr"].to_numpy()
+        out_ts, out_ctr = [], []
+        next_t = ts[0] + dist if len(ts) else 0
+        for i in range(len(ts)):
+            if ts[i] >= next_t:
+                out_ts.append(int(ts[i]))
+                out_ctr.append(int(ctr[i]))
+                next_t = ts[i] + dist
+        return pd.DataFrame(
+            {"key": pdf["key"].iloc[0], "report_ts": out_ts, "ctr": out_ctr}
+        )
+
+    reports = ev.groupBy("key").applyInPandas(
+        _report_points, "key string, report_ts long, ctr long"
+    )
+
+    # running per-key cumulative counts sampled at the report instants:
+    # union contributions + reports, cumulative-sum per key in (ctr,
+    # is_report) order (report fires AFTER the event is processed,
+    # WayebEngine.java:315)
+    merged = contributions.select(
+        "key", "ctr", F.lit(None).cast("long").alias("report_ts"),
+        "dtp", "dtn", "dfp", "dfn", "is_report",
+    ).unionByName(
+        reports.select(
+            "key", "ctr", "report_ts",
+            zero.alias("dtp"), zero.alias("dtn"),
+            zero.alias("dfp"), zero.alias("dfn"),
+            F.lit(1).alias("is_report"),
+        )
+    )
+    cum = (
+        W.partitionBy("key")
+        .orderBy("ctr", "is_report", "report_ts")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    sampled = (
+        merged.select(
+            "key", "ctr", "report_ts",
+            F.sum("dtp").over(cum).alias("tp"),
+            F.sum("dtn").over(cum).alias("tn"),
+            F.sum("dfp").over(cum).alias("fp"),
+            F.sum("dfn").over(cum).alias("fn"),
+            "is_report",
+        )
+        .filter("is_report = 1")
+        .drop("is_report")
+    )
+    lagw = W.partitionBy("key").orderBy("report_ts", "ctr")
+    local_reports = sampled.select(
+        "key", "report_ts", "tp", "tn", "fp", "fn",
+        (F.col("tp") - F.coalesce(F.lag("tp").over(lagw), F.lit(0))).alias("btp"),
+        (F.col("tn") - F.coalesce(F.lag("tn").over(lagw), F.lit(0))).alias("btn"),
+        (F.col("fp") - F.coalesce(F.lag("fp").over(lagw), F.lit(0))).alias("bfp"),
+        (F.col("fn") - F.coalesce(F.lag("fn").over(lagw), F.lit(0))).alias("bfn"),
+    ).toPandas()
+
+    # --- global MetricsAggregator (driver-side, like the reference's
+    # single ProcessAllWindowFunction with its in-memory HashMap) ---
+    def _mcc(tp: float, tn: float, fp: float, fn: float) -> float:
+        # Scores.java:21-57 (the overflow-safe product form; 0.0 when
+        # any marginal is empty)
+        tpfp, tpfn, tnfp, tnfn = tp + fp, tp + fn, tn + fp, tn + fn
+        if 0 in (tpfp, tpfn, tnfp, tnfn):
+            return 0.0
+        prec, rec = tp / tpfp, tp / tpfn
+        spec, npv = tn / tnfp, tn / tnfn
+        import math
+
+        return math.sqrt(prec * rec * spec * npv) - math.sqrt(
+            (1 - prec) * (1 - rec) * (1 - spec) * (1 - npv)
+        )
+
+    lr = local_reports.sort_values(["report_ts", "key"])
+    lr["window"] = (lr["report_ts"] // dist) * dist
+    history: dict[str, tuple[int, int, int, int]] = {}
+    rows = []
+    for w, grp in lr.groupby("window", sort=True):
+        btp, btn = int(grp["btp"].sum()), int(grp["btn"].sum())
+        bfp, bfn = int(grp["bfp"].sum()), int(grp["bfn"].sum())
+        for r in grp.itertuples():
+            history[r.key] = (int(r.tp), int(r.tn), int(r.fp), int(r.fn))
+        if btp + bfp + bfn == 0:
+            continue  # silent window suppression
+        gtp = sum(v[0] for v in history.values())
+        gtn = sum(v[1] for v in history.values())
+        gfp = sum(v[2] for v in history.values())
+        gfn = sum(v[3] for v in history.values())
+        rows.append(
+            {
+                "timestamp": int(grp["report_ts"].max()),
+                "runtime_mcc": _mcc(gtp, gtn, gfp, gfn),
+                "batch_mcc": _mcc(btp, btn, bfp, bfn),
+                "tp": gtp, "tn": gtn, "fp": gfp, "fn": gfn,
+                "batch_tp": btp, "batch_fp": bfp, "batch_fn": bfn,
+                "n_local_reports": len(grp),
+            }
+        )
+    out = pd.DataFrame(rows)
+    if skip_first and len(out):
+        out = out.iloc[1:].reset_index(drop=True)
+    return out

@@ -181,3 +181,53 @@ def test_forecast_operator_end_to_end(spark):
     assert set(ev["key"]) == {"k1", "k2"}
     assert ((ev.tp + ev.tn + ev.fp + ev.fn) > 0).all()
     assert (ev.mcc.abs() <= 1.0).all()
+
+
+def test_reference_report_trajectory_semantics(spark):
+    """Hand-built stream pinning the reference reporting chain:
+    collector re-evaluation (positive counts FP until its detection
+    arrives, then flips to TP across report boundaries), per-key
+    cadence (first report at first_ts + distance), silent-window
+    suppression, and the log parser's skip-first."""
+    import pandas as pd
+
+    from flink_rtcef_spark.operators.forecast import reference_report_trajectory
+
+    # key A: events every 40 s from t=0; a positive forecast emitted at
+    # counter 2 with interval [5, 8]; detection at counter 7 (t=240).
+    events = [("A", 40 * i, i) for i in range(30)]
+    ev_df = spark.createDataFrame(
+        pd.DataFrame(events, columns=["key", "ts", "event_id"])
+    )
+    res = pd.DataFrame(
+        [
+            # key, ts, event_id, counter, prob, start, end, pos, is_det
+            ("A", 80, 2, 3, 0.9, 5, 8, True, False),
+            ("A", 240, 6, 7, 1.0, 0, 0, False, True),
+            ("A", 320, 8, 9, 0.9, 11, 12, True, False),
+        ],
+        columns=[
+            "key", "ts", "event_id", "counter", "prob",
+            "start_ctr", "end_ctr", "positive", "is_detection",
+        ],
+    )
+    res_df = spark.createDataFrame(res)
+
+    # distance 100 s: key A's reports fire at ts>=100 (t=120, ctr 4),
+    # ts>=220 (t=240, ctr 7), t=360 (ctr 10), ...  Report 1 sees the
+    # first forecast as FP (detection not arrived yet).  Report 2 sees
+    # it flipped to TP — but its batch delta is tp=+1, fp=-1, summing
+    # to 0, so the reference SUPPRESSES that window (the same quirk as
+    # MetricsAggregator.java:63: a pure flip looks silent).  Report 3
+    # adds the second forecast as a fresh FP, so its window emits and
+    # exposes the flipped cumulative state (tp=1, fp=1).
+    traj = reference_report_trajectory(
+        res_df, ev_df, reporting_distance=100, skip_first=False
+    )
+    assert list(traj.tp) == [0, 1]
+    assert list(traj.fp) == [1, 1]
+    # skip_first drops the first row
+    traj2 = reference_report_trajectory(
+        res_df, ev_df, reporting_distance=100, skip_first=True
+    )
+    assert len(traj2) == 1 and traj2.tp.iloc[0] == 1 and traj2.fp.iloc[0] == 1
