@@ -429,3 +429,21 @@ def test_jaccard_verify_pairs_plan_has_no_shingle_self_join(spark, doc_df):
     # with id<id appears only in the full-scan path
     self_join = re.search(r"Join .*\bsh#\d+ = sh#\d+.*<", plan)
     assert self_join is None, f"posting-list self-join found:\n{plan}"
+
+
+def test_connected_components_deep_chain_logarithmic(spark):
+    """A 400-deep path graph: diameter-bound min-label propagation
+    would need 400 rounds; the large-star/small-star algorithm must
+    close it within the default 25 (O(log n)) — all nodes land in
+    component 0."""
+    from flink_rtcef_spark.operators.dedup import connected_components
+
+    n = 400
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n)], "id_a long, id_b long"
+    )
+    got = {
+        r["id"]: r["component"] for r in connected_components(pairs).collect()
+    }
+    assert len(got) == n + 1
+    assert set(got.values()) == {0}
