@@ -40,6 +40,108 @@ def swap_mapping(old: SPST, new: SPST) -> np.ndarray:
     return mapping
 
 
+FORECAST_COLUMNS = [
+    "key", "ts", "event_id", "counter", "is_detection",
+    "prob", "start_ctr", "end_ctr", "positive",
+]
+
+
+def _run_forecast_segment(key, syms, tss, ids, init, main, swap=None):
+    """THE forecast run kernel — shared verbatim by batch
+    (ForecastCEP.forecasts) and streaming (streaming/inference.py), so
+    the two paths cannot diverge.
+
+    One key segment; ``init`` = (state, counter0, swapped) carried
+    across Arrow batches / GroupState.  ``main`` = (delta, finals,
+    started, ftable, resets); ``swap`` = None or (migrate, sync_time,
+    delta2, finals2, started2, ftable2) for the synchronized per-event
+    model swap (G4).  Sequential pass computes only the state
+    trajectory; emission is vectorized."""
+    delta, finals, started, ftable, resets = main
+    if swap is not None:
+        migrate, sync_time, delta2, finals2, started2, ftable2 = swap
+    n = len(syms)
+    states = np.zeros(n, dtype=np.int64)
+    state, counter0, swapped = init
+    d = delta2 if swapped and swap is not None else delta
+    swap_at = 0 if swapped else n
+    for i in range(n):
+        if not swapped and swap is not None and sync_time is not None and tss[i] >= sync_time:
+            # synchronized swap: migrate run state into the new
+            # model at this key's first event past syncTime
+            state = int(migrate[state])
+            d = delta2
+            swapped = True
+            swap_at = i
+        if syms[i] in resets:  # ResetEvent clears run + buffer
+            state = 0
+        else:
+            state = int(d[state, syms[i]])
+        states[i] = state
+    counters = np.arange(counter0 + 1, counter0 + n + 1)
+    pre = slice(0, swap_at)
+    post = slice(swap_at, n)
+    det_mask = np.zeros(n, dtype=bool)
+    det_mask[pre] = finals[states[pre]]
+    fc_mask = np.zeros(n, dtype=bool)
+    fstart = np.zeros(n)
+    fend = np.zeros(n)
+    fprob = np.zeros(n)
+    fpos = np.zeros(n)
+    for sl, fin, strt, ftab in (
+        (pre, finals, started, ftable),
+        (post, finals2, started2, ftable2) if swap is not None else (post, finals, started, ftable),
+    ):
+        if sl.stop - (sl.start or 0) <= 0:
+            continue
+        st = states[sl]
+        det_mask[sl] = fin[st]
+        rowvals = ftab[st]
+        fc_mask[sl] = strt[st] & (rowvals[:, 0] >= 0)
+        fstart[sl], fend[sl], fprob[sl], fpos[sl] = (
+            rowvals[:, 0], rowvals[:, 1], rowvals[:, 2], rowvals[:, 3]
+        )
+    frames = []
+    if det_mask.any():
+        di = np.where(det_mask)[0]
+        frames.append(
+            pd.DataFrame(
+                {
+                    "key": key,
+                    "ts": tss[di].astype("int64"),
+                    "event_id": ids[di].astype("int64"),
+                    "counter": counters[di],
+                    "is_detection": True,
+                    "prob": -1.0,
+                    "start_ctr": -1,
+                    "end_ctr": -1,
+                    "positive": False,
+                }
+            )
+        )
+    if fc_mask.any():
+        fi = np.where(fc_mask)[0]
+        frames.append(
+            pd.DataFrame(
+                {
+                    "key": key,
+                    "ts": tss[fi].astype("int64"),
+                    "event_id": ids[fi].astype("int64"),
+                    "counter": counters[fi],
+                    "is_detection": False,
+                    "prob": fprob[fi],
+                    "start_ctr": counters[fi] + fstart[fi].astype("int64"),
+                    "end_ctr": counters[fi] + fend[fi].astype("int64"),
+                    "positive": fpos[fi] >= 1.0,
+                }
+            )
+        )
+    carry = (state, int(counters[-1]) if n else counter0, swapped)
+    if not frames:
+        return pd.DataFrame(columns=FORECAST_COLUMNS), carry
+    return pd.concat(frames)[FORECAST_COLUMNS], carry
+
+
 class ForecastCEP(BatchCEP):
     def __init__(
         self,
@@ -96,92 +198,17 @@ class ForecastCEP(BatchCEP):
             "positive boolean"
         )
 
+        main_tables = (delta, finals, started, ftable, resets)
+        swap_tables = (
+            None
+            if new_model is None
+            else (migrate, sync_time, delta2, finals2, started2, ftable2)
+        )
+
         def run_segment(key, syms, tss, ids, init):
-            """One key segment; ``init`` = (state, counter0, swapped)
-            carried across Arrow batches.  Sequential pass computes only
-            the state trajectory; emission is vectorized."""
-            n = len(syms)
-            states = np.zeros(n, dtype=np.int64)
-            state, counter0, swapped = init
-            d = delta2 if swapped and new_model is not None else delta
-            swap_at = 0 if swapped else n
-            for i in range(n):
-                if not swapped and new_model is not None and sync_time is not None and tss[i] >= sync_time:
-                    # synchronized swap: migrate run state into the new
-                    # model at this key's first event past syncTime
-                    state = int(migrate[state])
-                    d = delta2
-                    swapped = True
-                    swap_at = i
-                if syms[i] in resets:  # ResetEvent clears run + buffer
-                    state = 0
-                else:
-                    state = int(d[state, syms[i]])
-                states[i] = state
-            counters = np.arange(counter0 + 1, counter0 + n + 1)
-            pre = slice(0, swap_at)
-            post = slice(swap_at, n)
-            det_mask = np.zeros(n, dtype=bool)
-            det_mask[pre] = finals[states[pre]]
-            fc_mask = np.zeros(n, dtype=bool)
-            fstart = np.zeros(n)
-            fend = np.zeros(n)
-            fprob = np.zeros(n)
-            fpos = np.zeros(n)
-            for sl, fin, strt, ftab in (
-                (pre, finals, started, ftable),
-                (post, finals2, started2, ftable2) if not (new_model is None) else (post, finals, started, ftable),
-            ):
-                if sl.stop - (sl.start or 0) <= 0:
-                    continue
-                st = states[sl]
-                det_mask[sl] = fin[st]
-                rowvals = ftab[st]
-                fc_mask[sl] = strt[st] & (rowvals[:, 0] >= 0)
-                fstart[sl], fend[sl], fprob[sl], fpos[sl] = (
-                    rowvals[:, 0], rowvals[:, 1], rowvals[:, 2], rowvals[:, 3]
-                )
-            frames = []
-            if det_mask.any():
-                di = np.where(det_mask)[0]
-                frames.append(
-                    pd.DataFrame(
-                        {
-                            "key": key,
-                            "ts": tss[di].astype("int64"),
-                            "event_id": ids[di].astype("int64"),
-                            "counter": counters[di],
-                            "is_detection": True,
-                            "prob": -1.0,
-                            "start_ctr": -1,
-                            "end_ctr": -1,
-                            "positive": False,
-                        }
-                    )
-                )
-            if fc_mask.any():
-                fi = np.where(fc_mask)[0]
-                frames.append(
-                    pd.DataFrame(
-                        {
-                            "key": key,
-                            "ts": tss[fi].astype("int64"),
-                            "event_id": ids[fi].astype("int64"),
-                            "counter": counters[fi],
-                            "is_detection": False,
-                            "prob": fprob[fi],
-                            "start_ctr": counters[fi] + fstart[fi].astype("int64"),
-                            "end_ctr": counters[fi] + fend[fi].astype("int64"),
-                            "positive": fpos[fi] >= 1.0,
-                        }
-                    )
-                )
-            cols = ["key", "ts", "event_id", "counter", "is_detection",
-                    "prob", "start_ctr", "end_ctr", "positive"]
-            carry = (state, int(counters[-1]) if n else counter0, swapped)
-            if not frames:
-                return pd.DataFrame(columns=cols), carry
-            return pd.concat(frames)[cols], carry
+            return _run_forecast_segment(
+                key, syms, tss, ids, init, main_tables, swap_tables
+            )
 
         def run_partition(batches):
             # fused strategy (see BatchCEP.detections): one Python call

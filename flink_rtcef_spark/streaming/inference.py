@@ -34,11 +34,65 @@ OUTPUT_SCHEMA = (
 )
 
 
-def make_stateful_fn(compiled: CompiledPattern, state_ttl_ms: int = 0):
+_DETECT_COLUMNS = [
+    "key",
+    "detection_event_id",
+    "detection_ts",
+    "counter",
+    "min_counter",
+    "n_matched",
+]
+
+
+def _make_detect_runner(compiled: CompiledPattern):
+    """One key's run over a sequence of pandas batches using the SAME
+    kernels as BatchCEP (operators/cep.py): the vectorized
+    prefix-composition scan for windowless small automata, the
+    O(1)-per-event segment loop otherwise.  Tables are built once per
+    worker (closure), not per key.  The runner returns (rows, carry)
+    with carry = (state, counter, min_counter, min_ts, n_matched)."""
+    import numpy as np
+
+    from flink_rtcef_spark.operators.cep import (
+        _run_sdfa_batch_vectorized,
+        _run_sdfa_segment,
+    )
+
     delta, take, finals = transition_tables(compiled.sdfa)
     window = compiled.window
     window_type = compiled.window_type
     resets = compiled.reset_symbols()
+    vectorized = window == 0 and delta.shape[0] <= 64
+
+    def run(key, pdf_iter, carry):
+        out: list[tuple] = []
+        for pdf in pdf_iter:
+            if len(pdf) == 0:
+                continue
+            pdf = pdf.sort_values(["ts", "event_id"], kind="mergesort")
+            syms = pdf["symbol"].to_numpy()
+            tss = pdf["ts"].to_numpy()
+            ids = pdf["event_id"].to_numpy()
+            if vectorized:
+                keys = np.full(len(syms), key, dtype=object)
+                rows, (_, carry) = _run_sdfa_batch_vectorized(
+                    keys, syms, tss, ids, delta, take, finals, resets,
+                    carry_key=key if carry is not None else None, carry=carry,
+                )
+                out.extend(rows)
+            else:
+                rows, carry = _run_sdfa_segment(
+                    syms, tss, ids, delta, take, finals, window, window_type,
+                    resets, carry,
+                )
+                out.extend((key, *r) for r in rows)
+        return out, (carry or (0, 0, -1, -1, 0))
+
+    return run
+
+
+def make_stateful_fn(compiled: CompiledPattern, state_ttl_ms: int = 0):
+    runner = _make_detect_runner(compiled)
 
     def fn(
         key: tuple, pdf_iter: Iterator[pd.DataFrame], state: GroupState
@@ -47,66 +101,14 @@ def make_stateful_fn(compiled: CompiledPattern, state_ttl_ms: int = 0):
         # :213-216): idle keys are reclaimed via processing-time timeout
         if state_ttl_ms > 0 and state.hasTimedOut:
             state.remove()
-            yield pd.DataFrame(
-                [],
-                columns=[
-                    "key",
-                    "detection_event_id",
-                    "detection_ts",
-                    "counter",
-                    "min_counter",
-                    "n_matched",
-                ],
-            )
+            yield pd.DataFrame([], columns=_DETECT_COLUMNS)
             return
-        if state.exists:
-            st, counter, min_counter, min_ts, n_matched = state.get
-        else:
-            st, counter, min_counter, min_ts, n_matched = 0, 0, -1, -1, 0
-        out = []
-        for pdf in pdf_iter:
-            pdf = pdf.sort_values(["ts", "event_id"], kind="mergesort")
-            syms = pdf["symbol"].to_numpy()
-            tss = pdf["ts"].to_numpy()
-            ids = pdf["event_id"].to_numpy()
-            for i in range(len(syms)):
-                counter += 1
-                if syms[i] in resets:  # ResetEvent (Run.scala:309-323)
-                    st, min_counter, min_ts, n_matched = 0, -1, -1, 0
-                    continue
-                if window > 0 and min_counter != -1:
-                    span = (
-                        (counter - min_counter)
-                        if window_type == "count"
-                        else (tss[i] - min_ts)
-                    )
-                    if span >= window:
-                        st, min_counter, min_ts, n_matched = 0, -1, -1, 0
-                nxt = int(delta[st, syms[i]])
-                if take[st, syms[i]]:
-                    if min_counter == -1:
-                        min_counter, min_ts = counter, int(tss[i])
-                    n_matched += 1
-                if finals[nxt]:
-                    out.append(
-                        (key[0], int(ids[i]), int(tss[i]), counter, min_counter, n_matched)
-                    )
-                    min_counter, min_ts, n_matched = -1, -1, 0
-                st = nxt
-        state.update((int(st), int(counter), int(min_counter), int(min_ts), int(n_matched)))
+        carry = tuple(state.get) if state.exists else None
+        out, carry = runner(key[0], pdf_iter, carry)
+        state.update(tuple(int(x) for x in carry))
         if state_ttl_ms > 0:
             state.setTimeoutDuration(state_ttl_ms)
-        yield pd.DataFrame(
-            out,
-            columns=[
-                "key",
-                "detection_event_id",
-                "detection_ts",
-                "counter",
-                "min_counter",
-                "n_matched",
-            ],
-        )
+        yield pd.DataFrame(out, columns=_DETECT_COLUMNS)
 
     return fn
 
@@ -122,49 +124,47 @@ def make_forecast_stateful_fn(
     spst, method: str, confidence_threshold: float, spread: int
 ):
     """Streaming twin of ForecastCEP: per-key virtual state + counter in
-    GroupState, forecasts from the precomputed per-state table — the
-    reference's online inference path (WayebEngine.processElement:225-316)
-    as a Structured Streaming operator."""
-    delta = spst.delta
-    finals = spst.finals
-    started = spst.started
-    resets = spst.compiled.reset_symbols()
-    ftable = spst.forecast_table(method, confidence_threshold, spread)
+    GroupState, forecasts via the SAME _run_forecast_segment kernel the
+    batch operator uses — the reference's online inference path
+    (WayebEngine.processElement:225-316) as a Structured Streaming
+    operator."""
+    from flink_rtcef_spark.operators.forecast import (
+        FORECAST_COLUMNS,
+        _run_forecast_segment,
+    )
+
+    main_tables = (
+        spst.delta,
+        spst.finals,
+        spst.started,
+        spst.forecast_table(method, confidence_threshold, spread),
+        spst.compiled.reset_symbols(),
+    )
 
     def fn(key: tuple, pdf_iter: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
         if state.exists:
             st, counter = state.get
         else:
             st, counter = 0, 0
-        rows = []
+        frames = []
         for pdf in pdf_iter:
+            if len(pdf) == 0:
+                continue
             pdf = pdf.sort_values(["ts", "event_id"], kind="mergesort")
-            syms = pdf["symbol"].to_numpy()
-            tss = pdf["ts"].to_numpy()
-            ids = pdf["event_id"].to_numpy()
-            for i in range(len(syms)):
-                counter += 1
-                if syms[i] in resets:
-                    st = 0
-                    continue
-                st = int(delta[st, syms[i]])
-                if finals[st]:
-                    rows.append(
-                        (key[0], int(tss[i]), int(ids[i]), counter, True, -1.0, -1, -1, False)
-                    )
-                if started[st]:
-                    fs, fe, fp, fpos = ftable[st]
-                    if fs >= 0:
-                        rows.append(
-                            (key[0], int(tss[i]), int(ids[i]), counter, False,
-                             float(fp), counter + int(fs), counter + int(fe),
-                             bool(fpos >= 1.0))
-                        )
+            frame, (st, counter, _) = _run_forecast_segment(
+                key[0],
+                pdf["symbol"].to_numpy(),
+                pdf["ts"].to_numpy(),
+                pdf["event_id"].to_numpy(),
+                (st, counter, True),
+                main_tables,
+            )
+            frames.append(frame)
         state.update((int(st), int(counter)))
-        yield pd.DataFrame(
-            rows,
-            columns=["key", "ts", "event_id", "counter", "is_detection",
-                     "prob", "start_ctr", "end_ctr", "positive"],
+        yield (
+            pd.concat(frames)
+            if frames
+            else pd.DataFrame(columns=FORECAST_COLUMNS)
         )
 
     return fn
@@ -207,6 +207,99 @@ def streaming_forecasts(
         stateStructType=FORECAST_STATE_SCHEMA,
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def streaming_detections_event_ttl(
+    stream_df: DataFrame,
+    compiled: CompiledPattern,
+    key_col: str | None = None,
+    ts_col: str = "timestamp",
+    id_col: str = "id",
+    watermark: str = "60 seconds",
+    state_ttl_ms: int = 0,
+) -> DataFrame:
+    """streaming_detections on the Spark 4.1 transformWithStateInPandas
+    runtime: the same shared batch kernel, with run expiration on EVENT
+    time via timers — parity with Flink's event-time timers (the
+    reference reclaims idle runs on the event clock, not the wall
+    clock; applyInPandasWithState can only offer processing-time TTL).
+
+    Each microbatch re-arms one event-time timer per key at
+    (max event ts + state_ttl_ms); when the watermark passes it the
+    key's run state is dropped.  Requires the RocksDB state store
+    (set spark.sql.streaming.stateStore.providerClass to
+    ...state.RocksDBStateStoreProvider) and the ``protobuf`` package
+    (the runtime's state-server protocol — absent in this sandbox, so
+    the equivalence test skips; the applyInPandasWithState path above
+    remains the exercised default)."""
+    from pyspark.sql.streaming.stateful_processor import (
+        ExpiredTimerInfo,
+        StatefulProcessor,
+        StatefulProcessorHandle,
+        TimerValues,
+    )
+
+    key = key_col or compiled.partition_by
+    ts_is_timestamp = dict(stream_df.dtypes).get(ts_col) in ("timestamp", "timestamp_ntz")
+    with_event_time = (
+        stream_df
+        if ts_is_timestamp
+        else stream_df.withColumn("__event_time", F.timestamp_seconds(F.col(ts_col)))
+    )
+    et_col = ts_col if ts_is_timestamp else "__event_time"
+    sym = (
+        with_event_time.withWatermark(et_col, watermark)
+        .select(
+            F.col(key).cast("string").alias("key"),
+            (F.unix_millis(F.col(et_col))).alias("ts"),
+            F.col(id_col).alias("event_id"),
+            compiled.symbol_column().alias("symbol"),
+        )
+    )
+
+    class DetectProcessor(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._handle = handle
+            self._state = handle.getValueState("run", STATE_SCHEMA)
+            self._runner = _make_detect_runner(compiled)
+
+        def handleInputRows(
+            self, key_, rows, timerValues: TimerValues
+        ) -> Iterator[pd.DataFrame]:
+            carry = tuple(self._state.get()) if self._state.exists() else None
+            max_ts = [-1]
+
+            def observed(it):
+                for pdf in it:
+                    if len(pdf):
+                        max_ts[0] = max(max_ts[0], int(pdf["ts"].max()))
+                    yield pdf
+
+            out, carry = self._runner(key_[0], observed(rows), carry)
+            self._state.update(tuple(int(x) for x in carry))
+            if state_ttl_ms > 0 and max_ts[0] >= 0:
+                # re-arm the key's single event-time timer at
+                # last-event-ts + ttl (Flink timer semantics)
+                for t in self._handle.listTimers():
+                    self._handle.deleteTimer(t)
+                self._handle.registerTimer(max_ts[0] + state_ttl_ms)
+            yield pd.DataFrame(out, columns=_DETECT_COLUMNS)
+
+        def handleExpiredTimer(
+            self, key_, timerValues: TimerValues, expiredTimerInfo: ExpiredTimerInfo
+        ) -> Iterator[pd.DataFrame]:
+            self._state.clear()
+            yield pd.DataFrame([], columns=_DETECT_COLUMNS)
+
+        def close(self) -> None:
+            pass
+
+    return sym.groupBy("key").transformWithStateInPandas(
+        statefulProcessor=DetectProcessor(),
+        outputStructType=OUTPUT_SCHEMA,
+        outputMode="append",
+        timeMode="eventTime" if state_ttl_ms > 0 else "none",
     )
 
 

@@ -196,3 +196,67 @@ def test_full_loop_replay(spark, tmp_path):
     assert all(-1.0 <= p.batch_mcc <= 1.0 for p in points)
     # the drift must trigger at least one adaptation instruction
     assert any(p.event for p in points), [p.event for p in points]
+
+
+def test_tws_streaming_equals_batch(spark, tmp_path):
+    """The transformWithStateInPandas path (Spark 4.1, event-time
+    timers) produces exactly the applyInPandasWithState path's output,
+    which equals batch — all three ride the same kernel."""
+    pytest.importorskip(
+        "google.protobuf",
+        reason="transformWithStateInPandas needs protobuf (its state-server "
+        "protocol); not installed in this sandbox",
+    )
+    from flink_rtcef_spark.streaming.inference import (
+        streaming_detections_event_ttl,
+    )
+
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        pdf = _stream_rows()
+        compiled = compile_pattern(PAT, DECLS)
+        src = tmp_path / "src_tws"
+        src.mkdir()
+        for c, chunk in enumerate(np.array_split(pdf.sort_values("timestamp"), 5)):
+            spark.createDataFrame(chunk).coalesce(1).write.mode("overwrite").parquet(
+                str(src / f"c{c}")
+            )
+        schema = "k string, timestamp long, id long, event_type string"
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src / "c*"))
+        )
+        out = streaming_detections_event_ttl(
+            stream, compiled, ts_col="timestamp", id_col="id",
+            state_ttl_ms=3_600_000,
+        )
+        q = (
+            out.writeStream.format("memory")
+            .queryName("tws_dets")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = spark.sql("select * from tws_dets").toPandas()
+
+        batch_df = spark.createDataFrame(pdf)
+        cep = BatchCEP(compiled, ts_col="timestamp", id_col="id")
+        expected = cep.detections(batch_df).toPandas()
+
+        gs = got.sort_values(["key", "detection_event_id"]).reset_index(drop=True)
+        es = expected.sort_values(["key", "detection_event_id"]).reset_index(drop=True)
+        assert len(gs) == len(es) and len(gs) > 0
+        assert list(gs["key"]) == list(es["key"].astype(str))
+        assert list(gs["detection_event_id"]) == list(es["detection_event_id"])
+        assert list(gs["counter"]) == list(es["counter"])
+    finally:
+        if prev is not None:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+        else:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
