@@ -65,8 +65,12 @@ def test_topk_compiles_to_take_ordered(spark):
     assert "TakeOrderedAndProject" in plan
 
 
-def test_semi_join_for_lsh_verify(spark):
-    # jaccard verification restricts to candidate pairs via a semi join
+def test_pairs_first_join_for_lsh_verify(spark):
+    """With LSH candidates supplied, jaccard_verify must start FROM the
+    pair set and hang the two shingle sides onto it — never compute the
+    inverted-index self-join and restrict afterwards.  Plan shape: only
+    Inner joins (a post-hoc restriction would show as LeftSemi above the
+    self-join), and the final pair aggregation keyed on (id_a, id_b)."""
     from flink_rtcef_spark.operators.dedup import (
         jaccard_verify,
         lsh_candidate_pairs,
@@ -81,7 +85,10 @@ def test_semi_join_for_lsh_verify(spark):
     plan = df._sc._jvm.PythonSQLUtils.explainString(
         df._jdf.queryExecution(), "formatted"
     )
-    assert "LeftSemi" in plan
+    assert "LeftSemi" not in plan
+    # the two shingle sides join onto the candidate set by id (+ shingle)
+    assert re.search(r"Left keys \[1\]: \[id_a#\d+", plan)
+    assert re.search(r"Left keys \[2\]: \[id_b#\d+L?, sh#\d+", plan)
 
 
 def test_register_cep_single_shuffle_and_jvm_bits(spark):
