@@ -118,22 +118,116 @@ def normalize_events(
     return out.filter(F.col("key").isNotNull() & F.col("timestamp").isNotNull())
 
 
-def read_kafka_stream(spark: SparkSession, brokers: str, topics: str, starting: str = "earliest"):
+# The wire schema spark-sql-kafka produces for every record; contract
+# tests build static frames with this schema so the parse chain is
+# exercised without a broker.
+KAFKA_RAW_SCHEMA = (
+    "key binary, value binary, topic string, partition int, offset long, "
+    "timestamp timestamp, timestampType int"
+)
+
+
+def kafka_source_options(
+    brokers: str,
+    topics: str | list[str] | tuple[str, ...],
+    starting: str = "earliest",
+) -> dict[str, str]:
+    """Source options mirroring the reference's consumer contract
+    (InferenceJob.java:120-132, 145-153, 169-178): multi-topic
+    subscription, configurable starting offsets, and the I/O-lag
+    tolerance timeouts it sets on every consumer
+    (session.timeout.ms=45000 / request.timeout.ms=60000)."""
+    if starting not in ("earliest", "latest"):
+        raise ValueError(f"startingOffsets must be earliest|latest, got {starting!r}")
+    if not isinstance(topics, str):
+        topics = ",".join(topics)
+    return {
+        "kafka.bootstrap.servers": brokers,
+        "subscribe": topics,
+        "startingOffsets": starting,
+        "kafka.session.timeout.ms": "45000",
+        "kafka.request.timeout.ms": "60000",
+    }
+
+
+def read_kafka_stream(
+    spark: SparkSession,
+    brokers: str,
+    topics: str | list[str] | tuple[str, ...],
+    starting: str = "earliest",
+):
     """Kafka source (InferenceJob.java:120-132 equivalent).
 
     Gated: the local image ships no spark-sql-kafka package; on a real
     cluster pass --packages org.apache.spark:spark-sql-kafka-0-10_2.13.
     """
+    reader = spark.readStream.format("kafka")
+    for k, v in kafka_source_options(brokers, topics, starting).items():
+        reader = reader.option(k, v)
     try:
-        return (
-            spark.readStream.format("kafka")
-            .option("kafka.bootstrap.servers", brokers)
-            .option("subscribe", topics)
-            .option("startingOffsets", starting)
-            .load()
-        )
+        return reader.load()
     except Exception as exc:  # pragma: no cover - environment-dependent
         raise NotImplementedError(
             "Kafka connector jar not available in this environment; "
             "use file/memory sources locally"
+        ) from exc
+
+
+def parse_kafka_values(raw: DataFrame, schema=None) -> DataFrame:
+    """Value-only deserialization, the reference's SimpleStringSchema
+    (InferenceJob.java:127 setValueOnlyDeserializer): the record value
+    becomes a string; with ``schema`` given it is further parsed as one
+    JSON event per record (JsonEventParser parity).  Pure Column
+    expressions over the Kafka wire schema, so it applies identically to
+    a live ``readStream`` and to a static contract-test frame."""
+    value = F.col("value").cast("string")
+    if schema is None:
+        return raw.select(value.alias("value"))
+    parsed = raw.select(F.from_json(value, schema).alias("e"))
+    # malformed JSON -> all-null struct; drop, as the reference's parser
+    # flatMap skips unparseable records
+    any_field_set = F.expr(
+        " or ".join(f"`{f.name}` is not null" for f in schema.fields) or "true"
+    )
+    return parsed.select("e.*").filter(any_field_set)
+
+
+def kafka_sink_payload(
+    df: DataFrame, key_col: str | None = None, value_cols: list[str] | None = None
+) -> DataFrame:
+    """Serialize rows to the (key, value) pair the Kafka sink writes:
+    value is the JSON of the selected columns (the reference emits
+    string records, InferenceJob.java:201-208 SimpleStringSchema), key
+    optionally carries the partition key so a keyed topic preserves
+    per-key ordering (the engine's keyBy(mmsi) contract)."""
+    cols = value_cols or df.columns
+    value = F.to_json(F.struct(*[F.col(c) for c in cols])).alias("value")
+    if key_col is None:
+        return df.select(value)
+    return df.select(F.col(key_col).cast("string").alias("key"), value)
+
+
+def write_kafka_stream(
+    df: DataFrame,
+    brokers: str,
+    topic: str,
+    checkpoint: str,
+    key_col: str | None = None,
+    value_cols: list[str] | None = None,
+):
+    """Kafka sink (InferenceJob.java:201-208 datasetsSink equivalent).
+    Same packaging gate as the source."""
+    payload = kafka_sink_payload(df, key_col=key_col, value_cols=value_cols)
+    writer = (
+        payload.writeStream.format("kafka")
+        .option("kafka.bootstrap.servers", brokers)
+        .option("topic", topic)
+        .option("checkpointLocation", checkpoint)
+    )
+    try:
+        return writer.start()
+    except Exception as exc:  # pragma: no cover - environment-dependent
+        raise NotImplementedError(
+            "Kafka connector jar not available in this environment; "
+            "use file/memory sinks locally"
         ) from exc
