@@ -79,6 +79,8 @@ def main() -> None:
         q.QUERIES["cep_sdfa_detect"](spark, sf_dir).count()
         marginal = round(n_events / (time.time() - t0))
 
+    hot_plain, hot_split = hotkey_fixture(spark)
+
     print(
         json.dumps(
             {
@@ -89,9 +91,69 @@ def main() -> None:
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "cep_events_per_sec": throughput,
                 "cep_marginal_events_per_sec": marginal,
+                "cep_hotkey_plain_sec": hot_plain,
+                "cep_hotkey_presplit_sec": hot_split,
             }
         )
     )
+
+
+def hotkey_fixture(spark, n_events: int = 5_000_000):
+    """One pathological key (the keyBy serialization wall — reference
+    ERFEngine.scala:199-221 has the same limit): all events on a single
+    partition key, so the plain path runs the whole stream in ONE task
+    while the time-range pre-split (operators/cep_presplit.py) spreads
+    it across shards.  The pattern is *windowed* — the regime where the
+    O(1)-per-event loop is the only kernel (composition scans don't
+    apply) and per-key serialization genuinely bounds the job; periodic
+    RESET control events give every shard its exactness certificate.
+    Records both wall times."""
+    import time as _t
+
+    from pyspark.sql import functions as F
+
+    from flink_rtcef_spark.operators.cep import BatchCEP
+    from flink_rtcef_spark.operators.cep_presplit import presplit_detections
+    from flink_rtcef_spark.plans.compiler import compile_pattern
+
+    ev = (
+        spark.range(n_events)
+        .select(
+            F.lit("hot").alias("key"),
+            (F.col("id") * 10).alias("ts"),
+            F.col("id"),
+            F.when(F.col("id") % 500 == 0, F.lit("RESET"))
+            .otherwise(
+                F.element_at(
+                    F.array(F.lit("view"), F.lit("click"), F.lit("purchase")),
+                    ((F.xxhash64("id") % 3 + 3) % 3 + 1).cast("int"),
+                )
+            )
+            .alias("event_type"),
+        )
+        .cache()
+    )
+    ev.count()
+    compiled = compile_pattern(
+        ";(IsEventTypePredicate(view),IsEventTypePredicate(click))"
+        "{partitionBy:key}{window:40}",
+        "+(IsEventTypePredicate(RESET))\n"
+        "~(IsEventTypePredicate(view),IsEventTypePredicate(click),"
+        "IsEventTypePredicate(RESET))",
+    )
+    cep = BatchCEP(compiled, key_col="key", ts_col="ts", id_col="id")
+    t0 = _t.time()
+    cep.detections(ev).count()
+    plain = round(_t.time() - t0, 3)
+    span = n_events * 10 // 64  # ~64 shards; resets every 500 events
+    t0 = _t.time()
+    presplit_detections(
+        ev, compiled, shard_span=span, warmup=span // 8, key_col="key",
+        ts_col="ts", id_col="id", strict=True,
+    ).count()
+    split = round(_t.time() - t0, 3)
+    ev.unpersist()
+    return plain, split
 
 
 if __name__ == "__main__":

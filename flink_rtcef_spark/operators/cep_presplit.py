@@ -1,0 +1,311 @@
+"""Hot-key pre-split for the CEP operator.
+
+The per-key SDFA run serializes inside its group — the same wall Flink's
+keyBy hits (reference ERFEngine.scala:199-221: one event-at-a-time engine
+per key).  When one key carries a disproportionate share of the stream
+(one vessel, one user), that key's runtime bounds the job.  This module
+shards a key's timeline into fixed time ranges so ONE key spreads over
+many tasks, and restores exactness with a warm-up replay plus a
+per-shard soundness certificate:
+
+- every event belongs to its *home* shard ``floor(ts / shard_span)`` and
+  is additionally replicated into the NEXT shard when it falls within
+  ``warmup`` of the boundary (duplication factor 1 + warmup/shard_span);
+- each (key, shard) group replays its warm-up prefix from the DFA start
+  state, then emits only detections with ``ts`` inside its own range;
+- soundness per shard: a DFA transition on symbol *a* is a state map
+  M_a: S -> S; composing the warm-up's maps from ALL |S| states at once
+  (a length-S gather per event) tells us whether the replayed state is
+  independent of the unknown true state at the shard boundary.  If the
+  composed map collapses to a constant, the replay is *state-exact* from
+  that point.  A ResetEvent in the warm-up (maritime gap events,
+  Run.scala:309-323) is the strongest certificate: state AND match
+  accounting reset, so the suffix is exact unconditionally — windowed
+  patterns included.  The key's first shard is exact by construction.
+- match accounting (min_counter / n_matched) is epoch-scoped (cleared at
+  detections/resets, operators/cep.py:131-133), so it is exact when an
+  epoch boundary (reset, or any detection after the state-convergence
+  point) falls inside the warm-up; otherwise a detection's event/ts are
+  still exact but its accounting may reach before the warm-up.
+
+Absolute ``counter`` values (per-key event ordinals, Run.scala counter
+semantics) are restored by a per-(key, home-shard) count aggregate whose
+running sum gives each shard its replay-start offset — tiny data, one
+extra shuffle of (keys x shards) rows.
+
+Exactness summary per shard (window == 0):
+  first-shard OR reset-in-warmup        -> fully exact
+  composed map constant at some point c -> detections (event, ts) exact;
+                                           accounting exact if any
+                                           detection lands in [c, warm-end)
+Windowed patterns (window kills rewind state based on accounting the
+replay cannot see): only first-shard / reset-in-warmup certify, which is
+precisely the maritime regime — gap ResetEvents are frequent.
+
+``strict=True`` fails the job if any shard lacks a STATE certificate
+(detection identity would be unprovable); the ``exact`` boolean on every
+output row additionally records whether the match *accounting* is
+certified, so downstream can quarantine partially-certified shards
+(at 100 TB: re-run just those keys through the unsharded path).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame, Window as W
+from pyspark.sql import functions as F
+
+from flink_rtcef_spark.operators.cep import (
+    DETECTION_SCHEMA_SUFFIX,
+    BatchCEP,
+    _run_sdfa_batch_vectorized,
+    _run_sdfa_segment,
+)
+from flink_rtcef_spark.plans.compiler import CompiledPattern, transition_tables
+
+
+def presplit_detections(
+    df: DataFrame,
+    compiled: CompiledPattern,
+    shard_span: int,
+    warmup: int,
+    key_col: str | None = None,
+    ts_col: str = "timestamp",
+    id_col: str = "id",
+    strict: bool = False,
+    with_certificates: bool = False,
+) -> DataFrame:
+    """BatchCEP.detections with hot keys sharded by time range.
+
+    ``shard_span`` / ``warmup`` are in the symbolized ts unit (millis
+    for timestamp columns, the raw value for numeric ts columns).
+    Output adds ``exact boolean`` to the detection schema.
+
+    ``with_certificates=True`` additionally emits one marker row per
+    (key, shard) with ``is_cert=true`` and null detection fields,
+    carrying that shard's ``state_exact``/``exact`` status — a shard
+    that certifies badly but emits no detections is invisible in the
+    detection rows alone (it may be *missing* detections), so any
+    fallback routing must read the certificate rows, not the flags on
+    detections (see presplit_detections_certified).
+    """
+    if warmup <= 0 or shard_span <= 0:
+        raise ValueError("shard_span and warmup must be positive")
+    if warmup > shard_span:
+        raise ValueError(
+            "warmup must be <= shard_span (replay only reaches one shard back)"
+        )
+    cep = BatchCEP(compiled, key_col=key_col, ts_col=ts_col, id_col=id_col)
+    sym = cep.symbolized(df)
+
+    span = F.lit(int(shard_span))
+    home = F.floor(F.col("ts") / span).cast("long")
+    sym = sym.withColumn("home", home).withColumn(
+        "is_tail", F.col("ts") >= (F.col("home") + 1) * span - F.lit(int(warmup))
+    )
+
+    # per-(key, home) counts -> replay-start counter offset per shard:
+    # offset(k) = events in homes < k  minus  the warm-up rows replayed
+    # (the tail of home k-1, only if that home exists)
+    per_shard = sym.groupBy("key", "home").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum(F.col("is_tail").cast("long")).alias("tail_cnt"),
+    )
+    wk = W.partitionBy("key").orderBy("home")
+    offsets = per_shard.select(
+        "key",
+        F.col("home").alias("shard"),
+        (
+            F.coalesce(
+                F.sum("cnt").over(wk.rowsBetween(W.unboundedPreceding, -1)), F.lit(0)
+            )
+            - F.when(
+                F.lag("home").over(wk) == F.col("home") - 1,
+                F.lag("tail_cnt").over(wk),
+            ).otherwise(F.lit(0))
+        ).alias("offset"),
+        (F.row_number().over(wk) == 1).alias("is_first"),
+    )
+
+    # one scan: tail rows explode into (home, home+1), others stay home
+    sharded = sym.select(
+        "key", "ts", "event_id", "symbol", "home",
+        F.explode(
+            F.when(
+                F.col("is_tail"),
+                F.array(F.col("home"), F.col("home") + 1),
+            ).otherwise(F.array(F.col("home")))
+        ).alias("shard"),
+    ).withColumn("warm", F.col("shard") != F.col("home"))
+    # inner join drops shards holding only warm rows (nothing to emit);
+    # the offsets side is |keys x shards| — small next to the events, so
+    # AQE picks a broadcast when it fits
+    sharded = sharded.drop("home").join(offsets, ["key", "shard"])
+
+    delta, take, finals = transition_tables(compiled.sdfa)
+    n_states = delta.shape[0]
+    window = compiled.window
+    window_type = compiled.window_type
+    resets = compiled.reset_symbols()
+    key_type = dict(df.dtypes)[cep.key_col]
+    schema = f"key {key_type}, shard long, {DETECTION_SCHEMA_SUFFIX}, exact boolean"
+    columns = [
+        "key", "shard", "detection_event_id", "detection_ts", "counter",
+        "min_counter", "n_matched", "exact",
+    ]
+    if with_certificates:
+        schema += ", state_exact boolean, is_cert boolean"
+        columns += ["state_exact", "is_cert"]
+
+    def run_shard(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["ts", "event_id"], kind="mergesort")
+        key = pdf["key"].iloc[0]
+        shard = int(pdf["shard"].iloc[0])
+        offset = int(pdf["offset"].iloc[0])
+        is_first = bool(pdf["is_first"].iloc[0])
+        syms = pdf["symbol"].to_numpy()
+        tss = pdf["ts"].to_numpy()
+        ids = pdf["event_id"].to_numpy()
+        warm = pdf["warm"].to_numpy()
+        n_warm = int(warm.sum())
+
+        # soundness certificate over the warm-up prefix
+        reset_seen = False
+        conv_idx = -1  # first index after which the state map is constant
+        if is_first:
+            conv_idx = 0
+        elif window > 0:
+            # only a reset certifies windowed patterns — vectorized scan
+            reset_seen = bool(
+                np.isin(syms[:n_warm], list(resets)).any() if resets else False
+            )
+        else:
+            vec = np.arange(n_states)
+            for j in range(n_warm):
+                s = syms[j]
+                if s in resets:
+                    vec[:] = 0
+                    reset_seen = True
+                else:
+                    vec = delta[vec, s]
+                if (vec == vec[0]).all():
+                    conv_idx = j + 1  # exact from event j on
+                    break  # constant maps stay constant under composition
+
+        init = (0, offset, -1, -1, 0)
+        if window == 0 and n_states <= 64:
+            # same O(n·S·log n) prefix-composition fast path as the
+            # unsharded kernel — the shard is one key segment
+            kconst = np.zeros(len(syms), dtype=np.int8)
+            krows, _ = _run_sdfa_batch_vectorized(
+                kconst, syms, tss, ids, delta, take, finals, resets,
+                carry_key=0, carry=init,
+            )
+            rows = [r[1:] for r in krows]
+        else:
+            rows, _ = _run_sdfa_segment(
+                syms, tss, ids, delta, take, finals, window, window_type,
+                resets, init=init,
+            )
+
+        shard_start = shard * int(shard_span)
+        state_exact = (
+            is_first
+            or reset_seen
+            or (window == 0 and conv_idx != -1)
+        )
+        if is_first or reset_seen:
+            accounting_exact = state_exact
+        elif state_exact:
+            # an epoch boundary (any detection) after the convergence
+            # point and before the emit range re-anchors the accounting
+            conv_ts = tss[conv_idx - 1] if conv_idx > 0 else tss[0]
+            accounting_exact = any(
+                r[1] < shard_start and r[1] >= conv_ts for r in rows
+            )
+        else:
+            accounting_exact = False
+        exact = bool(state_exact and accounting_exact)
+
+        if strict and not state_exact:
+            raise ValueError(
+                f"presplit shard (key={key!r}, shard={shard}) has no exactness "
+                f"certificate: no reset in warm-up and the {n_warm}-event "
+                "warm-up did not collapse the state map (or the pattern is "
+                "windowed). Widen warmup/shard_span or run this key unsharded."
+            )
+
+        if with_certificates:
+            out = [
+                (key, shard, *r, exact, state_exact, False)
+                for r in rows
+                if r[1] >= shard_start
+            ]
+            out.append(
+                (key, shard, None, None, None, None, None, exact, state_exact, True)
+            )
+        else:
+            out = [
+                (key, shard, *r, exact) for r in rows if r[1] >= shard_start
+            ]
+        return pd.DataFrame(out, columns=columns)
+
+    return sharded.groupBy("key", "shard").applyInPandas(run_shard, schema=schema)
+
+
+def presplit_detections_certified(
+    df: DataFrame,
+    compiled: CompiledPattern,
+    shard_span: int,
+    warmup: int,
+    key_col: str | None = None,
+    ts_col: str = "timestamp",
+    id_col: str = "id",
+    require: str = "full",
+) -> DataFrame:
+    """Exact-by-construction hot-key pre-split: shard every key, then
+    route any key owning an uncertified shard back through the unsharded
+    kernel.  Output is the plain BatchCEP detection schema — no flags,
+    every row exact.
+
+    ``require='full'`` falls back whenever a shard cannot certify match
+    accounting; ``require='state'`` falls back only when detection
+    identity itself is unprovable — the right trigger when downstream
+    consumes (key, event, ts) and not min_counter/n_matched.
+
+    Scale shape: the sharded pass runs once and is persisted (it feeds
+    both the good-rows filter and the bad-key set); the bad-key set is
+    an aggregate of certificate rows — tiny, so both the anti-join and
+    the fallback's semi-join broadcast.  Fallback cost is one extra scan
+    restricted to the uncertified keys, which is the point: the dense
+    hot keys shard cleanly, and only sparse keys (cheap anyway) take the
+    serial path."""
+    if require not in ("full", "state"):
+        raise ValueError(f"require must be 'full'|'state', got {require!r}")
+    flag = "exact" if require == "full" else "state_exact"
+    cep = BatchCEP(compiled, key_col=key_col, ts_col=ts_col, id_col=id_col)
+    raw = presplit_detections(
+        df, compiled, shard_span, warmup, key_col=key_col, ts_col=ts_col,
+        id_col=id_col, strict=False, with_certificates=True,
+    ).persist()
+    bad_keys = (
+        raw.filter(F.col("is_cert") & ~F.col(flag)).select("key").distinct()
+    )
+    det_cols = [
+        "key", "detection_event_id", "detection_ts", "counter",
+        "min_counter", "n_matched",
+    ]
+    good = (
+        raw.filter(~F.col("is_cert"))
+        .join(F.broadcast(bad_keys), "key", "left_anti")
+        .select(*det_cols)
+    )
+    bad_events = df.join(
+        F.broadcast(bad_keys.withColumnRenamed("key", cep.key_col)),
+        cep.key_col,
+        "left_semi",
+    )
+    fallback = cep.detections(bad_events).select(*det_cols)
+    return good.unionByName(fallback)

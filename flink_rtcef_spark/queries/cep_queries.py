@@ -155,3 +155,30 @@ def cep_sdfa_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("key").alias("user_id"),
         F.col("detection_event_id"),
     )
+
+
+# The hot-key scale path: the SAME pattern and oracle, but each key's
+# timeline sharded into week ranges with a full-shard warm-up replay
+# (operators/cep_presplit.py) — one hot key spreads over many tasks
+# instead of serializing inside its group.  Keys owning a shard without
+# an exactness certificate are routed back through the unsharded kernel,
+# so the result is exact by construction and DuckDB cross-validates the
+# whole composition.
+@query("cep_presplit_detect", oracle=_SEQ_SQL)
+def cep_presplit_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_rtcef_spark.operators.cep_presplit import (
+        presplit_detections_certified,
+    )
+    from flink_rtcef_spark.plans.compiler import compile_pattern
+
+    compiled = compile_pattern(_SEQ_PATTERN, _SEQ_DECLS)
+    ev = load_table(spark, sf_dir, "events")
+    week_ms = 7 * 24 * 3600 * 1000
+    det = presplit_detections_certified(
+        ev, compiled, shard_span=week_ms, warmup=week_ms,
+        ts_col="ts", id_col="event_id", require="state",
+    )
+    return det.select(
+        F.col("key").alias("user_id"),
+        F.col("detection_event_id"),
+    )
