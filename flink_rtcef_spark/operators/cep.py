@@ -42,6 +42,23 @@ DETECTION_SCHEMA_SUFFIX = (
 )
 
 
+def ts_millis(df: DataFrame, ts_col: str):
+    """Epoch-millis Column for ``ts_col`` whatever its type.
+
+    ``unix_millis`` only accepts TIMESTAMP (with local time zone); a
+    parquet TIMESTAMP_NTZ column must be cast first — the session runs
+    in UTC (session.py) so the cast is a pure re-tag, not a wall-clock
+    shift.  Numeric columns pass through as long.
+    """
+    dtype = dict(df.dtypes).get(ts_col)
+    ts = F.col(ts_col)
+    if dtype == "timestamp":
+        return F.unix_millis(ts)
+    if dtype == "timestamp_ntz":
+        return F.unix_millis(ts.cast("timestamp"))
+    return ts.cast("long")
+
+
 def _run_sdfa(
     symbols: np.ndarray,
     ts: np.ndarray,
@@ -279,12 +296,7 @@ class BatchCEP:
     def symbolized(self, df: DataFrame) -> DataFrame:
         """Project to (key, ts_millis, id, symbol) — everything heavier
         stays JVM-side and the shuffle payload is minimal."""
-        ts = F.col(self.ts_col)
-        ts_ms = (
-            F.unix_millis(ts)
-            if dict(df.dtypes).get(self.ts_col) in ("timestamp", "timestamp_ntz")
-            else ts.cast("long")
-        )
+        ts_ms = ts_millis(df, self.ts_col)
         return df.select(
             F.col(self.key_col).alias("key"),
             ts_ms.alias("ts"),

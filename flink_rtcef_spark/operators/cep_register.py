@@ -28,6 +28,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from flink_rtcef_spark.operators.cep import ts_millis
 from flink_rtcef_spark.plans.nsra import CompiledRegisterPattern
 
 DETECTION_COLUMNS = [
@@ -165,12 +166,7 @@ class RegisterCEP:
         self.id_col = id_col
 
     def symbolized(self, df: DataFrame) -> DataFrame:
-        ts = F.col(self.ts_col)
-        ts_ms = (
-            F.unix_millis(ts)
-            if dict(df.dtypes).get(self.ts_col) in ("timestamp", "timestamp_ntz")
-            else ts.cast("long")
-        )
+        ts_ms = ts_millis(df, self.ts_col)
         cols = [
             F.col(self.key_col).alias("key"),
             ts_ms.alias("ts"),

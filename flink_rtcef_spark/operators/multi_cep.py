@@ -21,7 +21,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from flink_rtcef_spark.plans.compiler import CompiledPattern, transition_tables
-from flink_rtcef_spark.operators.cep import _run_sdfa_segment
+from flink_rtcef_spark.operators.cep import _run_sdfa_segment, ts_millis
 
 
 class MultiPatternCEP:
@@ -47,12 +47,7 @@ class MultiPatternCEP:
         self.id_col = id_col
 
     def symbolized(self, df: DataFrame) -> DataFrame:
-        ts = F.col(self.ts_col)
-        ts_ms = (
-            F.unix_millis(ts)
-            if dict(df.dtypes).get(self.ts_col) in ("timestamp", "timestamp_ntz")
-            else ts.cast("long")
-        )
+        ts_ms = ts_millis(df, self.ts_col)
         cols = [
             F.col(self.key_col).alias("key"),
             ts_ms.alias("ts"),

@@ -44,6 +44,16 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # truncate to micros exactly (integer div) — matches DuckDB's
         # nanos->micros truncation on the same file.
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    ntz_cols = [c for c, t in df.dtypes if t == "timestamp_ntz"]
+    if ntz_cols:
+        # fixtures written with isAdjustedToUTC=false surface as
+        # TIMESTAMP_NTZ, which unix_millis/window reject.  Pin the
+        # session to UTC (runtime-settable, works on caller-provided
+        # sessions) so the cast re-tags the same instant DuckDB sees,
+        # then normalize to TIMESTAMP.
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        for c in ntz_cols:
+            df = df.withColumn(c, F.col(c).cast("timestamp"))
     return df
 
 

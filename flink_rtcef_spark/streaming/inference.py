@@ -44,6 +44,23 @@ _DETECT_COLUMNS = [
 ]
 
 
+def _with_event_time(stream_df: DataFrame, ts_col: str):
+    """(df, event_time_col) with a watermark-able TIMESTAMP column.
+
+    TIMESTAMP passes through; TIMESTAMP_NTZ is cast (session tz is UTC,
+    so the cast only re-tags — and ``unix_millis`` downstream requires
+    TIMESTAMP); numeric epoch-seconds get ``timestamp_seconds``.
+    """
+    dtype = dict(stream_df.dtypes).get(ts_col)
+    if dtype == "timestamp":
+        return stream_df, ts_col
+    if dtype == "timestamp_ntz":
+        converted = stream_df.withColumn("__event_time", F.col(ts_col).cast("timestamp"))
+    else:
+        converted = stream_df.withColumn("__event_time", F.timestamp_seconds(F.col(ts_col)))
+    return converted, "__event_time"
+
+
 def _make_detect_runner(compiled: CompiledPattern):
     """One key's run over a sequence of pandas batches using the SAME
     kernels as BatchCEP (operators/cep.py): the vectorized
@@ -185,13 +202,7 @@ def streaming_forecasts(
     one append stream, split by is_detection)."""
     compiled = spst.compiled
     key = key_col or compiled.partition_by
-    ts_is_timestamp = dict(stream_df.dtypes).get(ts_col) in ("timestamp", "timestamp_ntz")
-    with_event_time = (
-        stream_df
-        if ts_is_timestamp
-        else stream_df.withColumn("__event_time", F.timestamp_seconds(F.col(ts_col)))
-    )
-    et_col = ts_col if ts_is_timestamp else "__event_time"
+    with_event_time, et_col = _with_event_time(stream_df, ts_col)
     sym = (
         with_event_time.withWatermark(et_col, watermark)
         .select(
@@ -241,13 +252,7 @@ def streaming_detections_event_ttl(
     )
 
     key = key_col or compiled.partition_by
-    ts_is_timestamp = dict(stream_df.dtypes).get(ts_col) in ("timestamp", "timestamp_ntz")
-    with_event_time = (
-        stream_df
-        if ts_is_timestamp
-        else stream_df.withColumn("__event_time", F.timestamp_seconds(F.col(ts_col)))
-    )
-    et_col = ts_col if ts_is_timestamp else "__event_time"
+    with_event_time, et_col = _with_event_time(stream_df, ts_col)
     sym = (
         with_event_time.withWatermark(et_col, watermark)
         .select(
@@ -378,13 +383,7 @@ def streaming_register_detections(
     batch; only register comparisons run in the stateful Python loop."""
     cp = compiled_register
     key = key_col or cp.partition_by
-    ts_is_timestamp = dict(stream_df.dtypes).get(ts_col) in ("timestamp", "timestamp_ntz")
-    with_event_time = (
-        stream_df
-        if ts_is_timestamp
-        else stream_df.withColumn("__event_time", F.timestamp_seconds(F.col(ts_col)))
-    )
-    et_col = ts_col if ts_is_timestamp else "__event_time"
+    with_event_time, et_col = _with_event_time(stream_df, ts_col)
     cols = [
         F.col(key).cast("string").alias("key"),
         F.unix_millis(F.col(et_col)).alias("ts"),
@@ -424,13 +423,7 @@ def streaming_detections(
     (the reference's run-expiration, F3).
     """
     key = key_col or compiled.partition_by
-    ts_is_timestamp = dict(stream_df.dtypes).get(ts_col) in ("timestamp", "timestamp_ntz")
-    with_event_time = (
-        stream_df
-        if ts_is_timestamp
-        else stream_df.withColumn("__event_time", F.timestamp_seconds(F.col(ts_col)))
-    )
-    et_col = ts_col if ts_is_timestamp else "__event_time"
+    with_event_time, et_col = _with_event_time(stream_df, ts_col)
     sym = (
         with_event_time.withWatermark(et_col, watermark)
         .select(
