@@ -175,8 +175,10 @@ def cmd_recognition(args) -> None:
     compiled = _first_compiled(_read_pickle(args.fsm))
     sargs = _parse_stream_args(args.streamArgs)
     df, key, ts, id_col = _stream_cols(_load_stream(spark, args), compiled, sargs)
-    t0 = time.time()
+    # count events OUTSIDE the timed region: the timed wall_sec must
+    # reflect recognition alone, not an extra full scan
     n_events = df.count()
+    t0 = time.time()
     cep = BatchCEP(compiled, key_col=key, ts_col=ts, id_col=id_col)
     detections = cep.detections(df)
     if args.outputMatches:

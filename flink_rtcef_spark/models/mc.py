@@ -48,6 +48,7 @@ def transition_counts(sym_df: DataFrame, compiled: CompiledPattern) -> DataFrame
     final (tiny) groupBy."""
     delta = compiled.sdfa.delta
     n = compiled.sdfa.n_states
+    resets = compiled.reset_symbols()
 
     def run_partition(batches):
         counts = np.zeros((n, n), dtype=np.int64)
@@ -65,6 +66,12 @@ def transition_counts(sym_df: DataFrame, compiled: CompiledPattern) -> DataFrame
                     end += 1
                 state = carry.get(k, 0)
                 for sym in syms[start:end]:
+                    if sym in resets:
+                        # ResetEvent clears FSM state without a transition
+                        # (Run.scala:309-323), mirroring _run_sdfa — the
+                        # estimated chain must match the run semantics
+                        state = 0
+                        continue
                     nxt = int(delta[state, sym])
                     counts[state, nxt] += 1
                     state = nxt

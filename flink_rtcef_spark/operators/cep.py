@@ -46,16 +46,19 @@ def ts_millis(df: DataFrame, ts_col: str):
     """Epoch-millis Column for ``ts_col`` whatever its type.
 
     ``unix_millis`` only accepts TIMESTAMP (with local time zone); a
-    parquet TIMESTAMP_NTZ column must be cast first — the session runs
-    in UTC (session.py) so the cast is a pure re-tag, not a wall-clock
-    shift.  Numeric columns pass through as long.
+    parquet TIMESTAMP_NTZ column is re-tagged wall-clock-as-UTC via a
+    tz-free interval expression (sources.io.ntz_as_utc) — a plain cast
+    would silently shift event times on a session with a non-UTC
+    spark.sql.session.timeZone.  Numeric columns pass through as long.
     """
+    from flink_rtcef_spark.sources.io import ntz_as_utc
+
     dtype = dict(df.dtypes).get(ts_col)
     ts = F.col(ts_col)
     if dtype == "timestamp":
         return F.unix_millis(ts)
     if dtype == "timestamp_ntz":
-        return F.unix_millis(ts.cast("timestamp"))
+        return F.unix_millis(ntz_as_utc(ts_col, df.sparkSession))
     return ts.cast("long")
 
 

@@ -392,8 +392,23 @@ def embedding_near_dup_auto(
     driver-broadcast GEMM (exact, fastest); beyond it the LSH-bucketed
     GEMM (no global broadcast, recall set by the table count).  The
     limit default assumes ~1 KB/vector -> ~0.5 GB broadcast, the usual
-    executor-memory comfort zone; tune per deployment."""
-    n = df.count()
+    executor-memory comfort zone; tune per deployment.
+
+    Routing never pays a full scan: prefer catalog statistics when the
+    optimizer already knows the row count, else a bounded
+    ``limit(broadcast_limit + 1)`` probe that short-circuits as soon as
+    the limit is hit — on a 100 TB corpus the probe reads at most
+    ``broadcast_limit + 1`` rows, not the table."""
+    n = None
+    try:
+        stats_rows = df._jdf.queryExecution().optimizedPlan().stats().rowCount()
+        if stats_rows.isDefined():
+            n = int(str(stats_rows.get()))
+    except Exception:
+        pass  # py4j surface changed or non-classic DataFrame: fall through
+    if n is None:
+        # bounded probe: a LocalLimit stops the scan after limit+1 rows
+        n = df.select(id_col).limit(broadcast_limit + 1).count()
     if n <= broadcast_limit:
         return embedding_near_dup(df, vec_col, id_col, threshold)
     return embedding_near_dup_lsh(df, vec_col, id_col, threshold, **lsh_kwargs)

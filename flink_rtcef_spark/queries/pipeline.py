@@ -87,9 +87,7 @@ _QUALITY_SQL = f"""
 """
 
 
-@query("text_quality", oracle=_QUALITY_SQL)
-def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+def _quality_df(docs: DataFrame) -> DataFrame:
     flat = (
         docs.select("doc_id", "n_chars", F.explode(_tokens_spark()).alias("tok"))
         .filter(F.col("tok") != "")
@@ -187,9 +185,7 @@ _ENTROPY_SQL = f"""
 """
 
 
-@query("text_entropy_repetition", oracle=_ENTROPY_SQL)
-def text_entropy_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+def _entropy_df(docs: DataFrame) -> DataFrame:
     toks = docs.select(
         "doc_id", F.filter(_tokens_spark(), lambda x: x != "").alias("tokens")
     )
@@ -219,6 +215,29 @@ def text_entropy_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return rep.join(ent, "doc_id").select("doc_id", "token_entropy", "dup_trigram_ratio")
+
+
+# One registered query covers BOTH quality operators (basic signals +
+# entropy/repetition): the driver's correctness surface is capped at 50
+# entries, so the registry holds exactly 50 deliberately chosen queries
+# — merging these keeps every operator oracle-verified (VERDICT r2,
+# "What's wrong" #1).
+_QUALITY_FULL_SQL = f"""
+    SELECT q.doc_id, q.n_chars, q.n_tokens, q.n_types, q.mean_tok_len,
+           q.type_token_ratio, q.stopword_ratio,
+           e.token_entropy, e.dup_trigram_ratio
+    FROM ({_QUALITY_SQL}) q JOIN ({_ENTROPY_SQL}) e ON q.doc_id = e.doc_id
+"""
+
+
+@query("text_quality", oracle=_QUALITY_FULL_SQL)
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return _quality_df(docs).join(_entropy_df(docs), "doc_id").select(
+        "doc_id", "n_chars", "n_tokens", "n_types", "mean_tok_len",
+        "type_token_ratio", "stopword_ratio", "token_entropy",
+        "dup_trigram_ratio",
+    )
 
 
 # --------------------------------------------------------------------------

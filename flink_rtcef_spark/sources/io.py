@@ -45,16 +45,38 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # nanos->micros truncation on the same file.
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     ntz_cols = [c for c, t in df.dtypes if t == "timestamp_ntz"]
-    if ntz_cols:
+    for c in ntz_cols:
         # fixtures written with isAdjustedToUTC=false surface as
-        # TIMESTAMP_NTZ, which unix_millis/window reject.  Pin the
-        # session to UTC (runtime-settable, works on caller-provided
-        # sessions) so the cast re-tags the same instant DuckDB sees,
-        # then normalize to TIMESTAMP.
-        spark.conf.set("spark.sql.session.timeZone", "UTC")
-        for c in ntz_cols:
-            df = df.withColumn(c, F.col(c).cast("timestamp"))
+        # TIMESTAMP_NTZ, which unix_millis/window reject.  Re-tag the
+        # wall clock as the same UTC instant DuckDB sees — WITHOUT
+        # mutating the session time zone (a caller-provided session
+        # keeps its tz; a plain cast there would silently shift).
+        df = df.withColumn(c, ntz_as_utc(c, spark))
     return df
+
+
+_UTC_NAMES = frozenset({"UTC", "Etc/UTC", "GMT", "Z", "+00:00"})
+
+
+def ntz_as_utc(col_name: str, spark: SparkSession):
+    """TIMESTAMP_NTZ column -> TIMESTAMP Column at the same wall clock
+    read as UTC, correct under ANY spark.sql.session.timeZone and with
+    no session mutation.
+
+    On a UTC session (the engine default, session.py) this is a plain
+    cast, which Catalyst's UnwrapCastInBinaryComparison can invert — so
+    filters on the column still push down to the parquet scan (the
+    plan-shape tests assert PushedFilters).  On a non-UTC session the
+    cast would shift by the session offset, so we pay a non-pushdown
+    tz-free interval expression instead: NTZ minus NTZ epoch is a
+    day-time interval, integral-divided down to epoch micros.
+    """
+    if spark.conf.get("spark.sql.session.timeZone") in _UTC_NAMES:
+        return F.col(col_name).cast("timestamp")
+    return F.expr(
+        f"timestamp_micros((`{col_name}` - TIMESTAMP_NTZ '1970-01-01 00:00:00') "
+        "div INTERVAL '0.000001' SECOND)"
+    )
 
 
 def load_tables(spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLES) -> dict[str, DataFrame]:

@@ -27,7 +27,10 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 from flink_rtcef_spark.plans.compiler import CompiledPattern, transition_tables
 
-STATE_SCHEMA = "state int, counter long, min_counter long, min_ts long, n_matched int"
+STATE_SCHEMA = (
+    "state int, counter long, min_counter long, min_ts long, n_matched int, "
+    "last_ts long"
+)
 OUTPUT_SCHEMA = (
     "key string, detection_event_id long, detection_ts long, counter long, "
     "min_counter long, n_matched int"
@@ -47,15 +50,20 @@ _DETECT_COLUMNS = [
 def _with_event_time(stream_df: DataFrame, ts_col: str):
     """(df, event_time_col) with a watermark-able TIMESTAMP column.
 
-    TIMESTAMP passes through; TIMESTAMP_NTZ is cast (session tz is UTC,
-    so the cast only re-tags — and ``unix_millis`` downstream requires
-    TIMESTAMP); numeric epoch-seconds get ``timestamp_seconds``.
+    TIMESTAMP passes through; TIMESTAMP_NTZ is re-tagged
+    wall-clock-as-UTC via the tz-free interval expression
+    (sources.io.ntz_as_utc — a plain cast would shift on non-UTC
+    sessions); numeric epoch-seconds get ``timestamp_seconds``.
     """
+    from flink_rtcef_spark.sources.io import ntz_as_utc
+
     dtype = dict(stream_df.dtypes).get(ts_col)
     if dtype == "timestamp":
         return stream_df, ts_col
     if dtype == "timestamp_ntz":
-        converted = stream_df.withColumn("__event_time", F.col(ts_col).cast("timestamp"))
+        converted = stream_df.withColumn(
+            "__event_time", ntz_as_utc(ts_col, stream_df.sparkSession)
+        )
     else:
         converted = stream_df.withColumn("__event_time", F.timestamp_seconds(F.col(ts_col)))
     return converted, "__event_time"
@@ -108,23 +116,68 @@ def _make_detect_runner(compiled: CompiledPattern):
     return run
 
 
-def make_stateful_fn(compiled: CompiledPattern, state_ttl_ms: int = 0):
+def _arm_ttl(state: GroupState, ttl_ms: int, clock: str, max_ts: int) -> None:
+    """Arm the key's expiry: event clock (default — Flink timer parity,
+    the reference reclaims runs when the EVENT time advances past
+    last-event + ttl, ERFEngine.scala:213-216) or wall clock."""
+    if clock == "event":
+        # the timeout must sit strictly after the current watermark or
+        # Spark rejects it; an idle key with a stale max_ts expires on
+        # the very next microbatch, which is exactly Flink's semantics
+        wm = state.getCurrentWatermarkMs()
+        state.setTimeoutTimestamp(max(max_ts + ttl_ms, wm + 1))
+    else:
+        state.setTimeoutDuration(ttl_ms)
+
+
+def _expired_on_event_clock(
+    state: GroupState, ttl_ms: int, clock: str, last_ts: int
+) -> bool:
+    """Spark's EventTimeTimeout only fires for keys with NO data in the
+    firing batch; a key whose next event arrives in that same batch
+    would wrongly see its stale state as live.  Flink's timer fires on
+    watermark passage regardless, so the semantic expiry is enforced
+    here: state whose last event is more than ttl behind the current
+    watermark is dead before the new rows are processed.  The timeout
+    mechanism still reclaims memory for keys that never return."""
+    if ttl_ms <= 0 or clock != "event" or last_ts < 0:
+        return False
+    return state.getCurrentWatermarkMs() > last_ts + ttl_ms
+
+
+def make_stateful_fn(
+    compiled: CompiledPattern, state_ttl_ms: int = 0, ttl_clock: str = "event"
+):
     runner = _make_detect_runner(compiled)
 
     def fn(
         key: tuple, pdf_iter: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
         # run expiration (F3, RunPool.runsCollect / ERFEngine.scala
-        # :213-216): idle keys are reclaimed via processing-time timeout
+        # :213-216): idle keys are reclaimed when the chosen clock
+        # passes last-event + ttl
         if state_ttl_ms > 0 and state.hasTimedOut:
             state.remove()
             yield pd.DataFrame([], columns=_DETECT_COLUMNS)
             return
-        carry = tuple(state.get) if state.exists else None
-        out, carry = runner(key[0], pdf_iter, carry)
-        state.update(tuple(int(x) for x in carry))
+        carry, last_ts = None, -1
+        if state.exists:
+            *carry5, last_ts = state.get
+            carry = tuple(carry5)
+            if _expired_on_event_clock(state, state_ttl_ms, ttl_clock, last_ts):
+                carry, last_ts = None, -1
+        max_ts = [last_ts]
+
+        def observed(it):
+            for pdf in it:
+                if len(pdf):
+                    max_ts[0] = max(max_ts[0], int(pdf["ts"].max()))
+                yield pdf
+
+        out, carry = runner(key[0], observed(pdf_iter), carry)
+        state.update((*(int(x) for x in carry), int(max_ts[0])))
         if state_ttl_ms > 0:
-            state.setTimeoutDuration(state_ttl_ms)
+            _arm_ttl(state, state_ttl_ms, ttl_clock, max_ts[0])
         yield pd.DataFrame(out, columns=_DETECT_COLUMNS)
 
     return fn
@@ -232,9 +285,11 @@ def streaming_detections_event_ttl(
 ) -> DataFrame:
     """streaming_detections on the Spark 4.1 transformWithStateInPandas
     runtime: the same shared batch kernel, with run expiration on EVENT
-    time via timers — parity with Flink's event-time timers (the
-    reference reclaims idle runs on the event clock, not the wall
-    clock; applyInPandasWithState can only offer processing-time TTL).
+    time via explicit timers.  The exercised default
+    (streaming_detections with ttl_clock="event", i.e.
+    applyInPandasWithState + EventTimeTimeout) already has the
+    reference's event-clock semantics; this variant exists for the
+    newer arbitrary-state runtime (multiple named states, timer lists).
 
     Each microbatch re-arms one event-time timer per key at
     (max event ts + state_ttl_ms); when the watermark passes it the
@@ -272,8 +327,16 @@ def streaming_detections_event_ttl(
         def handleInputRows(
             self, key_, rows, timerValues: TimerValues
         ) -> Iterator[pd.DataFrame]:
-            carry = tuple(self._state.get()) if self._state.exists() else None
-            max_ts = [-1]
+            carry, last_ts = None, -1
+            if self._state.exists():
+                *carry5, last_ts = self._state.get()
+                carry = tuple(carry5)
+                # same in-function expiry as the default runtime: the
+                # timer only fires for keys without data in the batch
+                wm = timerValues.getCurrentWatermarkInMs()
+                if state_ttl_ms > 0 and last_ts >= 0 and wm > last_ts + state_ttl_ms:
+                    carry, last_ts = None, -1
+            max_ts = [last_ts]
 
             def observed(it):
                 for pdf in it:
@@ -282,7 +345,7 @@ def streaming_detections_event_ttl(
                     yield pdf
 
             out, carry = self._runner(key_[0], observed(rows), carry)
-            self._state.update(tuple(int(x) for x in carry))
+            self._state.update((*(int(x) for x in carry), int(max_ts[0])))
             if state_ttl_ms > 0 and max_ts[0] >= 0:
                 # re-arm the key's single event-time timer at
                 # last-event-ts + ttl (Flink timer semantics)
@@ -308,10 +371,12 @@ def streaming_detections_event_ttl(
     )
 
 
-REGISTER_STATE_SCHEMA = "configs binary, counter long"
+REGISTER_STATE_SCHEMA = "configs binary, counter long, last_ts long"
 
 
-def make_register_stateful_fn(compiled_register, state_ttl_ms: int = 0):
+def make_register_stateful_fn(
+    compiled_register, state_ttl_ms: int = 0, ttl_clock: str = "event"
+):
     """Streaming twin of RegisterCEP (SREMO/NSRA): the configuration
     set — (state, valuation, window accounting) per live run — is the
     cross-batch state, pickled into a binary GroupState column.  The
@@ -343,13 +408,17 @@ def make_register_stateful_fn(compiled_register, state_ttl_ms: int = 0):
             state.remove()
             yield pd.DataFrame([], columns=columns)
             return
+        init, last_ts = None, -1
         if state.exists:
-            blob, counter = state.get
+            blob, counter, last_ts = state.get
             init = (pickle.loads(bytes(blob)), int(counter))
-        else:
-            init = None
+            if _expired_on_event_clock(state, state_ttl_ms, ttl_clock, last_ts):
+                init, last_ts = None, -1
         out = []
+        max_ts = last_ts
         for pdf in pdf_iter:
+            if len(pdf):
+                max_ts = max(max_ts, int(pdf["ts"].max()))
             pdf = pdf.sort_values(["ts", "event_id"], kind="mergesort")
             attr_arrays = {a: pdf[a].to_numpy() for a in attrs}
             rows, init = _run_nsra_segment(
@@ -361,9 +430,9 @@ def make_register_stateful_fn(compiled_register, state_ttl_ms: int = 0):
             )
             out.extend((key[0], *r) for r in rows)
         configs, counter = init if init is not None else ({}, 0)
-        state.update((pickle.dumps(configs), int(counter)))
+        state.update((pickle.dumps(configs), int(counter), int(max_ts)))
         if state_ttl_ms > 0:
-            state.setTimeoutDuration(state_ttl_ms)
+            _arm_ttl(state, state_ttl_ms, ttl_clock, max_ts)
         yield pd.DataFrame(out, columns=columns)
 
     return fn
@@ -377,10 +446,12 @@ def streaming_register_detections(
     id_col: str = "id",
     watermark: str = "60 seconds",
     state_ttl_ms: int = 0,
+    ttl_clock: str = "event",
 ) -> DataFrame:
     """Streaming recognition for register (SREMO) patterns.  Static
     predicates fold into the JVM-side ``bits`` column exactly as in
-    batch; only register comparisons run in the stateful Python loop."""
+    batch; only register comparisons run in the stateful Python loop.
+    Expiry defaults to the event clock (see streaming_detections)."""
     cp = compiled_register
     key = key_col or cp.partition_by
     with_event_time, et_col = _with_event_time(stream_df, ts_col)
@@ -391,17 +462,15 @@ def streaming_register_detections(
         cp.bits_column().alias("bits"),
     ]
     cols += [F.col(a) for a in cp.register_attrs]
+    if state_ttl_ms > 0 and ttl_clock == "event":
+        cols.append(F.col(et_col).alias("__watermark_time"))
     sym = with_event_time.withWatermark(et_col, watermark).select(*cols)
     return sym.groupBy("key").applyInPandasWithState(
-        make_register_stateful_fn(cp, state_ttl_ms),
+        make_register_stateful_fn(cp, state_ttl_ms, ttl_clock),
         outputStructType=OUTPUT_SCHEMA,
         stateStructType=REGISTER_STATE_SCHEMA,
         outputMode="append",
-        timeoutConf=(
-            GroupStateTimeout.ProcessingTimeTimeout
-            if state_ttl_ms > 0
-            else GroupStateTimeout.NoTimeout
-        ),
+        timeoutConf=_timeout_conf(state_ttl_ms, ttl_clock),
     )
 
 
@@ -413,34 +482,45 @@ def streaming_detections(
     id_col: str = "id",
     watermark: str = "60 seconds",
     state_ttl_ms: int = 0,
+    ttl_clock: str = "event",
 ) -> DataFrame:
     """Build the streaming detection DataFrame from a streaming source.
 
     Symbolization stays a JVM Column (identical to batch); only the
     per-key run loop is stateful Python.  The watermark mirrors the
     reference's 60 s bounded out-of-orderness (InferenceJob.java:134-137).
-    ``state_ttl_ms`` > 0 reclaims idle keys via processing-time timeout
-    (the reference's run-expiration, F3).
+    ``state_ttl_ms`` > 0 reclaims idle keys (the reference's
+    run-expiration, F3) — by default on the EVENT clock, matching
+    Flink's event-time timers (ERFEngine.scala:213-216: a run expires
+    when event time, not wall time, advances past last-event + ttl);
+    ``ttl_clock="processing"`` opts into wall-clock expiry instead.
     """
     key = key_col or compiled.partition_by
     with_event_time, et_col = _with_event_time(stream_df, ts_col)
-    sym = (
-        with_event_time.withWatermark(et_col, watermark)
-        .select(
-            F.col(key).cast("string").alias("key"),
-            (F.unix_millis(F.col(et_col))).alias("ts"),
-            F.col(id_col).alias("event_id"),
-            compiled.symbol_column().alias("symbol"),
-        )
-    )
+    cols = [
+        F.col(key).cast("string").alias("key"),
+        (F.unix_millis(F.col(et_col))).alias("ts"),
+        F.col(id_col).alias("event_id"),
+        compiled.symbol_column().alias("symbol"),
+    ]
+    if state_ttl_ms > 0 and ttl_clock == "event":
+        # EventTimeTimeout requires the watermarked column to survive
+        # into the stateful operator's input (4 extra bytes/row beats
+        # losing the event clock)
+        cols.append(F.col(et_col).alias("__watermark_time"))
+    sym = with_event_time.withWatermark(et_col, watermark).select(*cols)
     return sym.groupBy("key").applyInPandasWithState(
-        make_stateful_fn(compiled, state_ttl_ms),
+        make_stateful_fn(compiled, state_ttl_ms, ttl_clock),
         outputStructType=OUTPUT_SCHEMA,
         stateStructType=STATE_SCHEMA,
         outputMode="append",
-        timeoutConf=(
-            GroupStateTimeout.ProcessingTimeTimeout
-            if state_ttl_ms > 0
-            else GroupStateTimeout.NoTimeout
-        ),
+        timeoutConf=_timeout_conf(state_ttl_ms, ttl_clock),
     )
+
+
+def _timeout_conf(state_ttl_ms: int, ttl_clock: str):
+    if state_ttl_ms <= 0:
+        return GroupStateTimeout.NoTimeout
+    if ttl_clock == "event":
+        return GroupStateTimeout.EventTimeTimeout
+    return GroupStateTimeout.ProcessingTimeTimeout

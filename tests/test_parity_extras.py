@@ -91,3 +91,53 @@ def test_log_formats_parse_with_reference_regexes():
     assert detection_line(123, 4).startswith("DETECTION: TIMESTAMP=123 fmDetected=true")
     assert "(POSITIVE)" in forecast_line(1, "k", 0.6, 1, 5, True)
     assert "(NEGATIVE)" in forecast_line(1, "k", 0.2, 1, 5, False)
+
+
+def test_mle_counts_skip_reset_transitions(spark):
+    """transition_counts must mirror the run kernels' ResetEvent
+    semantics (Run.scala:309-323): a RESET consumes the event and
+    returns the state to 0 WITHOUT counting a transition, so the
+    estimated chain matches the automaton the forecaster actually
+    walks (ADVICE r2)."""
+    import pandas as pd
+
+    from flink_rtcef_spark.models.mc import estimate_mc
+    from tests.test_cep import _sym_of
+
+    compiled = compile_pattern(
+        ";(IsEventTypePredicate(A),IsEventTypePredicate(B)){partitionBy:k}",
+        "+(IsEventTypePredicate(RESET))\n"
+        "~(IsEventTypePredicate(A),IsEventTypePredicate(B),IsEventTypePredicate(RESET))",
+    )
+    (reset_sym,) = compiled.reset_symbols()
+    types = ["A", "RESET", "A", "B", "RESET", "A"]
+    syms = [_sym_of(compiled, t) for t in types]
+    sym_df = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "key": ["k"] * len(syms),
+                "ts": range(1, len(syms) + 1),
+                "event_id": range(len(syms)),
+                "symbol": syms,
+            }
+        )
+    )
+    mc = estimate_mc(sym_df, compiled)
+    # 2 RESETs consumed without transitions: 4 counted transitions
+    assert mc.counts.sum() == len(types) - 2
+    # nothing ever transitions ON the reset symbol's delta row from a
+    # counted walk that includes state teleports: every counted
+    # transition must agree with delta on a non-reset symbol
+    delta = compiled.sdfa.delta
+    non_reset = [s for s in range(delta.shape[1]) if s != reset_sym]
+    import numpy as np
+
+    valid = set()
+    for frm in range(delta.shape[0]):
+        for s in non_reset:
+            valid.add((frm, int(delta[frm, s])))
+    for frm, to in zip(*np.nonzero(mc.counts)):
+        assert (int(frm), int(to)) in valid
+    # and the walk restarted from state 0 after each RESET: the A after
+    # a reset leaves state 0, so state 0 has >= 3 outgoing counts
+    assert mc.counts[0].sum() >= 3

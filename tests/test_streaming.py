@@ -260,3 +260,89 @@ def test_tws_streaming_equals_batch(spark, tmp_path):
             spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
         else:
             spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+
+
+def _run_file_stream(spark, tmp_path, chunks, builder, name):
+    """Write each chunk as one file, stream with maxFilesPerTrigger=1
+    (one microbatch per chunk, in order), return the collected rows."""
+    src = tmp_path / name
+    src.mkdir()
+    for c, chunk in enumerate(chunks):
+        spark.createDataFrame(chunk).coalesce(1).write.mode("overwrite").parquet(
+            str(src / f"c{c}")
+        )
+    schema = "k string, timestamp long, id long, event_type string"
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "c*"))
+    )
+    out = builder(stream)
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.sql(f"select * from {name}").toPandas()
+
+
+def test_event_time_ttl_expires_partial_match(spark, tmp_path):
+    """Run expiry on the EVENT clock (ERFEngine.scala:213-216): an A
+    whose B arrives after the event-time TTL must NOT complete the
+    match, however fast the wall clock ran.  The same replay with a
+    processing-time TTL of the same magnitude DOES match — proving the
+    default expiry follows event time, not wall time."""
+    from flink_rtcef_spark.streaming.inference import streaming_detections
+
+    compiled = compile_pattern(PAT, DECLS)
+    cols = ["k", "timestamp", "id", "event_type"]
+    # timestamps in SECONDS -> event_time via timestamp_seconds.
+    # batch 1: u1 starts a match (A at t=100); filler key advances wm
+    # batch 2: filler events at t=5000 push the watermark far past
+    #          u1's ttl (100s + 600s); u1's state must be reclaimed
+    # batch 3: u1's B arrives at t=5100 — a fresh run sees only B
+    b1 = pd.DataFrame([("u1", 100, 0, "A"), ("w", 100, 1, "C")], columns=cols)
+    b2 = pd.DataFrame([("w", 5000, 2, "C")], columns=cols)
+    b3 = pd.DataFrame([("u1", 5100, 3, "B"), ("w", 5100, 4, "C")], columns=cols)
+
+    def build(ttl_clock):
+        return lambda stream: streaming_detections(
+            stream, compiled, key_col="k", ts_col="timestamp", id_col="id",
+            watermark="0 seconds", state_ttl_ms=600_000, ttl_clock=ttl_clock,
+        )
+
+    got_event = _run_file_stream(
+        spark, tmp_path, [b1, b2, b3], build("event"), "ttl_event"
+    )
+    assert len(got_event) == 0, got_event
+    # control: processing-time TTL (10 min wall) never fires in-test,
+    # so the stale A survives and the late B completes the match
+    got_proc = _run_file_stream(
+        spark, tmp_path, [b1, b2, b3], build("processing"), "ttl_proc"
+    )
+    assert len(got_proc) == 1 and got_proc["key"][0] == "u1"
+
+
+def test_event_time_ttl_keeps_live_keys(spark, tmp_path):
+    """Keys whose events keep arriving within the TTL are untouched:
+    the event-clock expiry re-arms per batch and cross-batch matches
+    still complete (state is NOT dropped spuriously)."""
+    from flink_rtcef_spark.streaming.inference import streaming_detections
+
+    compiled = compile_pattern(PAT, DECLS)
+    cols = ["k", "timestamp", "id", "event_type"]
+    b1 = pd.DataFrame([("u1", 100, 0, "A")], columns=cols)
+    b2 = pd.DataFrame([("u1", 200, 1, "B")], columns=cols)  # within ttl
+
+    got = _run_file_stream(
+        spark, tmp_path, [b1, b2],
+        lambda stream: streaming_detections(
+            stream, compiled, key_col="k", ts_col="timestamp", id_col="id",
+            watermark="0 seconds", state_ttl_ms=600_000, ttl_clock="event",
+        ),
+        "ttl_live",
+    )
+    assert len(got) == 1 and got["detection_event_id"][0] == 1
