@@ -1,0 +1,94 @@
+"""Bucketed-table support — co-located joins without an Exchange.
+
+At 100 TB the dominant cost of a repeated large-large join (events x
+detections, corpus x corpus-history, signatures x signatures) is the
+shuffle: every run re-partitions both sides on the join key.  Hive-style
+bucketing pays that shuffle ONCE at write time — each side is written
+pre-hash-partitioned into the same number of buckets on the join key —
+and every subsequent join, groupBy, or dedup on that key reads the
+co-located buckets with NO Exchange in the plan (SortMergeJoin directly
+over the scans).
+
+Spark only honors bucketing metadata through the catalog
+(``saveAsTable``), not plain ``parquet(path)`` — that is a Spark
+constraint, not a design choice here.  The helpers below wrap the
+writer/reader so pipelines get the right layout by default:
+
+- the bucket count should put ~100-500 MB in each bucket file per
+  partition at the target scale (128 buckets/TB is a decent start);
+- both join sides must use the SAME bucket count (or an integer
+  multiple) on the SAME key for the exchange-free plan;
+- ``sortBy`` on the join key additionally removes the Sort from the
+  SMJ plan (read path is then scan -> merge-join).
+
+``assert_no_exchange`` is the test hook: it inspects the physical plan
+string so a regression (e.g. a config change silently disabling
+bucketed reads) fails loudly instead of silently re-shuffling.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_cols: list[str] | str,
+    num_buckets: int,
+    sort_cols: list[str] | str | None = None,
+    mode: str = "overwrite",
+    format: str = "parquet",
+) -> None:
+    """Write ``df`` as a bucketed (optionally sorted) catalog table.
+
+    The one-time shuffle this write pays is the shuffle every future
+    join on ``bucket_cols`` skips.
+    """
+    bucket_cols = [bucket_cols] if isinstance(bucket_cols, str) else list(bucket_cols)
+    writer = (
+        df.write.mode(mode)
+        .format(format)
+        .bucketBy(num_buckets, bucket_cols[0], *bucket_cols[1:])
+    )
+    if sort_cols:
+        sort_cols = [sort_cols] if isinstance(sort_cols, str) else list(sort_cols)
+        writer = writer.sortBy(sort_cols[0], *sort_cols[1:])
+    writer.saveAsTable(table)
+
+
+def read_bucketed(spark: SparkSession, table: str) -> DataFrame:
+    """Read a bucketed table (bucketing metadata rides the catalog, so
+    this is just ``spark.table`` — named for pipeline readability)."""
+    return spark.table(table)
+
+
+def co_located_join(
+    spark: SparkSession,
+    left_table: str,
+    right_table: str,
+    on: list[str] | str,
+    how: str = "inner",
+) -> DataFrame:
+    """Join two identically-bucketed tables on their bucket key.  With
+    matching bucket specs Spark plans a SortMergeJoin with NO Exchange
+    on either side — verify with :func:`assert_no_exchange` in tests.
+    """
+    return spark.table(left_table).join(spark.table(right_table), on=on, how=how)
+
+
+def plan_has_exchange(df: DataFrame) -> bool:
+    """True if the physical plan contains any Exchange (shuffle or
+    broadcast)."""
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    return "Exchange" in plan
+
+
+def assert_no_exchange(df: DataFrame) -> None:
+    """Raise if the plan re-shuffles — the guard that keeps bucketed
+    pipelines honest."""
+    if plan_has_exchange(df):
+        raise AssertionError(
+            "plan contains an Exchange — bucketing metadata was not used:\n"
+            + df._jdf.queryExecution().executedPlan().toString()
+        )

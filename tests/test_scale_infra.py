@@ -1,0 +1,116 @@
+"""Bucketed co-located joins and streaming dedup.
+
+The bucketing tests are plan-shape tests: the whole point of paying
+the write-time shuffle is that the read-side join has NO Exchange, so
+that property is asserted on the physical plan, with an unbucketed
+control proving the assertion has teeth."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from flink_rtcef_spark.sources.bucketing import (
+    assert_no_exchange,
+    co_located_join,
+    plan_has_exchange,
+    write_bucketed,
+)
+from flink_rtcef_spark.streaming.dedup import streaming_exact_dedup
+
+SF = "/root/testdata/sf0.01"
+
+
+@pytest.fixture()
+def no_broadcast(spark):
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    yield
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_bucketed_join_has_no_exchange(spark, no_broadcast):
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    left = ev.groupBy("user_id").agg(F.count("*").alias("n_events"))
+    right = ev.filter(F.col("event_type") == "purchase").groupBy("user_id").agg(
+        F.sum("value").alias("spend")
+    )
+    try:
+        write_bucketed(left, "t_bkt_left", "user_id", 8, sort_cols="user_id")
+        write_bucketed(right, "t_bkt_right", "user_id", 8, sort_cols="user_id")
+
+        joined = co_located_join(spark, "t_bkt_left", "t_bkt_right", on="user_id")
+        assert_no_exchange(joined)  # the co-location payoff
+
+        # control: the same join on plain (unbucketed) frames shuffles
+        control = left.join(right, on="user_id")
+        assert plan_has_exchange(control)
+
+        # and the answer is identical to the plain join
+        got = joined.orderBy("user_id").toPandas()
+        exp = control.orderBy("user_id").toPandas()
+        pd.testing.assert_frame_equal(got, exp)
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_bkt_left")
+        spark.sql("DROP TABLE IF EXISTS t_bkt_right")
+
+
+def test_bucketed_groupby_has_no_exchange(spark):
+    """Bucketing serves aggregation too: groupBy on the bucket key
+    reads pre-partitioned buckets, no Exchange before the final agg."""
+    ev = spark.read.parquet(f"{SF}/events.parquet").select("user_id", "value")
+    try:
+        write_bucketed(ev, "t_bkt_ev", "user_id", 8)
+        agg = spark.table("t_bkt_ev").groupBy("user_id").agg(F.sum("value").alias("v"))
+        assert_no_exchange(agg)
+        exact = ev.groupBy("user_id").agg(F.sum("value").alias("v"))
+        assert agg.count() == exact.count()
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_bkt_ev")
+
+
+def test_streaming_exact_dedup_drops_cross_batch_duplicates(spark, tmp_path):
+    """Duplicate documents re-delivered across microbatches (within the
+    horizon) collapse to their first arrival; distinct docs all pass."""
+    rows = []
+    for i in range(30):
+        text = f"document body {i % 10}"  # 10 distinct texts, 3 deliveries each
+        rows.append((i, pd.Timestamp("2026-01-01 00:00:00") + pd.Timedelta(seconds=i), text))
+    pdf = pd.DataFrame(rows, columns=["id", "timestamp", "text"])
+
+    src = tmp_path / "src"
+    src.mkdir()
+    for c, chunk in enumerate(np.array_split(pdf, 3)):
+        spark.createDataFrame(chunk).coalesce(1).write.mode("overwrite").parquet(
+            str(src / f"c{c}")
+        )
+    stream = (
+        spark.readStream.schema("id long, timestamp timestamp, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "c*"))
+    )
+    out = streaming_exact_dedup(stream, text_col="text", horizon="10 minutes")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("dedup_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("select * from dedup_stream").toPandas()
+
+    assert len(got) == 10  # one survivor per distinct text
+    assert got["text"].nunique() == 10
+    # first arrival wins: survivors are exactly ids 0..9
+    assert sorted(got["id"]) == list(range(10))
+
+
+def test_streaming_dedup_requires_exactly_one_key_spec():
+    with pytest.raises(ValueError):
+        streaming_exact_dedup(None, key_cols="a", text_col="b")
+    with pytest.raises(ValueError):
+        streaming_exact_dedup(None)
