@@ -37,10 +37,14 @@ def _tokens(text_col: str = "text") -> Column:
 
 def shingles(text_col: str = "text", n: int = 3) -> Column:
     """Word n-gram shingles as an array column — transform over a sliced
-    sequence, fully JVM-side."""
+    sequence, fully JVM-side.  Docs shorter than n tokens shingle to []
+    (sequence(1, 0) would yield the DESCENDING [1, 0] and a slice(..., 0)
+    error, so the short branch is explicit)."""
     return F.expr(
-        f"transform(sequence(1, greatest(size(tokens) - {n - 1}, 0)),"
-        f" i -> concat_ws(' ', slice(tokens, i, {n})))"
+        f"if(size(tokens) >= {n},"
+        f" transform(sequence(1, size(tokens) - {n - 1}),"
+        f" i -> concat_ws(' ', slice(tokens, i, {n}))),"
+        " array())"
     )
 
 
