@@ -150,9 +150,12 @@ def hotkey_fixtures(spark) -> dict:
     Reset-bearing variant: periodic RESET control events give every
     shard its exactness certificate -> the split path wins outright.
     Reset-free variant: no shard can certify, so the certified router
-    (presplit_detections_certified) quarantines the key back through
-    the serial kernel — its wall time records the fallback's real cost
-    (sharded probe + serial re-run), the number the r2 judge asked for.
+    (presplit_detections_certified) quarantines the key through the
+    serial kernel — its wall time records the fallback's real cost.
+    For windowed patterns the certificate is syntactic, so the router
+    decides it with a JVM-side pre-aggregate and each key pays exactly
+    ONE kernel pass (the former probe-then-requarantine shape ran the
+    sharded Python pass first and then re-ran serial anyway).
     """
     from flink_rtcef_spark.operators.cep import BatchCEP
     from flink_rtcef_spark.operators.cep_presplit import (

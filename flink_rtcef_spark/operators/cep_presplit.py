@@ -255,6 +255,39 @@ def presplit_detections(
     return sharded.groupBy("key", "shard").applyInPandas(run_shard, schema=schema)
 
 
+def _windowed_uncertified_keys(
+    sym: DataFrame, shard_span: int, warmup: int, resets: frozenset
+) -> DataFrame:
+    """Keys owning a shard a windowed pattern cannot certify — decided
+    WITHOUT running any kernel.  For windowed patterns the certificate
+    is purely syntactic (first shard, or a ResetEvent among the warm-up
+    replay rows = the previous home's tail), so it reduces to one
+    JVM-side aggregate over the symbolized frame: per (key, home),
+    does the tail carry a reset; shard k certifies iff k is the key's
+    first shard or home k-1 is contiguous and tail-reset-bearing.
+    Match accounting also resets at the same event, so state and
+    accounting certificates coincide — 'full' and 'state' routing are
+    identical in the windowed regime."""
+    span = F.lit(int(shard_span))
+    s = sym.withColumn("home", F.floor(F.col("ts") / span).cast("long")).withColumn(
+        "is_tail", F.col("ts") >= (F.col("home") + 1) * span - F.lit(int(warmup))
+    )
+    reset_pred = (
+        F.col("symbol").isin([int(x) for x in resets]) if resets else F.lit(False)
+    )
+    per = s.groupBy("key", "home").agg(
+        F.max(F.when(F.col("is_tail") & reset_pred, True).otherwise(False)).alias(
+            "tail_reset"
+        )
+    )
+    wk = W.partitionBy("key").orderBy("home")
+    cert = (F.row_number().over(wk) == 1) | (
+        (F.lag("home").over(wk) == F.col("home") - 1)
+        & F.lag("tail_reset").over(wk)
+    )
+    return per.withColumn("cert", cert).filter(~F.col("cert")).select("key").distinct()
+
+
 def presplit_detections_certified(
     df: DataFrame,
     compiled: CompiledPattern,
@@ -275,17 +308,42 @@ def presplit_detections_certified(
     identity itself is unprovable — the right trigger when downstream
     consumes (key, event, ts) and not min_counter/n_matched.
 
-    Scale shape: the sharded pass runs once and is persisted (it feeds
-    both the good-rows filter and the bad-key set); the bad-key set is
-    an aggregate of certificate rows — tiny, so both the anti-join and
-    the fallback's semi-join broadcast.  Fallback cost is one extra scan
-    restricted to the uncertified keys, which is the point: the dense
-    hot keys shard cleanly, and only sparse keys (cheap anyway) take the
-    serial path."""
+    Scale shape, windowed patterns: the certificate is syntactic
+    (reset-in-warm-up only), so the router decides it with one JVM-side
+    aggregate BEFORE any kernel runs — every key's events then pass
+    through exactly ONE kernel (sharded if certified, serial if not),
+    never both.  The former probe-then-requarantine shape paid the
+    sharded Python pass on keys that were then re-run serially anyway.
+
+    Scale shape, windowless patterns: certification needs the warm-up
+    state-map composition (a kernel-side scan), so the sharded pass
+    runs once and is persisted (it feeds both the good-rows filter and
+    the bad-key set); the bad-key set is an aggregate of certificate
+    rows — tiny, so both the anti-join and the fallback's semi-join
+    broadcast.  Fallback cost is one extra scan restricted to the
+    uncertified keys, which is the point: the dense hot keys shard
+    cleanly, and only sparse keys (cheap anyway) take the serial path."""
     if require not in ("full", "state"):
         raise ValueError(f"require must be 'full'|'state', got {require!r}")
     flag = "exact" if require == "full" else "state_exact"
     cep = BatchCEP(compiled, key_col=key_col, ts_col=ts_col, id_col=id_col)
+    det_cols_ = [
+        "key", "detection_event_id", "detection_ts", "counter",
+        "min_counter", "n_matched",
+    ]
+    if compiled.window > 0:
+        bad_keys = _windowed_uncertified_keys(
+            cep.symbolized(df), shard_span, warmup, compiled.reset_symbols()
+        ).persist()
+        bk = F.broadcast(bad_keys.withColumnRenamed("key", cep.key_col))
+        good = presplit_detections(
+            df.join(bk, cep.key_col, "left_anti"), compiled, shard_span,
+            warmup, key_col=key_col, ts_col=ts_col, id_col=id_col,
+        ).select(*det_cols_)
+        fallback = cep.detections(df.join(bk, cep.key_col, "left_semi")).select(
+            *det_cols_
+        )
+        return good.unionByName(fallback)
     raw = presplit_detections(
         df, compiled, shard_span, warmup, key_col=key_col, ts_col=ts_col,
         id_col=id_col, strict=False, with_certificates=True,

@@ -192,3 +192,43 @@ def test_nonstrict_flags_uncertified_shards(spark):
     flags = {r.shard: r.exact for r in split.collect()}
     assert flags.get(0, True) is True  # first shard always exact
     assert any(v is False for s, v in flags.items() if s > 0)
+
+
+def test_certified_windowed_routes_per_key_without_probe(spark):
+    """Mixed stream, windowed pattern: the reset-bearing key certifies
+    (sharded path), the reset-free key quarantines (serial path), the
+    union equals the unsharded kernel — and the routing decision itself
+    comes from the JVM-side pre-certification, checked directly."""
+    from flink_rtcef_spark.operators.cep_presplit import (
+        _windowed_uncertified_keys,
+        presplit_detections_certified,
+    )
+
+    compiled = compile_pattern(
+        ";(IsEventTypePredicate(view),IsEventTypePredicate(click))"
+        "{partitionBy:key}{window:5}",
+        "+(IsEventTypePredicate(RESET))\n"
+        "~(IsEventTypePredicate(view),IsEventTypePredicate(click),"
+        "IsEventTypePredicate(RESET))",
+    )
+    rng = random.Random(11)
+    rows = []
+    for i in range(1200):
+        et = "RESET" if i % 17 == 0 else rng.choice(("view", "click", "other"))
+        rows.append(("with_resets", i * 10, i * 2, et))
+        rows.append(
+            ("no_resets", i * 10, i * 2 + 1, rng.choice(("view", "click", "other")))
+        )
+    ev = spark.createDataFrame(rows, "key string, ts long, id long, event_type string")
+    cep = BatchCEP(compiled, key_col="key", ts_col="ts", id_col="id")
+
+    bad = _windowed_uncertified_keys(
+        cep.symbolized(ev), 1000, 400, compiled.reset_symbols()
+    )
+    assert [r["key"] for r in bad.collect()] == ["no_resets"]
+
+    cert = presplit_detections_certified(
+        ev, compiled, shard_span=1000, warmup=400, key_col="key", ts_col="ts",
+        id_col="id",
+    )
+    assert _full_rows(cert) == _full_rows(cep.detections(ev))
