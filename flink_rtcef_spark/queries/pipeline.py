@@ -1146,3 +1146,37 @@ def chunk_documents_50_30(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return chunk_documents(docs, chunk_tokens=50, stride=30)
+
+
+# --------------------------------------------------------------------------
+# Benchmark decontamination (operators/decontam.py): documents sharing a
+# normalized 8-gram with the held-out "benchmark" slice (doc_id % 5 == 0)
+# are flagged with their shared-gram occurrence count.  The Spark side
+# joins on 64-bit gram hashes with the benchmark side broadcast (the
+# corpus never shuffles); the oracle joins the gram strings directly —
+# a hash collision would surface as a driver mismatch.
+_DECONTAM_SQL = r"""
+    WITH tok AS (
+      SELECT doc_id,
+             list_filter(string_split(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'), ' '),
+                         x -> x <> '') AS toks
+      FROM documents),
+    grams AS (
+      SELECT doc_id, array_to_string(list_slice(toks, t.i, t.i + 7), ' ') AS gram
+      FROM tok, UNNEST(CASE WHEN len(toks) >= 8 THEN range(1, len(toks) - 7 + 1) ELSE [] END) AS t(i)),
+    bench AS (SELECT DISTINCT gram FROM grams WHERE doc_id % 5 = 0)
+    SELECT g.doc_id, COUNT(*) AS n_contaminated_grams
+    FROM grams g JOIN bench b USING (gram)
+    WHERE g.doc_id % 5 <> 0
+    GROUP BY g.doc_id
+"""
+
+
+@query("decontam_hits", oracle=_DECONTAM_SQL)
+def decontam_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_rtcef_spark.operators.decontam import contamination_hits
+
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 5 != 0)
+    benchmark = docs.filter(F.col("doc_id") % 5 == 0)
+    return contamination_hits(corpus, benchmark, n=8)

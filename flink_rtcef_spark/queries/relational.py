@@ -411,16 +411,9 @@ def topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# Distinct keys — per-partition run creation (RunPool.scala:21-43) needs
-# the distinct key set.
-@query(
-    "distinct_keys",
-    oracle="SELECT DISTINCT user_id, event_type FROM events",
-)
-def distinct_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return load_table(spark, sf_dir, "events").select("user_id", "event_type").distinct()
-
-
+# (distinct_keys retired in r3: redundant with the other exchange-on-key
+# aggregations, and the 50-slot registry is better spent on an oracle
+# for benchmark decontamination — queries/pipeline.decontam_hits.)
 # --------------------------------------------------------------------------
 # N-gram counting (the CST update, CounterSuffixTree.scala:187-210):
 # per-key ordered symbol sequence -> 2-grams and 3-grams -> global
