@@ -50,6 +50,7 @@ HEADLINE = [
     "text_quality",
     "token_counts_bpe",
     "multimodal_features",
+    "decontam_hits",
 ]
 
 N_ITER = 3

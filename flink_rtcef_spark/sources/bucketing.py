@@ -77,6 +77,34 @@ def co_located_join(
     return spark.table(left_table).join(spark.table(right_table), on=on, how=how)
 
 
+def write_partitioned(
+    df: DataFrame,
+    path: str,
+    partition_cols: list[str] | str,
+    mode: str = "overwrite",
+    format: str = "parquet",
+) -> None:
+    """Hive-partitioned layout (``path/col=value/...``) — the directory
+    structure IS the index: a filter on a partition column prunes whole
+    directories at planning time, so a day/lang/source-scoped query on
+    a 100 TB corpus reads only its slice.  Partition columns must be
+    low-cardinality (date, lang, source); high-cardinality partitioning
+    makes a small-files problem instead.  Verify pruning with
+    :func:`scan_is_partition_pruned`."""
+    cols = [partition_cols] if isinstance(partition_cols, str) else list(partition_cols)
+    df.write.mode(mode).format(format).partitionBy(*cols).save(path)
+
+
+def scan_is_partition_pruned(df: DataFrame) -> bool:
+    """True if the plan's file scan carries partition filters (the
+    filtered directories are skipped, not read-and-discarded)."""
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    import re
+
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    return bool(m and m.group(1).strip())
+
+
 def plan_has_exchange(df: DataFrame) -> bool:
     """True if the physical plan contains any Exchange (shuffle or
     broadcast)."""

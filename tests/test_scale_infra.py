@@ -114,3 +114,21 @@ def test_streaming_dedup_requires_exactly_one_key_spec():
         streaming_exact_dedup(None, key_cols="a", text_col="b")
     with pytest.raises(ValueError):
         streaming_exact_dedup(None)
+
+
+def test_partitioned_write_prunes_scan(spark, tmp_path):
+    from flink_rtcef_spark.sources.bucketing import (
+        scan_is_partition_pruned,
+        write_partitioned,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    out = str(tmp_path / "by_lang")
+    write_partitioned(docs, out, "lang")
+
+    back = spark.read.parquet(out)
+    en = back.filter(F.col("lang") == "en")
+    assert scan_is_partition_pruned(en)  # planning-time directory prune
+    assert not scan_is_partition_pruned(back.filter(F.col("doc_id") > 10))
+    # pruned read returns exactly the partition's rows
+    assert en.count() == docs.filter(F.col("lang") == "en").count()
