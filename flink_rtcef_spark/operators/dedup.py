@@ -529,3 +529,54 @@ def near_dedup_transitive(
         F.col("id").alias(id_col)
     )
     return df.join(losers, id_col, "left_anti")
+
+
+# --------------------------------------------------------------------------
+# Incremental (cross-batch) dedup — the daily-ingest pattern.
+
+
+def digest_frame(
+    df: DataFrame, content_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(digest, id) — the 32-byte identity a corpus history table
+    stores per document (same normalization as exact_dedup)."""
+    return df.select(
+        F.md5(F.lower(F.trim(F.col(content_col)))).alias("digest"),
+        F.col(id_col).alias(id_col),
+    )
+
+
+def incremental_dedup(
+    new_docs: DataFrame,
+    history_digests: DataFrame,
+    content_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """New-batch rows whose content is unseen: dedup WITHIN the batch
+    (min-id canonical, as exact_dedup) then anti-join the batch's
+    digests against the historical digest table.
+
+    Scale shape: the history side is digests only (32 B/row — 100 TB of
+    documents is ~2 TB of digests), and when it is stored as a table
+    bucketed on ``digest`` (sources/bucketing.write_bucketed) the
+    anti-join reads co-located buckets with no Exchange on the history
+    side; only the (small) daily batch shuffles.  Append
+    ``digest_frame(survivors)`` back to the history table to close the
+    loop.
+    """
+    norm = F.md5(F.lower(F.trim(F.col(content_col))))
+    batch = df_with_digest = new_docs.withColumn("__digest", norm)
+    w_ids = (
+        batch.groupBy("__digest").agg(F.min(id_col).alias("__keep_id"))
+    )
+    in_batch = batch.join(
+        w_ids,
+        (batch["__digest"] == w_ids["__digest"])
+        & (batch[id_col] == w_ids["__keep_id"]),
+    ).select(df_with_digest["*"])
+    unseen = in_batch.join(
+        history_digests.select(F.col("digest").alias("__digest")),
+        "__digest",
+        "left_anti",
+    )
+    return unseen.drop("__digest")

@@ -132,3 +132,41 @@ def test_partitioned_write_prunes_scan(spark, tmp_path):
     assert not scan_is_partition_pruned(back.filter(F.col("doc_id") > 10))
     # pruned read returns exactly the partition's rows
     assert en.count() == docs.filter(F.col("lang") == "en").count()
+
+
+def test_incremental_dedup_against_bucketed_history(spark, no_broadcast):
+    """Daily-ingest dedup: within-batch dups collapse to min id, docs
+    already in the history digest table drop, genuinely new docs pass.
+    With the history stored bucketed on digest, the anti-join shuffles
+    only the batch side (exactly one Exchange in the isolated plan)."""
+    from flink_rtcef_spark.operators.dedup import digest_frame, incremental_dedup
+
+    history = spark.createDataFrame(
+        [(100, "seen doc one"), (101, "seen doc two")], "doc_id long, text string"
+    )
+    batch = spark.createDataFrame(
+        [
+            (1, "brand new doc"),
+            (2, "brand new doc"),      # within-batch dup of 1
+            (3, "seen doc one"),       # already in history
+            (4, "another new doc"),
+        ],
+        "doc_id long, text string",
+    )
+    got = incremental_dedup(batch, digest_frame(history)).orderBy("doc_id").collect()
+    assert [(r["doc_id"], r["text"]) for r in got] == [
+        (1, "brand new doc"),
+        (4, "another new doc"),
+    ]
+
+    try:
+        write_bucketed(digest_frame(history), "t_hist_digests", "digest", 8)
+        hist = spark.table("t_hist_digests")
+        iso = digest_frame(batch).join(
+            hist.select("digest"), "digest", "left_anti"
+        )
+        plan = iso._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("Exchange") == 1  # batch side only; history co-located
+        assert iso.count() == 3  # raw digests: no within-batch dedup here
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_hist_digests")
