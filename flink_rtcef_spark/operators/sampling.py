@@ -107,3 +107,42 @@ def token_budget_sample(
         .filter(F.col("__cum") <= budget_col)
         .drop("__cum")
     )
+
+
+def temperature_rates(
+    counts: dict[str, int], alpha: float, target_total: int | None = None
+) -> dict[str, float]:
+    """Per-source keep rates for temperature-weighted mixing: sampled
+    mass ∝ count^alpha (alpha=1 natural, alpha→0 uniform — the standard
+    multi-source LM recipe).  Rates are scaled so the largest is 1.0
+    unless ``target_total`` caps the expected sampled size.  Pure
+    arithmetic on per-source totals — no data touched."""
+    if not counts or alpha < 0:
+        raise ValueError("need non-empty counts and alpha >= 0")
+    weights = {s: float(c) ** alpha for s, c in counts.items() if c > 0}
+    z = sum(weights.values())
+    # expected rows from source s at scale t: t * w_s / z; rate = that / c_s
+    scales = {s: (weights[s] / z) / counts[s] for s in weights}
+    t_max = min(1.0 / sc for sc in scales.values())  # max t with all rates <= 1
+    t = min(t_max, float(target_total)) if target_total else t_max
+    return {s: sc * t for s, sc in scales.items()}
+
+
+def temperature_sample(
+    df: DataFrame,
+    source_col: str,
+    key_col: str,
+    alpha: float,
+    target_total: int | None = None,
+    seed: int = 0,
+) -> DataFrame:
+    """Temperature mixing over an actual frame: one count aggregate
+    (driver-side result bounded by the number of sources — control
+    plane), rates from :func:`temperature_rates`, then the map-side
+    deterministic stratified filter."""
+    counts = {
+        r[source_col]: r["n"]
+        for r in df.groupBy(source_col).agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    rates = temperature_rates(counts, alpha, target_total)
+    return stratified_sample(df, source_col, rates, key_col, seed=seed)

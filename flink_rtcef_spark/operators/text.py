@@ -206,3 +206,59 @@ def chunk_documents(
             F.size("chunk_toks").alias("n_chunk_tokens"),
         )
     )
+
+
+def dedup_lines_within_doc(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Drop repeated lines inside each document, keeping the first
+    occurrence in order (nav menus, footers, and scraper artifacts
+    repeat within a page).  ``array_distinct`` is order-preserving, so
+    the whole operator is one JVM expression — map-side, no shuffle."""
+    lines = F.split(F.col(text_col), "\n")
+    return df.withColumn(text_col, F.array_join(F.array_distinct(lines), "\n"))
+
+
+def remove_boilerplate_lines(
+    df: DataFrame,
+    max_df: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_line_chars: int = 1,
+) -> DataFrame:
+    """Drop lines that occur in more than ``max_df`` documents — the
+    cross-document boilerplate cut (cookie banners, license headers,
+    navigation): a line's document frequency is its boilerplate score.
+
+    Shape: posexplode lines → per-(line-hash) distinct-doc counts (a
+    groupBy on 8-byte hashes, map-side combinable) → join back and drop
+    frequent lines → reassemble in original order via sort_array over
+    (pos, line) structs.  Two shuffles (line-hash agg, doc reassembly);
+    both move hashes/line-text, never whole documents.  Lines shorter
+    than ``min_line_chars`` are kept unconditionally (blank separators
+    are structure, not boilerplate)."""
+    lines = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
+    ).withColumn("lh", F.xxhash64(F.trim(F.col("line"))))
+    docfreq = (
+        lines.filter(F.length(F.trim("line")) >= min_line_chars)
+        .select("lh", id_col)
+        .distinct()
+        .groupBy("lh")
+        .agg(F.count(F.lit(1)).alias("line_df"))
+        .filter(F.col("line_df") > max_df)
+    )
+    kept = lines.join(F.broadcast(docfreq.select("lh")), "lh", "left_anti")
+    return (
+        kept.groupBy(id_col)
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("pos", "line"))),
+                    lambda s: s["line"],
+                ),
+                "\n",
+            ).alias(text_col)
+        )
+    )
