@@ -1,0 +1,138 @@
+"""End-to-end training-corpus curation — every pipeline stage in one
+drive, on the synthetic documents/embeddings tables.
+
+The stage order is the one that minimizes work at scale: cheap
+map-side filters first (quality, language), then the digest-shuffle
+dedups, then the n-gram decontamination, then mixing/packing — each
+stage shrinks the corpus before the next pays its shuffle.
+
+    profile -> boilerplate cut -> quality gate -> langid
+            -> exact dedup -> minhash-LSH near-dedup
+            -> benchmark decontamination -> temperature mix
+            -> chunk + FFD-pack -> partitioned write + final profile
+
+Run: python examples/curation_pipeline.py [--sf-dir /root/testdata/sf0.01]
+Prints one summary line per stage (rows in -> rows out) and the
+before/after sketch profiles.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import tempfile
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from pyspark.sql import functions as F
+
+from flink_rtcef_spark.operators.decontam import decontaminate
+from flink_rtcef_spark.operators.dedup import (
+    exact_dedup,
+    lsh_candidate_pairs,
+    minhash_signatures,
+)
+from flink_rtcef_spark.operators.profile import corpus_profile
+from flink_rtcef_spark.operators.sampling import temperature_sample
+from flink_rtcef_spark.operators.text import (
+    chunk_documents,
+    pack_sequences,
+    quality_signals,
+    remove_boilerplate_lines,
+)
+from flink_rtcef_spark.session import get_spark
+from flink_rtcef_spark.sources.bucketing import write_partitioned
+from flink_rtcef_spark.sources.io import load_table
+
+
+def stage(name: str, df, prev_n: int) -> int:
+    n = df.count()
+    print(f"  {name:<28} {prev_n:>6} -> {n:>6}")
+    return n
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    args = ap.parse_args()
+    t0 = time.time()
+    spark = get_spark("curation_pipeline")
+
+    docs = load_table(spark, args.sf_dir, "documents")
+    n = docs.count()
+    print(f"corpus: {n} docs from {args.sf_dir}")
+    prof = corpus_profile(docs).first()
+    print(
+        f"  profile: ~{prof['approx_distinct_texts']:.0f} distinct texts, "
+        f"token p50/p99 = {prof['tokens_p5']}/{prof['tokens_p99']}"
+    )
+
+    # 1. boilerplate lines shared by >5% of docs
+    docs = remove_boilerplate_lines(docs, max_df=max(5, n // 20)).join(
+        load_table(spark, args.sf_dir, "documents").drop("text"), "doc_id"
+    )
+    n = stage("boilerplate line cut", docs, n)
+
+    # 2. quality gate (map-side signals)
+    q = quality_signals(docs)
+    good_ids = q.filter(
+        (F.col("n_words") >= 10) & (F.col("mean_word_len").between(2.0, 12.0))
+    ).select("doc_id")
+    docs = docs.join(good_ids, "doc_id", "left_semi")
+    n = stage("quality gate", docs, n)
+
+    # 3. exact dedup (digest shuffle)
+    docs = exact_dedup(docs).drop("n_copies")
+    n = stage("exact dedup", docs, n)
+
+    # 4. near-dedup: minhash -> banded LSH -> drop the larger id of
+    # each candidate pair (cheap cluster policy for the demo)
+    pairs = lsh_candidate_pairs(minhash_signatures(docs))
+    docs = docs.join(
+        F.broadcast(pairs.select(F.col("id_b").alias("doc_id")).distinct()),
+        "doc_id",
+        "left_anti",
+    )
+    n = stage("minhash-LSH near-dedup", docs, n)
+
+    # 5. decontamination against a held-out "benchmark" slice
+    benchmark = load_table(spark, args.sf_dir, "documents").filter(
+        F.col("doc_id") % 97 == 0
+    )
+    docs = decontaminate(docs.filter(F.col("doc_id") % 97 != 0), benchmark, n=8)
+    n = stage("benchmark decontamination", docs, n)
+
+    # 6. temperature mixing over the language column
+    docs = temperature_sample(docs, "lang", "doc_id", alpha=0.5)
+    n = stage("temperature mix (lang^0.5)", docs, n)
+
+    # 7. chunk long docs, pack chunks to a 512-token budget
+    chunks = chunk_documents(docs, chunk_tokens=128, stride=128)
+    packed = pack_sequences(
+        chunks.select(
+            (F.col("doc_id") * 10000 + F.col("chunk_idx")).alias("chunk_id"),
+            F.col("n_chunk_tokens").alias("n_tokens"),
+        ),
+        budget=512,
+        id_col="chunk_id",
+        tokens_col="n_tokens",
+    )
+    n_packs = packed.select("pack_id").distinct().count()
+    print(f"  {'chunk + FFD pack':<28} {n:>6} -> {n_packs:>6} packs")
+
+    # 8. partitioned write + final profile
+    out = tempfile.mkdtemp(prefix="curated_")
+    write_partitioned(docs, out, "lang")
+    final = corpus_profile(spark.read.parquet(out)).first()
+    print(
+        f"  final: {final['rows']} docs, "
+        f"~{final['approx_distinct_texts']:.0f} distinct texts, "
+        f"token p50/p99 = {final['tokens_p5']}/{final['tokens_p99']}"
+    )
+    print(f"# curated corpus at {out}; wall {time.time() - t0:.1f}s")
+
+
+if __name__ == "__main__":
+    main()
