@@ -164,3 +164,57 @@ def test_nsra_register_runtime_vs_derivational(events, window):
         cp.start_states, cp.window, cp.window_type,
     )
     assert [(int(r[0]), int(r[3]) - 1) for r in rows] == expected
+
+
+# --------------------------------------------------------------------------
+# temperature_rates invariants (driver-side arithmetic, no Spark)
+
+
+@given(
+    counts=st.dictionaries(
+        st.text(st.characters(categories=("Ll",)), min_size=1, max_size=4),
+        st.integers(min_value=1, max_value=10**9),
+        min_size=1,
+        max_size=8,
+    ),
+    alpha=st.floats(min_value=0.0, max_value=2.0, allow_nan=False),
+)
+@settings(max_examples=200, deadline=None)
+def test_temperature_rates_invariants(counts, alpha):
+    from flink_rtcef_spark.operators.sampling import temperature_rates
+
+    rates = temperature_rates(counts, alpha)
+    # every rate is a valid bernoulli probability and the scaling is
+    # tight: at least one source is kept whole
+    assert all(0.0 < r <= 1.0 + 1e-9 for r in rates.values())
+    assert max(rates.values()) > 1.0 - 1e-9
+    # sampled mass proportional to count^alpha: the ratio
+    # (rate_i * c_i) / c_i^alpha must be constant across sources
+    ref = None
+    for s, r in rates.items():
+        v = (r * counts[s]) / counts[s] ** alpha if counts[s] ** alpha else 0
+        if ref is None:
+            ref = v
+        assert v == __import__("pytest").approx(ref, rel=1e-6)
+
+
+@given(
+    counts=st.dictionaries(
+        st.text(st.characters(categories=("Ll",)), min_size=1, max_size=4),
+        st.integers(min_value=1, max_value=10**6),
+        min_size=1,
+        max_size=6,
+    ),
+    target=st.integers(min_value=1, max_value=10**6),
+)
+@settings(max_examples=100, deadline=None)
+def test_temperature_rates_target_total_cap(counts, target):
+    from flink_rtcef_spark.operators.sampling import temperature_rates
+
+    rates = temperature_rates(counts, 1.0, target_total=target)
+    expected = sum(rates[s] * counts[s] for s in rates)
+    # expected sampled size never exceeds the cap (and hits it when the
+    # corpus is big enough)
+    assert expected <= target + 1e-6 * max(1, target)
+    if sum(counts.values()) >= target:
+        assert expected == __import__("pytest").approx(target, rel=1e-6)
