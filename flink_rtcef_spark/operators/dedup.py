@@ -580,3 +580,67 @@ def incremental_dedup(
         "left_anti",
     )
     return unseen.drop("__digest")
+
+
+def simhash_candidate_pairs(
+    sim_df: DataFrame,
+    id_col: str = "doc_id",
+    hash_col: str = "simhash",
+    max_hamming: int = 3,
+    bands: int | None = None,
+) -> DataFrame:
+    """Near-duplicate pairs by Hamming distance on 64-bit SimHash,
+    without all-pairs: pigeonhole banding.  The 64 bits split into
+    ``bands`` chunks (default ``max_hamming + 1``); two hashes within
+    ``max_hamming`` bit flips MUST agree on at least one whole chunk
+    (pigeonhole: max_hamming flips cannot touch all max_hamming+1
+    chunks), so the per-chunk bucket join has EXACT recall.  Candidates
+    are then verified with ``bit_count(xor) <= max_hamming`` — a JVM
+    expression, no Python.
+
+    Shuffle size is bands x the (id, chunk) projection — the corpus
+    text never moves.  Precision tuning is free: larger ``bands`` means
+    shorter chunks and more candidates; the verify step keeps the
+    output exact either way.  Returns (id_a, id_b, hamming).
+    """
+    if not 1 <= max_hamming <= 16:
+        raise ValueError(f"max_hamming must be in [1, 16], got {max_hamming}")
+    bands = bands if bands is not None else max_hamming + 1
+    if bands < max_hamming + 1:
+        raise ValueError(
+            f"bands ({bands}) must be >= max_hamming + 1 ({max_hamming + 1}) "
+            "or the pigeonhole recall guarantee breaks"
+        )
+    w = 64 // bands
+    chunk_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.expr(
+                    f"shiftrightunsigned({hash_col}, {b * w}) & "
+                    f"{(1 << (64 - b * w if b == bands - 1 else w)) - 1}"
+                ).alias("chunk"),
+            )
+            for b in range(bands)
+        ]
+    )
+    chunks = sim_df.select(
+        F.col(id_col), F.col(hash_col), F.explode(chunk_structs).alias("c")
+    ).select(id_col, hash_col, F.col("c.band").alias("band"), F.col("c.chunk").alias("chunk"))
+    a, b_ = chunks.alias("a"), chunks.alias("b")
+    ham = F.bit_count(F.col(f"a.{hash_col}").bitwiseXOR(F.col(f"b.{hash_col}")))
+    return (
+        a.join(
+            b_,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .filter(ham <= max_hamming)
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            ham.alias("hamming"),
+        )
+        .distinct()
+    )

@@ -78,3 +78,57 @@ def test_temperature_sample_balances_sources(spark):
     sizes = {r["source"]: r["count"] for r in got}
     assert sizes["books"] == 100  # rate 1.0: everything kept
     assert sizes["web"] == pytest.approx(100, rel=0.35)  # hash-coin at rate 0.1
+
+
+def test_simhash_candidate_pairs_exact_recall(spark):
+    """Pigeonhole banding must recover EXACTLY the brute-force Hamming
+    pairs: planted near-dups (small edits) plus unrelated docs."""
+    import random
+
+    from flink_rtcef_spark.operators.dedup import (
+        simhash64,
+        simhash_candidate_pairs,
+    )
+
+    rng = random.Random(5)
+    vocab = [f"w{i}" for i in range(200)]
+    rows = []
+    for i in range(20):
+        base = [rng.choice(vocab) for _ in range(60)]
+        rows.append((i * 2, " ".join(base)))
+        edited = list(base)
+        edited[7] = "edited"  # one-token edit -> tiny Hamming distance
+        rows.append((i * 2 + 1, " ".join(edited)))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    sims = simhash64(df).cache()
+
+    got = {
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in simhash_candidate_pairs(sims, max_hamming=3).collect()
+    }
+    a, b = sims.alias("a"), sims.alias("b")
+    ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    brute = {
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in a.crossJoin(b)
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .filter(ham <= 3)
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            ham.alias("hamming"),
+        )
+        .collect()
+    }
+    sims.unpersist()
+    assert got == brute
+    assert len(brute) > 0  # the planted edits actually landed within 3 bits
+
+
+def test_simhash_candidate_pairs_validates_bands():
+    from flink_rtcef_spark.operators.dedup import simhash_candidate_pairs
+
+    with pytest.raises(ValueError):
+        simhash_candidate_pairs(None, max_hamming=3, bands=3)
+    with pytest.raises(ValueError):
+        simhash_candidate_pairs(None, max_hamming=0)
