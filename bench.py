@@ -62,6 +62,13 @@ def _timed(fn) -> float:
     return time.time() - t0
 
 
+def _median3(fn) -> float:
+    """Median of 3 runs — the first doubles as plan/shuffle warm-up, and
+    the median discards it when cold-start dominated (hot-key fixtures
+    showed 1.5x single-run spread between whole bench invocations)."""
+    return statistics.median(_timed(fn) for _ in range(3))
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").split("sf")[-1]
@@ -186,10 +193,10 @@ def hotkey_fixtures(spark) -> dict:
     cep = BatchCEP(compiled, key_col="key", ts_col="ts", id_col="id")
     span = n * 10 // 64  # ~64 shards; resets every 500 events
     out["cep_hotkey_windowed_reset_plain_sec"] = round(
-        _timed(lambda: cep.detections(ev).count()), 3
+        _median3(lambda: cep.detections(ev).count()), 3
     )
     out["cep_hotkey_windowed_reset_presplit_sec"] = round(
-        _timed(
+        _median3(
             lambda: presplit_detections(
                 ev, compiled, shard_span=span, warmup=span // 8, key_col="key",
                 ts_col="ts", id_col="id", strict=True,
@@ -206,10 +213,10 @@ def hotkey_fixtures(spark) -> dict:
     cep2 = BatchCEP(compiled2, key_col="key", ts_col="ts", id_col="id")
     span2 = n2 * 10 // 64
     out["cep_hotkey_windowed_noreset_plain_sec"] = round(
-        _timed(lambda: cep2.detections(ev2).count()), 3
+        _median3(lambda: cep2.detections(ev2).count()), 3
     )
     out["cep_hotkey_windowed_noreset_certified_fallback_sec"] = round(
-        _timed(
+        _median3(
             lambda: presplit_detections_certified(
                 ev2, compiled2, shard_span=span2, warmup=span2 // 8,
                 key_col="key", ts_col="ts", id_col="id",
