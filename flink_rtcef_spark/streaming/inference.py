@@ -183,7 +183,7 @@ def make_stateful_fn(
     return fn
 
 
-FORECAST_STATE_SCHEMA = "state int, counter long"
+FORECAST_STATE_SCHEMA = "state int, counter long, last_ts long"
 FORECAST_OUTPUT_SCHEMA = (
     "key string, ts long, event_id long, counter long, is_detection boolean, "
     "prob double, start_ctr long, end_ctr long, positive boolean"
@@ -191,13 +191,20 @@ FORECAST_OUTPUT_SCHEMA = (
 
 
 def make_forecast_stateful_fn(
-    spst, method: str, confidence_threshold: float, spread: int
+    spst,
+    method: str,
+    confidence_threshold: float,
+    spread: int,
+    state_ttl_ms: int = 0,
+    ttl_clock: str = "event",
 ):
     """Streaming twin of ForecastCEP: per-key virtual state + counter in
     GroupState, forecasts via the SAME _run_forecast_segment kernel the
     batch operator uses — the reference's online inference path
     (WayebEngine.processElement:225-316) as a Structured Streaming
-    operator."""
+    operator.  Run expiry follows the same event-clock TTL as the
+    detection path (the reference expires the run the forecaster rides,
+    ERFEngine.scala:213-216 — forecast state is run state)."""
     from flink_rtcef_spark.operators.forecast import (
         FORECAST_COLUMNS,
         _run_forecast_segment,
@@ -212,15 +219,23 @@ def make_forecast_stateful_fn(
     )
 
     def fn(key: tuple, pdf_iter: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
+        if state_ttl_ms > 0 and state.hasTimedOut:
+            state.remove()
+            yield pd.DataFrame(columns=FORECAST_COLUMNS)
+            return
         if state.exists:
-            st, counter = state.get
+            st, counter, last_ts = state.get
+            if _expired_on_event_clock(state, state_ttl_ms, ttl_clock, last_ts):
+                st, counter, last_ts = 0, 0, -1
         else:
-            st, counter = 0, 0
+            st, counter, last_ts = 0, 0, -1
         frames = []
+        max_ts = last_ts
         for pdf in pdf_iter:
             if len(pdf) == 0:
                 continue
             pdf = pdf.sort_values(["ts", "event_id"], kind="mergesort")
+            max_ts = max(max_ts, int(pdf["ts"].max()))
             frame, (st, counter, _) = _run_forecast_segment(
                 key[0],
                 pdf["symbol"].to_numpy(),
@@ -230,7 +245,9 @@ def make_forecast_stateful_fn(
                 main_tables,
             )
             frames.append(frame)
-        state.update((int(st), int(counter)))
+        state.update((int(st), int(counter), int(max_ts)))
+        if state_ttl_ms > 0:
+            _arm_ttl(state, state_ttl_ms, ttl_clock, max_ts)
         yield (
             pd.concat(frames)
             if frames
@@ -250,27 +267,34 @@ def streaming_forecasts(
     method: str = "classify_nextk",
     confidence_threshold: float = 0.5,
     spread: int = 5,
+    state_ttl_ms: int = 0,
+    ttl_clock: str = "event",
 ) -> DataFrame:
     """Streaming recognition + forecasting (detections and forecasts in
-    one append stream, split by is_detection)."""
+    one append stream, split by is_detection).  ``state_ttl_ms`` > 0
+    expires idle run/forecast state — event clock by default, as in
+    streaming_detections."""
     compiled = spst.compiled
     key = key_col or compiled.partition_by
     with_event_time, et_col = _with_event_time(stream_df, ts_col)
-    sym = (
-        with_event_time.withWatermark(et_col, watermark)
-        .select(
-            F.col(key).cast("string").alias("key"),
-            F.unix_millis(F.col(et_col)).alias("ts"),
-            F.col(id_col).alias("event_id"),
-            compiled.symbol_column().alias("symbol"),
-        )
-    )
+    cols = [
+        F.col(key).cast("string").alias("key"),
+        F.unix_millis(F.col(et_col)).alias("ts"),
+        F.col(id_col).alias("event_id"),
+        compiled.symbol_column().alias("symbol"),
+    ]
+    if state_ttl_ms > 0 and ttl_clock == "event":
+        # EventTimeTimeout requires the watermarked column to survive
+        cols.append(F.col(et_col).alias("__watermark_time"))
+    sym = with_event_time.withWatermark(et_col, watermark).select(*cols)
     return sym.groupBy("key").applyInPandasWithState(
-        make_forecast_stateful_fn(spst, method, confidence_threshold, spread),
+        make_forecast_stateful_fn(
+            spst, method, confidence_threshold, spread, state_ttl_ms, ttl_clock
+        ),
         outputStructType=FORECAST_OUTPUT_SCHEMA,
         stateStructType=FORECAST_STATE_SCHEMA,
         outputMode="append",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=_timeout_conf(state_ttl_ms, ttl_clock),
     )
 
 
