@@ -548,3 +548,118 @@ def _timeout_conf(state_ttl_ms: int, ttl_clock: str):
     if ttl_clock == "event":
         return GroupStateTimeout.EventTimeTimeout
     return GroupStateTimeout.ProcessingTimeTimeout
+
+
+MULTI_STATE_SCHEMA = "carries binary, last_ts long"
+MULTI_OUTPUT_SCHEMA = (
+    "pattern_id int, key string, detection_event_id long, detection_ts long, "
+    "counter long, min_counter long, n_matched int"
+)
+_MULTI_COLUMNS = [
+    "pattern_id", "key", "detection_event_id", "detection_ts", "counter",
+    "min_counter", "n_matched",
+]
+
+
+def make_multi_stateful_fn(
+    compiled_list, state_ttl_ms: int = 0, ttl_clock: str = "event"
+):
+    """All patterns advance together per key; the carry vector (one
+    5-tuple per pattern) pickles into one binary GroupState column —
+    the same cross-batch encoding the register path uses."""
+    import pickle
+
+    from flink_rtcef_spark.operators.cep import _run_sdfa_segment
+    from flink_rtcef_spark.plans.compiler import transition_tables
+
+    tables = [transition_tables(c.sdfa) for c in compiled_list]
+    windows = [(c.window, c.window_type) for c in compiled_list]
+    resets = [c.reset_symbols() for c in compiled_list]
+    n_pat = len(compiled_list)
+
+    def fn(
+        key: tuple, pdf_iter: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state_ttl_ms > 0 and state.hasTimedOut:
+            state.remove()
+            yield pd.DataFrame([], columns=_MULTI_COLUMNS)
+            return
+        carries: list = [None] * n_pat
+        last_ts = -1
+        if state.exists:
+            blob, last_ts = state.get
+            if _expired_on_event_clock(state, state_ttl_ms, ttl_clock, last_ts):
+                last_ts = -1
+            else:
+                carries = pickle.loads(bytes(blob))
+        out = []
+        max_ts = last_ts
+        for pdf in pdf_iter:
+            if len(pdf) == 0:
+                continue
+            pdf = pdf.sort_values(["ts", "event_id"], kind="mergesort")
+            tss = pdf["ts"].to_numpy()
+            ids = pdf["event_id"].to_numpy()
+            max_ts = max(max_ts, int(tss.max()))
+            for p in range(n_pat):
+                delta, take, finals = tables[p]
+                window, wtype = windows[p]
+                rows, carries[p] = _run_sdfa_segment(
+                    pdf[f"symbol{p}"].to_numpy(), tss, ids,
+                    delta, take, finals, window, wtype, resets[p], carries[p],
+                )
+                out.extend((p, key[0], *r) for r in rows)
+        state.update((pickle.dumps(carries), int(max_ts)))
+        if state_ttl_ms > 0:
+            _arm_ttl(state, state_ttl_ms, ttl_clock, max_ts)
+        yield pd.DataFrame(out, columns=_MULTI_COLUMNS)
+
+    return fn
+
+
+def streaming_multi_detections(
+    stream_df: DataFrame,
+    compiled_list,
+    key_col: str | None = None,
+    ts_col: str = "timestamp",
+    id_col: str = "id",
+    watermark: str = "60 seconds",
+    state_ttl_ms: int = 0,
+    ttl_clock: str = "event",
+) -> DataFrame:
+    """Streaming twin of MultiPatternCEP (operators/multi_cep.py): the
+    reference feeds every event to ALL loaded FSMs
+    (ERFEngine.scala:204); here every pattern contributes its own
+    JVM-side symbol column, the stream shuffles ONCE on the shared key,
+    and one stateful pass advances all automata — detections tagged
+    with pattern_id.  Run expiry follows the event clock as in
+    streaming_detections."""
+    if not compiled_list:
+        raise ValueError("need at least one pattern")
+    keys = {c.partition_by for c in compiled_list if c.partition_by}
+    if key_col is None:
+        if len(keys) != 1:
+            raise ValueError(
+                f"patterns disagree on partitionBy ({keys}); pass key_col"
+            )
+        key_col = keys.pop()
+    with_event_time, et_col = _with_event_time(stream_df, ts_col)
+    cols = [
+        F.col(key_col).cast("string").alias("key"),
+        F.unix_millis(F.col(et_col)).alias("ts"),
+        F.col(id_col).alias("event_id"),
+    ]
+    cols += [
+        c.symbol_column().alias(f"symbol{p}") for p, c in enumerate(compiled_list)
+    ]
+    if state_ttl_ms > 0 and ttl_clock == "event":
+        # EventTimeTimeout requires the watermarked column to survive
+        cols.append(F.col(et_col).alias("__watermark_time"))
+    sym = with_event_time.withWatermark(et_col, watermark).select(*cols)
+    return sym.groupBy("key").applyInPandasWithState(
+        make_multi_stateful_fn(compiled_list, state_ttl_ms, ttl_clock),
+        outputStructType=MULTI_OUTPUT_SCHEMA,
+        stateStructType=MULTI_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=_timeout_conf(state_ttl_ms, ttl_clock),
+    )

@@ -74,3 +74,59 @@ def test_key_mismatch_rejected(spark):
     )
     with pytest.raises(ValueError, match="disagree"):
         MultiPatternCEP(compiled)
+
+
+def test_streaming_multi_equals_batch(spark, tmp_path):
+    """Streaming multi-pattern twin == batch MultiPatternCEP across
+    microbatch boundaries — all automata advance in one stateful pass,
+    carries pickled per key."""
+    import numpy as np
+
+    from flink_rtcef_spark.streaming.inference import streaming_multi_detections
+
+    rng = random.Random(29)
+    pdf = pd.DataFrame(
+        [
+            (f"k{rng.randint(1, 4)}", t + 1, t, rng.choice("AABBC"))
+            for t in range(600)
+        ],
+        columns=["k", "timestamp", "id", "event_type"],
+    )
+    compiled = compile_patterns(PATTERNS, DECLS)
+
+    src = tmp_path / "msrc"
+    for c, chunk in enumerate(np.array_split(pdf.sort_values("timestamp"), 4)):
+        spark.createDataFrame(chunk).coalesce(1).write.mode("overwrite").parquet(
+            str(src / f"c{c}")
+        )
+    stream = (
+        spark.readStream.schema("k string, timestamp long, id long, event_type string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "c*"))
+    )
+    out = streaming_multi_detections(
+        stream, compiled, ts_col="timestamp", id_col="id"
+    )
+    q = (
+        out.writeStream.format("memory").queryName("smulti")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = (
+        spark.sql("select * from smulti")
+        .toPandas()
+        .sort_values(["pattern_id", "key", "counter"])
+        .reset_index(drop=True)
+    )
+
+    batch = (
+        MultiPatternCEP(compiled, ts_col="timestamp", id_col="id")
+        .detections(spark.createDataFrame(pdf))
+        .toPandas()
+        .sort_values(["pattern_id", "key", "counter"])
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(batch) and len(got) > 0
+    assert set(got.pattern_id) == set(batch.pattern_id)
+    for col in ("pattern_id", "key", "detection_event_id", "counter", "n_matched"):
+        assert list(got[col].astype(str)) == list(batch[col].astype(str)), col
