@@ -8,8 +8,11 @@ Methodology (r3): every headline query runs 1 discarded warm-up pass +
 the [min, max] — single-run jitter flagged by the r2 judge is no longer
 confusable with a real regression.  Two windowed hot-key fixtures
 (reset-bearing vs reset-free) record the pre-split win and the
-certified fallback's quarantine cost, and a 10x synthetic section
-measures one weak-scaling step for the CEP and dedup paths.
+certified fallback's quarantine cost; a 10x synthetic section
+measures one weak-scaling step for the CEP and dedup paths; and a
+streaming section replays the events table through the
+applyInPandasWithState path (8 microbatches AND 1 microbatch, so the
+per-batch fixed cost and the amortized per-event rate are separable).
 
 Headline set = one query per operator class that dominates cost at
 scale (scan+agg, joins, windows, CEP, dedup, similarity).  Each query
@@ -103,6 +106,7 @@ def main() -> None:
 
     hot = hotkey_fixtures(spark)
     scale = weak_scaling_step(spark, sf_dir)
+    stream = streaming_throughput(spark, sf_dir)
 
     print(
         json.dumps(
@@ -117,6 +121,7 @@ def main() -> None:
                 "cep_events_per_sec": marginal,
                 "cep_marginal_events_per_sec": marginal,
                 **hot,
+                **stream,
                 "weak_scaling_10x": scale,
             }
         )
@@ -323,6 +328,94 @@ def weak_scaling_step(spark, sf_dir: str) -> dict:
         out["dedup_10x_docs_per_sec"] / out["dedup_1x_docs_per_sec"], 3
     )
     return out
+
+
+
+
+def streaming_throughput(spark, sf_dir: str) -> dict:
+    """events/s through the STREAMING CEP path — the reference is a
+    streaming engine, so the throughput parity number should include
+    the microbatch machinery, not just the batch kernel: file-source
+    replay in 8 time-ordered chunks, applyInPandasWithState with
+    event-clock TTL armed, noop sink.  Includes per-microbatch
+    overhead, so it is a floor on the steady-state rate (larger
+    batches amortize better)."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    from flink_rtcef_spark.plans.compiler import compile_pattern
+    from flink_rtcef_spark.streaming.inference import streaming_detections
+
+    base = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .select(
+            F.col("user_id").cast("string").alias("k"),
+            (F.unix_millis(F.col("ts").cast("timestamp")) / 1000).cast("long").alias("tsec"),
+            F.col("event_id").alias("id"),
+            "event_type",
+        )
+    )
+    n = base.count()
+    chunked = base.withColumn(
+        "__c", F.ntile(8).over(W.orderBy("tsec", "id"))
+    )
+    workdir = tempfile.mkdtemp(prefix="bench_stream_")
+    try:
+        for c in range(1, 9):
+            (
+                chunked.filter(F.col("__c") == c).drop("__c")
+                .coalesce(1)
+                .write.mode("overwrite")
+                .parquet(f"{workdir}/src/c{c}")
+            )
+        compiled = compile_pattern(
+            ";(IsEventTypePredicate(view),IsEventTypePredicate(purchase))"
+            "{partitionBy:k}",
+            "~(IsEventTypePredicate(view),IsEventTypePredicate(purchase))",
+        )
+
+        def run(files_per_trigger: int = 1) -> None:
+            stream = (
+                spark.readStream.schema(
+                    "k string, tsec long, id long, event_type string"
+                )
+                .option("maxFilesPerTrigger", files_per_trigger)
+                .parquet(f"{workdir}/src/c*")
+            )
+            out = streaming_detections(
+                stream, compiled, key_col="k", ts_col="tsec", id_col="id",
+                watermark="60 seconds", state_ttl_ms=3_600_000,
+            )
+            q = (
+                out.writeStream.format("noop")
+                .option("checkpointLocation", f"{workdir}/ckpt")
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(300)
+            shutil.rmtree(f"{workdir}/ckpt", ignore_errors=True)
+
+        run()  # warm-up (plan + state store init)
+        dt = _median3(run)
+        # same replay in ONE microbatch: isolates the per-batch fixed
+        # cost (plan + state-store load + python worker round) from the
+        # per-event cost — the amortized rate is what a production
+        # trigger interval tunes toward
+        dt1 = _median3(lambda: run(8))
+        return {
+            "streaming_cep_events": n,
+            "streaming_cep_sec": round(dt, 3),
+            "streaming_cep_events_per_sec": round(n / dt),
+            "streaming_cep_microbatches": 8,
+            "streaming_cep_1batch_sec": round(dt1, 3),
+            "streaming_cep_1batch_events_per_sec": round(n / dt1),
+        }
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
 
 
 if __name__ == "__main__":

@@ -130,3 +130,71 @@ def test_streaming_multi_equals_batch(spark, tmp_path):
     assert set(got.pattern_id) == set(batch.pattern_id)
     for col in ("pattern_id", "key", "detection_event_id", "counter", "n_matched"):
         assert list(got[col].astype(str)) == list(batch[col].astype(str)), col
+
+
+def test_streaming_multi_checkpoint_restart(spark, tmp_path):
+    """Kill after half the input, restart from the checkpoint: the
+    pickled carry vector must recover for ALL patterns and the union of
+    both runs equals the batch result (A20 for the multi path)."""
+    import numpy as np
+
+    from flink_rtcef_spark.streaming.inference import streaming_multi_detections
+
+    rng = random.Random(31)
+    pdf = pd.DataFrame(
+        [
+            (f"k{rng.randint(1, 3)}", t + 1, t, rng.choice("AABBC"))
+            for t in range(400)
+        ],
+        columns=["k", "timestamp", "id", "event_type"],
+    )
+    compiled = compile_patterns(PATTERNS, DECLS)
+    src = tmp_path / "rsrc"
+    src.mkdir()
+    chunks = np.array_split(pdf.sort_values("timestamp"), 4)
+    ckpt, sink = str(tmp_path / "ckpt"), str(tmp_path / "sink")
+
+    def run_once():
+        stream = (
+            spark.readStream.schema(
+                "k string, timestamp long, id long, event_type string"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src / "c*"))
+        )
+        out = streaming_multi_detections(
+            stream, compiled, ts_col="timestamp", id_col="id"
+        )
+        q = (
+            out.writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    for c, chunk in enumerate(chunks[:2]):
+        spark.createDataFrame(chunk).coalesce(1).write.mode("overwrite").parquet(str(src / f"c{c}"))
+    run_once()
+    for c, chunk in enumerate(chunks[2:], start=2):
+        spark.createDataFrame(chunk).coalesce(1).write.mode("overwrite").parquet(str(src / f"c{c}"))
+    run_once()
+
+    got = (
+        spark.read.parquet(sink)
+        .toPandas()
+        .sort_values(["pattern_id", "key", "counter"])
+        .reset_index(drop=True)
+    )
+    batch = (
+        MultiPatternCEP(compiled, ts_col="timestamp", id_col="id")
+        .detections(spark.createDataFrame(pdf))
+        .toPandas()
+        .sort_values(["pattern_id", "key", "counter"])
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(batch) and len(got) > 0
+    for col in ("pattern_id", "key", "detection_event_id", "counter"):
+        assert list(got[col].astype(str)) == list(batch[col].astype(str)), col
