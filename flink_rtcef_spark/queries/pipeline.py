@@ -209,10 +209,12 @@ def _entropy_df(docs: DataFrame) -> DataFrame:
             )
         ).alias("g"),
     )
-    rep = tri.groupBy("doc_id").agg(
-        F.round(1.0 - F.countDistinct("g") / F.count(F.lit(1)), 6).alias(
-            "dup_trigram_ratio"
-        )
+    # countDistinct expands to a two-shuffle expand/agg; the two-level
+    # groupBy keeps partial (map-side) aggregation on both levels and
+    # both shuffles land on the same doc_id partitioning the join reuses
+    tri_counts = tri.groupBy("doc_id", "g").agg(F.count(F.lit(1)).alias("c"))
+    rep = tri_counts.groupBy("doc_id").agg(
+        F.round(1.0 - F.count(F.lit(1)) / F.sum("c"), 6).alias("dup_trigram_ratio")
     )
     return rep.join(ent, "doc_id").select("doc_id", "token_entropy", "dup_trigram_ratio")
 
