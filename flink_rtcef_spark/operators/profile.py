@@ -97,11 +97,18 @@ def length_quantiles(
     sk = F.kll_sketch_agg_bigint(length_col.cast("bigint"), k)
     return df.agg(
         *[
-            F.kll_sketch_get_quantile_bigint(sk, F.lit(float(q))).alias(
-                f"p{str(q).replace('0.', '')}"
-            )
+            _kll_quantile(sk, length_col, q).alias(f"p{str(q).replace('0.', '')}")
             for q in quantiles
         ]
+    )
+
+
+def _kll_quantile(sk: Column, value_col: Column, q: float) -> Column:
+    """Quantile from a KLL sketch, NULL on an empty input (the agg of
+    zero rows yields a null buffer that get_quantile rejects)."""
+    return F.when(
+        F.count(value_col) > 0,
+        F.kll_sketch_get_quantile_bigint(sk, F.lit(float(q))),
     )
 
 
@@ -169,11 +176,9 @@ def corpus_profile(
         F.hll_sketch_estimate(
             F.hll_sketch_agg(F.md5(F.col(text_col)), lg_k)
         ).alias("approx_distinct_texts"),
-        F.kll_sketch_get_quantile_bigint(tok_sketch, F.lit(0.5)).alias("tokens_p5"),
-        F.kll_sketch_get_quantile_bigint(tok_sketch, F.lit(0.9)).alias("tokens_p9"),
-        F.kll_sketch_get_quantile_bigint(tok_sketch, F.lit(0.99)).alias(
-            "tokens_p99"
-        ),
+        _kll_quantile(tok_sketch, tokens, 0.5).alias("tokens_p5"),
+        _kll_quantile(tok_sketch, tokens, 0.9).alias("tokens_p9"),
+        _kll_quantile(tok_sketch, tokens, 0.99).alias("tokens_p99"),
         F.avg(tokens).alias("tokens_mean"),
         F.max(tokens).alias("tokens_max"),
     )

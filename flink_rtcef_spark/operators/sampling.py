@@ -144,5 +144,7 @@ def temperature_sample(
         r[source_col]: r["n"]
         for r in df.groupBy(source_col).agg(F.count(F.lit(1)).alias("n")).collect()
     }
+    if not counts:  # empty upstream stage: pass the emptiness through
+        return df
     rates = temperature_rates(counts, alpha, target_total)
     return stratified_sample(df, source_col, rates, key_col, seed=seed)

@@ -83,3 +83,12 @@ def test_corpus_profile_one_pass(spark, docs):
     assert got["approx_distinct_texts"] == pytest.approx(exact_texts, rel=0.05)
     assert got["tokens_p5"] <= got["tokens_p9"] <= got["tokens_p99"] <= got["tokens_max"]
     assert got["tokens_mean"] > 0
+
+
+def test_profile_of_empty_corpus_is_null_not_crash(spark):
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    got = corpus_profile(empty).first()
+    assert got["rows"] == 0
+    assert got["tokens_p5"] is None and got["tokens_p99"] is None
+    lq = length_quantiles(empty.select(F.length("text").alias("n")), "n").first()
+    assert lq["p5"] is None

@@ -132,3 +132,29 @@ def test_simhash_candidate_pairs_validates_bands():
         simhash_candidate_pairs(None, max_hamming=3, bands=3)
     with pytest.raises(ValueError):
         simhash_candidate_pairs(None, max_hamming=0)
+
+
+def test_degenerate_inputs_pass_through(spark):
+    """Empty upstream stages flow through the curation operators
+    instead of crashing mid-pipeline."""
+    from flink_rtcef_spark.operators.decontam import decontaminate
+    from flink_rtcef_spark.operators.dedup import (
+        digest_frame,
+        incremental_dedup,
+        simhash64,
+        simhash_candidate_pairs,
+    )
+    from flink_rtcef_spark.operators.sampling import temperature_sample
+
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    docs = spark.createDataFrame(
+        [(1, "a b c d e f g h i j k l m n")], "doc_id long, text string"
+    )
+    bench_empty = spark.createDataFrame([], "text string")
+    assert decontaminate(docs, bench_empty).count() == 1  # nothing to match
+    hist_empty = spark.createDataFrame([], "digest string, doc_id long")
+    assert incremental_dedup(docs, hist_empty).count() == 1
+    assert simhash_candidate_pairs(simhash64(empty)).count() == 0
+    assert remove_boilerplate_lines(empty, max_df=2).count() == 0
+    src_empty = spark.createDataFrame([], "id long, source string")
+    assert temperature_sample(src_empty, "source", "id", alpha=1.0).count() == 0
