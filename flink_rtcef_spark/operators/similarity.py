@@ -407,3 +407,58 @@ class ProductQuantizer:
             score, schema=f"{id_col} long, score double"
         )
         return scored.orderBy(F.col("score").desc(), F.col(id_col).asc()).limit(kk)
+
+
+class IVFPQIndex:
+    """IVF + PQ composed — the FAISS-style layout for a corpus whose
+    raw vectors cannot be held (Jégou et al., PAMI 2011, IVFADC):
+    IVF coarse cells bound the scan (probe n_probe of n_cells), PQ
+    codes bound the memory (m bytes per vector).  For inner-product /
+    cosine search the ADC lookup table depends only on the query, so
+    one LUT serves every probed cell.
+
+    The encoded table is (id, cell, pq_codes) — write it
+    hive-partitioned on ``cell`` (sources/bucketing.write_partitioned)
+    and a probe reads ONLY the n_probe matching directories: partition
+    pruning turns the cell filter into skipped IO, which is the 100 TB
+    point of the composition.
+    """
+
+    def __init__(
+        self,
+        n_cells: int = 16,
+        m: int = 8,
+        k: int = 16,
+        n_iter: int = 10,
+        seed: int = 13,
+    ):
+        self.ivf = IVFIndex(n_cells=n_cells, n_iter=n_iter, seed=seed)
+        self.pq = ProductQuantizer(m=m, k=k, n_iter=n_iter, seed=seed + 4)
+
+    def fit(
+        self, df: DataFrame, vec_col: str = "embedding", sample: int = 10000
+    ) -> "IVFPQIndex":
+        self.ivf.fit(df, vec_col, sample)
+        self.pq.fit(df, vec_col, sample)
+        return self
+
+    def encode(
+        self, df: DataFrame, vec_col: str = "embedding", id_col: str = "vec_id"
+    ) -> DataFrame:
+        """(id, cell, pq_codes) — the complete scan-resident index row;
+        the raw vector column is dropped."""
+        assigned = self.ivf.assign(df, vec_col)
+        return self.pq.encode(assigned, vec_col).select(id_col, "cell", "pq_codes")
+
+    def ann_topk(
+        self,
+        encoded: DataFrame,
+        query_vec: list[float],
+        kk: int = 10,
+        n_probe: int = 2,
+        id_col: str = "vec_id",
+    ) -> DataFrame:
+        """Probe n_probe cells, ADC-score only their code lists."""
+        cells = self.ivf.query_cells(query_vec, n_probe)
+        probed = encoded.filter(F.col("cell").isin([int(c) for c in cells]))
+        return self.pq.ann_topk(probed, query_vec, kk=kk, id_col=id_col)

@@ -447,3 +447,38 @@ def test_connected_components_deep_chain_logarithmic(spark):
     }
     assert len(got) == n + 1
     assert set(got.values()) == {0}
+
+
+def test_ann_ivfpq_recall_and_pruned_scan(spark, planted_embeddings, tmp_path):
+    """The composed index: recall holds through BOTH approximations
+    (coarse cells + PQ codes), the probed fraction shrinks, and the
+    hive-partitioned code table turns the probe into directory-level
+    partition pruning."""
+    from flink_rtcef_spark.operators.similarity import IVFPQIndex
+    from flink_rtcef_spark.sources.bucketing import (
+        scan_is_partition_pruned,
+        write_partitioned,
+    )
+
+    df, qvec = planted_embeddings
+    exact = set(cosine_topk(df, qvec, k=10).toPandas().vec_id)
+    idx = IVFPQIndex(n_cells=8, m=8, k=16, n_iter=6).fit(df)
+    encoded = idx.encode(df).cache()
+    assert set(encoded.columns) == {"vec_id", "cell", "pq_codes"}
+
+    approx = set(idx.ann_topk(encoded, qvec, kk=10, n_probe=4).toPandas().vec_id)
+    assert len(exact & approx) / 10 >= 0.8
+    probed_cells = idx.ivf.query_cells(qvec, 4)
+    probed = encoded.filter(F.col("cell").isin(probed_cells)).count()
+    assert probed < df.count()
+
+    out = str(tmp_path / "ivfpq")
+    write_partitioned(encoded, out, "cell")
+    back = spark.read.parquet(out)
+    pruned = back.filter(F.col("cell").isin([int(c) for c in probed_cells]))
+    assert scan_is_partition_pruned(pruned)
+    approx2 = set(
+        idx.pq.ann_topk(pruned, qvec, kk=10).toPandas().vec_id
+    )
+    assert approx2 == approx  # the pruned read serves identical results
+    encoded.unpersist()
