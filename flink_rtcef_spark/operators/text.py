@@ -262,3 +262,131 @@ def remove_boilerplate_lines(
             ).alias(text_col)
         )
     )
+
+
+def _ngram_array(toks: Column, n: int) -> Column:
+    """Array of space-joined n-grams of ``toks`` (empty when the doc is
+    shorter than n tokens)."""
+    return F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - n),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(toks, (i + k + 1).cast("int")) for k in range(n)]
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def repetition_signals(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    top_n: int = 2,
+    dup_n: int = 3,
+) -> DataFrame:
+    """Gopher-style per-document repetition filters (Rae et al. 2021,
+    §A1.1): the character mass of the single most frequent ``top_n``-gram
+    and the character mass of duplicated ``dup_n``-grams, both as
+    fractions of the document's length.  High values flag pathological
+    scrapes (repeated nav text, generator loops) that survive per-line
+    dedup.
+
+    Definitions (count-based, oracle-expressible):
+      top_frac = count(top gram) * len(top gram) / len(text)
+      dup_frac = sum over grams with count>1 of (count-1)*len(gram) / len(text)
+    The top gram tie-breaks deterministically by (count, gram length,
+    gram) descending.
+
+    Scale shape: explode n-grams → groupBy(doc, gram) with map-side
+    combine → per-doc window/agg.  Everything is keyed by doc_id; no
+    global state, no driver collect, shuffle payload is (doc_id, gram,
+    count).  At 100 TB this is the same plan as n-gram counting, which
+    is the canonical map-side-combinable workload.
+    """
+    from pyspark.sql import Window as W
+
+    toks = whitespace_tokens(text_col)
+    base = df.select(
+        F.col(id_col), F.length(text_col).alias("n_chars"), toks.alias("t")
+    )
+
+    def gram_counts(n: int) -> DataFrame:
+        return (
+            base.select(id_col, "n_chars", F.explode(_ngram_array(F.col("t"), n)).alias("gram"))
+            .groupBy(id_col, "gram")
+            .agg(F.count(F.lit(1)).alias("c"), F.any_value("n_chars").alias("n_chars"))
+            .withColumn("glen", F.length("gram"))
+        )
+
+    w = W.partitionBy(id_col).orderBy(
+        F.col("c").desc(), F.col("glen").desc(), F.col("gram").desc()
+    )
+    top = (
+        gram_counts(top_n)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col(id_col),
+            F.col("gram").alias(f"top_{top_n}gram"),
+            F.round(F.col("c") * F.col("glen") / F.col("n_chars"), 6).alias(
+                f"top_{top_n}gram_char_frac"
+            ),
+        )
+    )
+    dup = (
+        gram_counts(dup_n)
+        .groupBy(id_col)
+        .agg(
+            F.round(
+                F.sum(
+                    F.when(F.col("c") > 1, (F.col("c") - 1) * F.col("glen")).otherwise(0)
+                )
+                / F.any_value("n_chars"),
+                6,
+            ).alias(f"dup_{dup_n}gram_char_frac")
+        )
+    )
+    return (
+        df.select(id_col, F.length(text_col).cast("long").alias("n_chars"))
+        .join(top, id_col, "left")
+        .join(dup, id_col, "left")
+        .fillna(
+            {
+                f"top_{top_n}gram": "",
+                f"top_{top_n}gram_char_frac": 0.0,
+                f"dup_{dup_n}gram_char_frac": 0.0,
+            }
+        )
+    )
+
+
+def dup_line_signals(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Line-level repetition: fraction of lines that are duplicates and
+    fraction of characters inside the duplicate copies — the other half
+    of the Gopher repetition battery, for corpora with real line
+    structure.  Pure per-doc expressions (aggregate over the exploded
+    line array stays inside the row): map-only, no shuffle."""
+    lines = F.filter(F.split(F.col(text_col), "\n"), lambda x: F.trim(x) != "")
+    n_lines = F.size(lines)
+    n_distinct = F.size(F.array_distinct(lines))
+    # chars in duplicate copies: total line chars minus chars of one
+    # copy of each distinct line
+    total_chars = F.aggregate(lines, F.lit(0), lambda acc, x: acc + F.length(x))
+    distinct_chars = F.aggregate(
+        F.array_distinct(lines), F.lit(0), lambda acc, x: acc + F.length(x)
+    )
+    return df.select(
+        id_col,
+        F.round(
+            F.when(n_lines > 0, (n_lines - n_distinct) / n_lines).otherwise(0.0), 6
+        ).alias("dup_line_frac"),
+        F.round(
+            F.when(total_chars > 0, (total_chars - distinct_chars) / total_chars).otherwise(
+                0.0
+            ),
+            6,
+        ).alias("dup_line_char_frac"),
+    )

@@ -858,7 +858,10 @@ _BERNOULLI_SQL = f"""
 """
 
 
-@query("sample_bernoulli", oracle=_BERNOULLI_SQL)
+# (Registry slot retired in r3 for repetition_signals: the hash-coin
+# mechanism stays oracle-covered by sample_stratified / sample_token_budget,
+# which build on the same deterministic coin; bernoulli_sample itself stays
+# pytest-covered.)
 def sample_bernoulli(spark: SparkSession, sf_dir: str) -> DataFrame:
     from flink_rtcef_spark.operators.sampling import bernoulli_sample
 
@@ -1182,3 +1185,140 @@ def decontam_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = docs.filter(F.col("doc_id") % 5 != 0)
     benchmark = docs.filter(F.col("doc_id") % 5 == 0)
     return contamination_hits(corpus, benchmark, n=8)
+
+
+# --------------------------------------------------------------------------
+# PII scan + redaction (operators/pii.py).  The synthetic corpus has no
+# PII, so both engines append deterministic PII strings keyed by
+# doc_id % 4 first — the operator then has real matches to count and
+# scrub, and the oracle checks counts AND the redacted text
+# cell-for-cell.  Patterns restricted to the Java-regex/RE2 common
+# subset; redaction order is part of the contract (PII_PATTERNS order).
+def _pii_oracle() -> str:
+    from flink_rtcef_spark.operators.pii import PII_PATTERNS
+
+    pats = {k: p for k, p, _ in PII_PATTERNS}
+    counts = ",\n      ".join(
+        f"CAST(len(regexp_extract_all(text, '{p}')) AS INTEGER) AS n_{k}"
+        for k, p in pats.items()
+    )
+    total = " + ".join(f"len(regexp_extract_all(text, '{p}'))" for p in pats.values())
+    redacted = "text"
+    for k, p, r in PII_PATTERNS:
+        redacted = f"regexp_replace({redacted}, '{p}', '{r}', 'g')"
+    return f"""
+    WITH aug AS (
+      SELECT doc_id,
+        text || CASE CAST(doc_id % 4 AS INTEGER)
+          WHEN 0 THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com now'
+          WHEN 1 THEN ' call 555-123-4567 soon'
+          WHEN 2 THEN ' ssn 123-45-6789 leaked'
+          ELSE ' host 10.0.' || CAST(doc_id % 200 AS VARCHAR) || '.'
+               || CAST((doc_id * 7) % 250 AS VARCHAR) || ' up'
+        END AS text
+      FROM documents
+    )
+    SELECT doc_id,
+      {counts},
+      CAST({total} AS INTEGER) AS n_pii,
+      {redacted} AS redacted
+    FROM aug
+    """
+
+
+def _pii_augment(docs: DataFrame) -> DataFrame:
+    did = F.col("doc_id")
+    suffix = (
+        F.when(
+            (did % 4) == 0,
+            F.concat(
+                F.lit(" contact user"), did.cast("string"), F.lit("@example.com now")
+            ),
+        )
+        .when((did % 4) == 1, F.lit(" call 555-123-4567 soon"))
+        .when((did % 4) == 2, F.lit(" ssn 123-45-6789 leaked"))
+        .otherwise(
+            F.concat(
+                F.lit(" host 10.0."),
+                (did % 200).cast("string"),
+                F.lit("."),
+                ((did * 7) % 250).cast("string"),
+                F.lit(" up"),
+            )
+        )
+    )
+    return docs.withColumn("text", F.concat(F.col("text"), suffix))
+
+
+@query("pii_redaction", oracle=_pii_oracle())
+def pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_rtcef_spark.operators.pii import pii_scan
+
+    docs = _pii_augment(load_table(spark, sf_dir, "documents"))
+    return pii_scan(docs)
+
+
+# --------------------------------------------------------------------------
+# Gopher-style repetition filters (operators/text.repetition_signals):
+# char mass of the top 2-gram and of duplicated 3-grams, per document.
+_REPETITION_SQL = r"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+                         x -> x <> '') AS t,
+             length(text) AS n_chars
+      FROM documents
+    ),
+    g2 AS (
+      SELECT doc_id, n_chars,
+             unnest(list_transform(range(0, len(t) - 1),
+                                   i -> t[i+1] || ' ' || t[i+2])) AS gram
+      FROM toks
+    ),
+    c2 AS (
+      SELECT doc_id, any_value(n_chars) AS n_chars, gram,
+             COUNT(*) AS c, LENGTH(gram) AS glen
+      FROM g2 GROUP BY doc_id, gram
+    ),
+    top2 AS (
+      SELECT doc_id, gram AS top_2gram,
+             ROUND(c * glen / n_chars, 6) AS top_2gram_char_frac
+      FROM (SELECT *, ROW_NUMBER() OVER (
+              PARTITION BY doc_id
+              ORDER BY c DESC, glen DESC, gram DESC) AS rn
+            FROM c2)
+      WHERE rn = 1
+    ),
+    g3 AS (
+      SELECT doc_id, n_chars,
+             unnest(list_transform(range(0, len(t) - 2),
+                                   i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3])) AS gram
+      FROM toks
+    ),
+    c3 AS (
+      SELECT doc_id, any_value(n_chars) AS n_chars, gram,
+             COUNT(*) AS c, LENGTH(gram) AS glen
+      FROM g3 GROUP BY doc_id, gram
+    ),
+    dup3 AS (
+      SELECT doc_id,
+             ROUND(SUM(CASE WHEN c > 1 THEN (c - 1) * glen ELSE 0 END)
+                   / any_value(n_chars), 6) AS dup_3gram_char_frac
+      FROM c3 GROUP BY doc_id
+    )
+    SELECT d.doc_id, LENGTH(d.text) AS n_chars,
+           COALESCE(top2.top_2gram, '') AS top_2gram,
+           COALESCE(top2.top_2gram_char_frac, 0.0) AS top_2gram_char_frac,
+           COALESCE(dup3.dup_3gram_char_frac, 0.0) AS dup_3gram_char_frac
+    FROM documents d
+    LEFT JOIN top2 USING (doc_id)
+    LEFT JOIN dup3 USING (doc_id)
+"""
+
+
+@query("repetition_signals", oracle=_REPETITION_SQL)
+def repetition_signals_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_rtcef_spark.operators.text import repetition_signals
+
+    docs = load_table(spark, sf_dir, "documents")
+    return repetition_signals(docs, top_n=2, dup_n=3)

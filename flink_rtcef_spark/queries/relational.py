@@ -367,16 +367,9 @@ def union_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 # Sort + limit / top-k (the wt-distribution argmax shape,
 # WtDistribution.getForecastArgMax:249) — global top-k with total-order
-# tiebreak.
-@query(
-    "topk_events",
-    oracle="""
-    SELECT event_id, user_id, event_type, ROUND(value, 4) AS value
-    FROM events
-    ORDER BY value DESC, event_id ASC
-    LIMIT 20
-    """,
-)
+# tiebreak.  (Registry slot retired in r3 for pii_redaction: the TakeOrdered
+# physical shape stays exercised here via pytest and by the orderBy+limit
+# inside cosine_topk / ann_*_topk.)
 def topk_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     return (

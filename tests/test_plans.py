@@ -61,7 +61,14 @@ def test_aggregation_is_partial_then_final(spark):
 
 
 def test_topk_compiles_to_take_ordered(spark):
-    plan = plan_of(spark, "topk_events")
+    # topk_events left the oracle registry in r3 (slot given to
+    # pii_redaction) but the TakeOrdered physical shape stays asserted
+    from flink_rtcef_spark.queries.relational import topk_events
+
+    df = topk_events(spark, SF_ORACLE)
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
     assert "TakeOrderedAndProject" in plan
 
 
