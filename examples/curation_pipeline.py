@@ -6,8 +6,8 @@ map-side filters first (quality, language), then the digest-shuffle
 dedups, then the n-gram decontamination, then mixing/packing — each
 stage shrinks the corpus before the next pays its shuffle.
 
-    profile -> boilerplate cut -> quality gate -> langid
-            -> exact dedup -> minhash-LSH near-dedup
+    profile -> boilerplate cut -> quality + repetition gate
+            -> pii redaction -> exact dedup -> minhash-LSH near-dedup
             -> benchmark decontamination -> temperature mix
             -> chunk + FFD-pack -> partitioned write + final profile
 
@@ -34,6 +34,7 @@ from flink_rtcef_spark.operators.dedup import (
     lsh_candidate_pairs,
     minhash_signatures,
 )
+from flink_rtcef_spark.operators.pii import redacted_column
 from flink_rtcef_spark.operators.profile import corpus_profile
 from flink_rtcef_spark.operators.sampling import temperature_sample
 from flink_rtcef_spark.operators.text import (
@@ -41,6 +42,7 @@ from flink_rtcef_spark.operators.text import (
     pack_sequences,
     quality_signals,
     remove_boilerplate_lines,
+    repetition_signals,
 )
 from flink_rtcef_spark.session import get_spark
 from flink_rtcef_spark.sources.bucketing import write_partitioned
@@ -75,13 +77,21 @@ def main() -> None:
     )
     n = stage("boilerplate line cut", docs, n)
 
-    # 2. quality gate (map-side signals)
+    # 2. quality gate (map-side signals), incl. Gopher repetition cut
     q = quality_signals(docs)
     good_ids = q.filter(
         (F.col("n_words") >= 10) & (F.col("mean_word_len").between(2.0, 12.0))
     ).select("doc_id")
     docs = docs.join(good_ids, "doc_id", "left_semi")
-    n = stage("quality gate", docs, n)
+    rep_ok = repetition_signals(docs).filter(
+        (F.col("top_2gram_char_frac") < 0.20) & (F.col("dup_3gram_char_frac") < 0.60)
+    ).select("doc_id")
+    docs = docs.join(rep_ok, "doc_id", "left_semi")
+    n = stage("quality + repetition gate", docs, n)
+
+    # 2b. PII scrub (map-only: rewrite text in place)
+    docs = docs.withColumn("text", redacted_column("text"))
+    n = stage("pii redaction", docs, n)
 
     # 3. exact dedup (digest shuffle)
     docs = exact_dedup(docs).drop("n_copies")

@@ -1,0 +1,103 @@
+"""Streaming-compatibility of the curation surface: every map-only
+curation operator (PII scrub, quality/langid signals, token counts,
+line dedup) must run UNCHANGED on a streaming DataFrame — same Column
+expressions, no batch-only construct — and produce the batch answer.
+
+This is the claim that matters on a live ingest pipeline: curation
+filters are applied at the Kafka/file-drop edge, not in a nightly
+batch; Spark guarantees it only if the ops avoid batch-only plans
+(global sort, non-watermarked agg) — which these do by construction
+(single projection / filter)."""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from flink_rtcef_spark.operators.pii import pii_scan
+from flink_rtcef_spark.operators.text import (
+    dedup_lines_within_doc,
+    dup_line_signals,
+    langid_score,
+    quality_signals,
+    token_counts,
+)
+
+ROWS = [
+    (1, "the cat sat on the mat with jane@site.example.org nearby"),
+    (2, "menu\nreal content line\nmenu\ncall 555-123-4567"),
+    (3, "ein kurzer deutscher satz ohne englische woerter"),
+    (4, "numbers 123 and 10.0.0.7 mixed into text"),
+]
+
+
+def _write_stream_fixture(spark, tmp_path):
+    src = tmp_path / "docs_in"
+    df = spark.createDataFrame(ROWS, "doc_id long, text string")
+    df.coalesce(1).write.mode("overwrite").parquet(str(src))
+    return spark.readStream.schema("doc_id long, text string").parquet(str(src)), df
+
+
+def _run_to_memory(sdf, name):
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return name
+
+
+def _assert_stream_equals_batch(spark, tmp_path, op, name):
+    stream_in, batch_in = _write_stream_fixture(spark, tmp_path)
+    table = _run_to_memory(op(stream_in), name)
+    got = spark.sql(f"SELECT * FROM {table}").toPandas().sort_values("doc_id")
+    want = op(batch_in).toPandas().sort_values("doc_id")
+    pd.testing.assert_frame_equal(
+        got.reset_index(drop=True)[sorted(got.columns)],
+        want.reset_index(drop=True)[sorted(want.columns)],
+    )
+
+
+def test_pii_scan_streams(spark, tmp_path):
+    _assert_stream_equals_batch(spark, tmp_path, pii_scan, "pii_stream")
+
+
+def test_quality_signals_stream(spark, tmp_path):
+    _assert_stream_equals_batch(spark, tmp_path, quality_signals, "quality_stream")
+
+
+def test_langid_stream(spark, tmp_path):
+    _assert_stream_equals_batch(spark, tmp_path, langid_score, "langid_stream")
+
+
+def test_token_counts_stream(spark, tmp_path):
+    _assert_stream_equals_batch(spark, tmp_path, token_counts, "tokens_stream")
+
+
+def test_line_ops_stream(spark, tmp_path):
+    _assert_stream_equals_batch(spark, tmp_path, dup_line_signals, "duplines_stream")
+    _assert_stream_equals_batch(
+        spark, tmp_path, dedup_lines_within_doc, "linededup_stream"
+    )
+
+
+def test_streaming_curation_chain(spark, tmp_path):
+    """A composed edge-filter chain — drop short docs, scrub PII — as
+    ONE linear streaming query (filter folds into the scan projection;
+    no stream-stream join, no state)."""
+
+    def chain(df):
+        kept = df.filter(
+            F.size(F.split(F.lower(F.trim(F.col("text"))), r"\s+")) >= 5
+        )
+        return pii_scan(kept)
+
+    stream_in, _ = _write_stream_fixture(spark, tmp_path)
+    table = _run_to_memory(chain(stream_in), "curation_chain")
+    got = spark.sql(f"SELECT doc_id, redacted FROM {table}").toPandas()
+    assert sorted(got["doc_id"]) == [1, 2, 3, 4]
+    assert "[EMAIL]" in got.set_index("doc_id").loc[1, "redacted"]
+    assert "[PHONE]" in got.set_index("doc_id").loc[2, "redacted"]
