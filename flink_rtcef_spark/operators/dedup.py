@@ -644,3 +644,76 @@ def simhash_candidate_pairs(
         )
         .distinct()
     )
+
+
+def semantic_dedup_pairs(
+    df: DataFrame,
+    n_clusters: int = 8,
+    threshold: float = 0.7,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    centroid_ids: list[int] | None = None,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): cluster the embedding space, then
+    search for near-duplicates WITHIN each cluster only — the cluster
+    pass turns the O(n^2) semantic-similarity search into k independent
+    O((n/k)^2) searches that never cross partitions.
+
+    Centroids are pinned corpus rows (``centroid_ids``, default ids
+    0..k-1) so the whole operator is deterministic and SQL-reproducible;
+    swap in ``IVFIndex.fit`` for Lloyd-trained centroids when quality
+    beats oracle-checkability.  Assignment is a map-side batch GEMM
+    against the broadcast centroid matrix (no shuffle); the only
+    shuffle is the groupBy(cluster), and per-cluster work runs as a
+    bucketed applyInPandas GEMM — the same 100 TB-safe shape as
+    embedding_near_dup_lsh, with cluster count sized so n/k vectors
+    fit an Arrow batch.
+
+    Output: cluster, id_a, id_b, cosine (a < b, cosine >= threshold).
+    """
+    from flink_rtcef_spark.operators.similarity import IVFIndex
+
+    ids = list(centroid_ids) if centroid_ids is not None else list(range(n_clusters))
+    ivf = IVFIndex(n_cells=len(ids)).fit_from_rows(df, ids, id_col, vec_col)
+    assigned = ivf.assign(df.select(id_col, vec_col), vec_col)
+
+    def score_cluster(pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) < 2:
+            return pd.DataFrame({"cluster": [], "id_a": [], "id_b": [], "cosine": []})
+        ids_ = pdf[id_col].to_numpy()
+        mat = np.array([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+        mat = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-300)
+        sims = mat @ mat.T
+        ii, jj = np.where(sims >= threshold)
+        keep = ids_[ii] < ids_[jj]
+        return pd.DataFrame(
+            {
+                "cluster": pdf["cell"].iloc[0],
+                "id_a": ids_[ii][keep],
+                "id_b": ids_[jj][keep],
+                "cosine": np.round(sims[ii, jj][keep], 6),
+            }
+        )
+
+    return assigned.groupBy("cell").applyInPandas(
+        score_cluster, schema="cluster int, id_a long, id_b long, cosine double"
+    )
+
+
+def semantic_dedup_keep(
+    df: DataFrame,
+    n_clusters: int = 8,
+    threshold: float = 0.7,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    centroid_ids: list[int] | None = None,
+) -> DataFrame:
+    """The SemDeDup pruning rule: drop every vector that has an
+    in-cluster neighbor with a smaller id at cosine >= threshold (keep
+    the representative with the lowest id).  Returns surviving rows of
+    ``df``."""
+    pairs = semantic_dedup_pairs(
+        df, n_clusters, threshold, vec_col, id_col, centroid_ids
+    )
+    dropped = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    return df.join(dropped, id_col, "left_anti")

@@ -1,0 +1,113 @@
+"""Corpus language-model scoring: unigram LM training + per-document
+perplexity — the distributed stand-in for the CCNet/RedPajama KenLM
+quality filter (score each document by a corpus LM, drop the
+high-perplexity tail).
+
+A 5-gram KenLM itself is an external binary artifact; what an analytics
+engine owes the pipeline is the *distributed plumbing*: train token
+statistics over the corpus in one pass, broadcast the (small) model to
+every executor, score every document map-side, and filter on the score.
+A unigram model keeps every step exact, deterministic, and
+oracle-checkable while exercising exactly that plumbing — swap
+`unigram_model` for a broadcast KenLM handle and `perplexity` for a
+Pandas-UDF scorer and the topology is unchanged.
+
+Scale design (100 TB corpus):
+- `unigram_model` is one explode + hash-aggregate on the token — fully
+  map-side combinable, shuffle carries (token, partial_count) rows,
+  i.e. o(vocab) per partition, NOT o(tokens).
+- The fitted model is o(vocab) rows (~1e6-1e8) — the small side of a
+  broadcast hash join; no shuffle of the corpus to score it.
+- Per-document aggregation is a hash-aggregate keyed by the document
+  id: partials combine map-side, so the token->doc shuffle carries one
+  row per (doc, partition), not one per token.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from flink_rtcef_spark.operators.text import whitespace_tokens
+
+#: add-alpha smoothing mass for unseen tokens (scoring held-out text)
+DEFAULT_ALPHA = 0.5
+
+
+def unigram_model(
+    df: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """Token -> count over the corpus; one explode + map-side-combinable
+    groupBy.  Columns: tok, tok_count."""
+    return (
+        df.select(F.explode(whitespace_tokens(text_col)).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("tok_count"))
+    )
+
+
+def unigram_perplexity(
+    df: DataFrame,
+    model: DataFrame | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    alpha: float = DEFAULT_ALPHA,
+) -> DataFrame:
+    """Per-document cross-entropy under a unigram LM, in bits/token
+    (``ppl_bits``; perplexity = 2**ppl_bits).
+
+    ``model`` is a (tok, tok_count) frame from :func:`unigram_model`;
+    ``None`` fits on ``df`` itself (the CCNet self-scoring setup).
+    Smoothed probability p(t) = (c_t + alpha) / (N + alpha * V), so
+    unseen tokens score ``-log2(alpha / (N + alpha * V))`` instead of
+    blowing up.  Empty documents score 0 bits.
+
+    Output: id_col, n_tokens, ppl_bits (rounded to 6).
+    """
+    if model is None:
+        model = unigram_model(df, text_col)
+    totals = model.agg(
+        F.sum("tok_count").alias("_n"), F.count(F.lit(1)).alias("_v")
+    )
+    toks = df.select(F.col(id_col), F.explode(whitespace_tokens(text_col)).alias("tok"))
+    scored = (
+        toks.join(F.broadcast(model), "tok", "left")
+        # one-row totals frame: broadcast nested-loop join, no shuffle
+        .crossJoin(F.broadcast(totals))
+        .withColumn(
+            "_bits",
+            -F.log2(
+                (F.coalesce(F.col("tok_count"), F.lit(0)) + F.lit(alpha))
+                / (F.col("_n") + F.lit(alpha) * F.col("_v"))
+            ),
+        )
+    )
+    per_doc = scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.round(F.avg("_bits"), 6).alias("ppl_bits"),
+    )
+    # empty docs produce no token rows: restore them at 0 bits
+    return (
+        df.select(id_col)
+        .join(per_doc, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
+            F.coalesce("ppl_bits", F.lit(0.0)).alias("ppl_bits"),
+        )
+    )
+
+
+def perplexity_filter(
+    df: DataFrame,
+    max_bits: float,
+    model: DataFrame | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    alpha: float = DEFAULT_ALPHA,
+) -> DataFrame:
+    """Keep documents whose bits/token <= max_bits (the CCNet
+    'head+middle' selection).  Returns the surviving rows of ``df``."""
+    scores = unigram_perplexity(df, model, text_col, id_col, alpha)
+    keep = scores.filter(F.col("ppl_bits") <= max_bits).select(id_col)
+    return df.join(keep, id_col, "left_semi")

@@ -1,0 +1,133 @@
+"""Keyword retrieval over the corpus: document frequency, IDF, and
+BM25 top-k search — the inverted-index workload expressed as Spark
+aggregates (quality-filter pipelines use it for boilerplate-query
+mining and decontamination triage; analysts use it as plain search).
+
+Scale design (100 TB corpus):
+- The term filter runs BEFORE any explode: ``arrays_overlap`` on the
+  tokenized row prunes non-matching documents map-side, so only
+  matching documents ever produce exploded token rows.  For a q-term
+  query the shuffled volume is o(matching docs x q), not o(tokens).
+- Corpus stats (N, avgdl) and per-term document frequencies are
+  one-row / q-row aggregates -> broadcast joins; the only shuffle
+  keyed on the corpus is the per-(doc, term) tf hash-aggregate, which
+  combines map-side.
+- Top-k is a TakeOrdered (per-partition heap + driver merge of k), not
+  a global sort.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from flink_rtcef_spark.operators.text import whitespace_tokens
+
+BM25_K1 = 1.2
+BM25_B = 0.75
+
+
+def bm25_topk(
+    df: DataFrame,
+    terms: list[str],
+    k: int = 20,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+) -> DataFrame:
+    """BM25 (Robertson/Sparck Jones, the Lucene-default scoring) top-k
+    documents for a bag-of-terms query.
+
+    idf(t)  = ln(1 + (N - df_t + 0.5) / (df_t + 0.5))
+    score   = sum_t idf(t) * tf * (k1+1) / (tf + k1*(1 - b + b*dl/avgdl))
+
+    Output: id_col, score (rounded to 6), ties broken by id ascending.
+    """
+    terms = [t.lower() for t in terms]
+    terms_arr = F.array(*[F.lit(t) for t in terms])
+
+    toks = df.select(
+        F.col(id_col),
+        whitespace_tokens(text_col).alias("_toks"),
+        F.size(whitespace_tokens(text_col)).alias("dl"),
+    )
+    # corpus stats: one tiny row, broadcast everywhere
+    stats = toks.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+    # map-side prune: only documents containing >=1 query term survive
+    matched = toks.filter(F.arrays_overlap("_toks", terms_arr))
+    tf = (
+        matched.select(id_col, "dl", F.explode("_toks").alias("tok"))
+        .filter(F.col("tok").isin(*terms))
+        .groupBy(id_col, "dl", "tok")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df_t"))
+    idf = dfreq.crossJoin(F.broadcast(stats)).select(
+        "tok",
+        F.log(
+            F.lit(1.0)
+            + (F.col("n_docs") - F.col("df_t") + 0.5) / (F.col("df_t") + 0.5)
+        ).alias("idf"),
+        "avgdl",
+    )
+    scored = (
+        tf.join(F.broadcast(idf), "tok")
+        .withColumn(
+            "_s",
+            F.col("idf")
+            * F.col("tf")
+            * (k1 + 1.0)
+            / (
+                F.col("tf")
+                + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl"))
+            ),
+        )
+        .groupBy(id_col)
+        .agg(F.round(F.sum("_s"), 6).alias("score"))
+    )
+    return scored.orderBy(F.col("score").desc(), F.col(id_col).asc()).limit(k)
+
+
+def bm25_oracle_sql(
+    terms: list[str],
+    k: int = 20,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> str:
+    """The DuckDB twin of :func:`bm25_topk` (driver correctness gate)."""
+    terms_sql = ", ".join(f"'{t.lower()}'" for t in terms)
+    return f"""
+WITH toks AS (
+  SELECT {id_col}, tok, dl FROM (
+    SELECT {id_col},
+           unnest(list_filter(string_split_regex(lower(trim({text_col})), '\\s+'), x -> x <> '')) AS tok,
+           len(list_filter(string_split_regex(lower(trim({text_col})), '\\s+'), x -> x <> '')) AS dl
+    FROM {table})
+),
+stats AS (
+  -- over ALL documents (incl. token-less ones), matching the Spark
+  -- pre-explode aggregate
+  SELECT COUNT(*) AS n_docs,
+         AVG(len(list_filter(string_split_regex(lower(trim({text_col})), '\\s+'), x -> x <> ''))) AS avgdl
+  FROM {table}),
+tf AS (
+  SELECT {id_col}, dl, tok, COUNT(*) AS tf
+  FROM toks WHERE tok IN ({terms_sql})
+  GROUP BY {id_col}, dl, tok
+),
+idf AS (
+  SELECT tok, LN(1.0 + (s.n_docs - df_t + 0.5) / (df_t + 0.5)) AS idf, s.avgdl
+  FROM (SELECT tok, COUNT(*) AS df_t FROM tf GROUP BY tok), stats s
+)
+SELECT {id_col}, ROUND(SUM(idf * tf * ({k1} + 1.0) /
+         (tf + {k1} * (1.0 - {b} + {b} * dl / avgdl))), 6) AS score
+FROM tf JOIN idf USING (tok)
+GROUP BY {id_col}
+ORDER BY score DESC, {id_col} ASC LIMIT {k}
+"""

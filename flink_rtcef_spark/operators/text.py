@@ -7,6 +7,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
 
 from flink_rtcef_spark.functions.scalar import portable_hash64
 
@@ -389,4 +390,97 @@ def dup_line_signals(
             ),
             6,
         ).alias("dup_line_char_frac"),
+    )
+
+
+def split_paragraphs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    sep: str = "\n\n",
+    block_tokens: int | None = None,
+) -> DataFrame:
+    """Explode documents into ordered paragraph rows (id, para_idx,
+    para).  Two segmentations: delimiter (``sep``, the natural-text
+    case) or fixed disjoint token blocks (``block_tokens``, the
+    delimiter-free case — equivalent to exact-substring dedup at a
+    fixed granularity, the Gopher/RefinedWeb approximation).  Map-side
+    only; empty segments dropped."""
+    if block_tokens is not None:
+        toks = whitespace_tokens(text_col)
+        starts = F.sequence(
+            F.lit(1), F.greatest(F.size(toks), F.lit(1)), F.lit(block_tokens)
+        )
+        paras = F.filter(
+            F.transform(
+                starts, lambda i: F.array_join(F.slice(toks, i, block_tokens), " ")
+            ),
+            lambda p: p != "",
+        )
+    else:
+        paras = F.filter(
+            F.transform(F.split(F.col(text_col), sep), lambda p: F.trim(p)),
+            lambda p: p != "",
+        )
+    return df.select(F.col(id_col), F.posexplode(paras).alias("para_idx", "para"))
+
+
+def dedup_paragraphs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    sep: str = "\n\n",
+    block_tokens: int | None = None,
+) -> DataFrame:
+    """CORPUS-WIDE paragraph dedup, keep-first (CCNet's paragraph-hash
+    pass): a paragraph instance survives iff it is the globally first
+    occurrence of its content, ordered by (id, para_idx).  Documents
+    are reassembled from their surviving paragraphs in original order.
+
+    Scale design: the global keep-first decision runs on (hash, id,
+    idx) triples ONLY — paragraph text never shuffles by its hash, so
+    a boilerplate paragraph duplicated 10^9 times skews a ~50-byte-row
+    partition, not a text partition.  Winners then join back to the
+    text rows on (id, idx) and reassembly aggregates by id; both are
+    hash-partitioned on the document id, which is near-uniform.  At
+    100 TB: 2 text shuffles (join + reassembly), 1 triple shuffle.
+
+    Output: id_col, n_paras, n_kept, text (deduped).
+    """
+    paras = split_paragraphs(df, text_col, id_col, sep, block_tokens)
+    keys = paras.select(
+        F.col(id_col), F.col("para_idx"), F.md5(F.col("para")).alias("_h")
+    )
+    w = W.partitionBy("_h").orderBy(F.col(id_col).asc(), F.col("para_idx").asc())
+    winners = (
+        keys.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(id_col, "para_idx")
+    )
+    kept = paras.join(winners, [id_col, "para_idx"], "left_semi")
+    joiner = " " if block_tokens is not None else sep
+    rebuilt = kept.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("para_idx"), F.col("para")))
+                ),
+                lambda s: s["para"],
+            ),
+            joiner,
+        ).alias("text"),
+    )
+    totals = paras.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_paras"))
+    # start from df so paragraph-less documents survive with empty text
+    return (
+        df.select(id_col)
+        .join(totals, id_col, "left")
+        .join(rebuilt, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_paras", F.lit(0)).alias("n_paras"),
+            F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+            F.coalesce("text", F.lit("")).alias("text"),
+        )
     )

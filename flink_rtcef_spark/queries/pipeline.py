@@ -900,7 +900,10 @@ _TOPK_GROUP_SQL = f"""
 """
 
 
-@query("sample_topk_group", oracle=_TOPK_GROUP_SQL)
+# (Registry slot retired in r3 for dedup_paragraphs: the coin-ordered
+# ROW_NUMBER-per-group shape stays oracle-covered by topk_per_group and
+# the same deterministic coin by sample_stratified / sample_token_budget;
+# _TOPK_GROUP_SQL stays the pytest twin in tests/test_retired_queries.py.)
 def sample_topk_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     from flink_rtcef_spark.operators.sampling import top_k_per_group
 
@@ -1063,7 +1066,10 @@ _EMB_COMPONENTS_SQL = """
 """
 
 
-@query("embedding_dup_clusters", oracle=_EMB_COMPONENTS_SQL)
+# (Registry slot retired in r3 for semantic_dedup: pair-graph->CC stays
+# oracle-covered by dedup_components, the cosine pair graph by
+# embedding_near_dup / embedding_near_dup_lsh; _EMB_COMPONENTS_SQL stays
+# the pytest twin in tests/test_retired_queries.py.)
 def embedding_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from flink_rtcef_spark.operators.dedup import (
         connected_components,
@@ -1322,3 +1328,171 @@ def repetition_signals_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return repetition_signals(docs, top_n=2, dup_n=3)
+
+
+# --------------------------------------------------------------------------
+# Unigram-LM perplexity scoring (the CCNet/RedPajama KenLM-filter
+# topology with an exact, oracle-checkable model): fit token counts
+# over the corpus, broadcast the model, score every document in
+# bits/token.  Registered in r3 in time_bucketing's slot.
+_TOKS_CTE = """
+  SELECT doc_id,
+         unnest(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                            x -> x <> '')) AS tok
+  FROM documents
+"""
+
+_PPL_SQL = f"""
+    WITH toks AS ({_TOKS_CTE}),
+    vocab AS (SELECT tok, COUNT(*) AS c FROM toks GROUP BY tok),
+    tot AS (SELECT SUM(c) AS n, COUNT(*) AS v FROM vocab),
+    perdoc AS (
+      SELECT t.doc_id, COUNT(*) AS n_tokens,
+             ROUND(AVG(-log2((vb.c + 0.5) / (tot.n + 0.5 * tot.v))), 6) AS ppl_bits
+      FROM toks t JOIN vocab vb USING (tok), tot
+      GROUP BY t.doc_id
+    )
+    SELECT d.doc_id,
+           COALESCE(p.n_tokens, 0) AS n_tokens,
+           COALESCE(p.ppl_bits, 0.0) AS ppl_bits
+    FROM documents d LEFT JOIN perdoc p USING (doc_id)
+"""
+
+
+@query("unigram_perplexity", oracle=_PPL_SQL)
+def unigram_perplexity_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_rtcef_spark.operators.lm import unigram_perplexity
+
+    docs = load_table(spark, sf_dir, "documents")
+    return unigram_perplexity(docs)
+
+
+# --------------------------------------------------------------------------
+# BM25 keyword search (inverted-index workload as aggregates; the term
+# filter prunes documents BEFORE any explode).  Registered in r3 in
+# union_assembly's slot.
+_BM25_TERMS = ["spark", "join", "stream"]
+
+
+def _bm25_oracle() -> str:
+    from flink_rtcef_spark.operators.retrieval import bm25_oracle_sql
+
+    return bm25_oracle_sql(_BM25_TERMS, k=20)
+
+
+@query("bm25_topk", oracle=_bm25_oracle())
+def bm25_topk_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_rtcef_spark.operators.retrieval import bm25_topk
+
+    docs = load_table(spark, sf_dir, "documents")
+    return bm25_topk(docs, _BM25_TERMS, k=20)
+
+
+# --------------------------------------------------------------------------
+# Corpus-wide paragraph dedup, keep-first (CCNet's paragraph-hash pass;
+# fixed 20-token blocks since the synthetic corpus has no newlines —
+# the delimiter mode is pytest-covered).  The keep-first decision runs
+# on (hash, id, idx) triples only; text never shuffles by content hash
+# (boilerplate-skew-safe).  Registered in r3 in sample_topk_group's
+# slot.
+_PARA_BLOCK = 20
+
+_PARA_SQL = f"""
+    WITH tk AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                         x -> x <> '') AS t
+      FROM documents
+    ),
+    paras AS (
+      SELECT doc_id, CAST(i AS INT) AS para_idx,
+             array_to_string(t[i*{_PARA_BLOCK}+1 : i*{_PARA_BLOCK}+{_PARA_BLOCK}], ' ') AS para
+      FROM tk, unnest(range(0, CAST(ceil(len(t) / {_PARA_BLOCK}.0) AS BIGINT))) u(i)
+      WHERE len(t) > 0
+    ),
+    winners AS (
+      SELECT doc_id, para_idx FROM (
+        SELECT doc_id, para_idx,
+               ROW_NUMBER() OVER (PARTITION BY para
+                                  ORDER BY doc_id, para_idx) AS rn
+        FROM paras) WHERE rn = 1
+    ),
+    kept AS (
+      SELECT p.doc_id, p.para_idx, p.para
+      FROM paras p JOIN winners w USING (doc_id, para_idx)
+    ),
+    rebuilt AS (
+      SELECT doc_id, COUNT(*) AS n_kept,
+             string_agg(para, ' ' ORDER BY para_idx) AS text
+      FROM kept GROUP BY doc_id
+    ),
+    totals AS (SELECT doc_id, COUNT(*) AS n_paras FROM paras GROUP BY doc_id)
+    SELECT d.doc_id,
+           COALESCE(t.n_paras, 0) AS n_paras,
+           COALESCE(r.n_kept, 0) AS n_kept,
+           COALESCE(r.text, '') AS text
+    FROM documents d
+    LEFT JOIN totals t USING (doc_id)
+    LEFT JOIN rebuilt r USING (doc_id)
+"""
+
+
+@query("dedup_paragraphs", oracle=_PARA_SQL)
+def dedup_paragraphs_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_rtcef_spark.operators.text import dedup_paragraphs
+
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup_paragraphs(docs, block_tokens=_PARA_BLOCK)
+
+
+# --------------------------------------------------------------------------
+# SemDeDup (Abbas et al. 2023): cluster the embedding space with
+# pinned-row centroids (ids 0..7, the fit_from_rows convention the ANN
+# oracles established), then GEMM for near-duplicate pairs WITHIN each
+# cluster only.  Registered in r3 in embedding_dup_clusters' slot.
+_SEM_K = 8
+_SEM_TAU = 0.4
+
+
+def _sem_ip(a: str, b: str) -> str:
+    return (
+        f"list_sum(list_transform(list_zip({a}, {b}), "
+        "p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))"
+    )
+
+
+def _sem_cos(a: str, b: str) -> str:
+    return (
+        f"{_sem_ip(a, b)} / (SQRT({_sem_ip(a, a)}) * SQRT({_sem_ip(b, b)}))"
+    )
+
+
+_SEMANTIC_SQL = f"""
+    WITH ev AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ed
+      FROM embeddings
+    ),
+    cent AS (SELECT vec_id AS cell, ed AS cd FROM ev WHERE vec_id < {_SEM_K}),
+    assign AS (
+      SELECT vec_id, ed, cell FROM (
+        SELECT v.vec_id, v.ed, c.cell,
+               ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                                  ORDER BY {_sem_cos('v.ed', 'c.cd')} DESC,
+                                           c.cell ASC) AS rn
+        FROM ev v CROSS JOIN cent c) WHERE rn = 1
+    )
+    SELECT CAST(a.cell AS INTEGER) AS cluster,
+           a.vec_id AS id_a, b.vec_id AS id_b,
+           ROUND({_sem_cos('a.ed', 'b.ed')}, 6) AS cosine
+    FROM assign a JOIN assign b
+      ON a.cell = b.cell AND a.vec_id < b.vec_id
+    WHERE {_sem_cos('a.ed', 'b.ed')} >= {_SEM_TAU}
+"""
+
+
+@query("semantic_dedup", oracle=_SEMANTIC_SQL)
+def semantic_dedup_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_rtcef_spark.operators.dedup import semantic_dedup_pairs
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return semantic_dedup_pairs(emb, n_clusters=_SEM_K, threshold=_SEM_TAU)

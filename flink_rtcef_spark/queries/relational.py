@@ -78,17 +78,10 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 # Time bucketing — the Collector's bucket assignment
 # bucket_id = floor(ts / bucket_size) * bucket_size (Collector.java:121),
-# bucket_size = 86400 s.
-@query(
-    "time_bucketing",
-    oracle="""
-    SELECT (epoch_ms(ts) // 86400000) * 86400 AS bucket_id,
-           COUNT(*) AS n_events,
-           ROUND(SUM(value), 4) AS sum_value
-    FROM events
-    GROUP BY 1
-    """,
-)
+# bucket_size = 86400 s.  (Registry slot retired in r3 for
+# unigram_perplexity: the floor-div bucket + partial-agg shape stays
+# oracle-covered by tumbling_window_agg and plan-asserted in
+# tests/test_plans.py; time_bucketing itself stays pytest-covered.)
 def time_bucketing(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     return (
@@ -339,19 +332,9 @@ def rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --------------------------------------------------------------------------
 # Union assembly — dataset assembly unions K bucket slices
-# (ModelFactoryEngine.assembleDataset:130-182).
-@query(
-    "union_assembly",
-    oracle="""
-    WITH assembled AS (
-      SELECT * FROM events WHERE epoch_ms(ts) // 86400000 = 19723
-      UNION ALL
-      SELECT * FROM events WHERE epoch_ms(ts) // 86400000 = 19724
-    )
-    SELECT event_type, COUNT(*) AS n, ROUND(SUM(value), 4) AS sum_value
-    FROM assembled GROUP BY event_type
-    """,
-)
+# (ModelFactoryEngine.assembleDataset:130-182).  (Registry slot retired
+# in r3 for bm25_topk: the union+agg shape stays exercised here via
+# pytest and inside corpus_curation's assembled chain.)
 def union_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     day = (F.unix_millis("ts") / F.lit(86400000)).cast("long")

@@ -55,7 +55,14 @@ def test_cep_single_shuffle_and_jvm_symbolization(spark):
 
 
 def test_aggregation_is_partial_then_final(spark):
-    plan = plan_of(spark, "time_bucketing")
+    # time_bucketing left the oracle registry in r3 (slot given to
+    # unigram_perplexity) but its partial-agg plan shape stays asserted
+    from flink_rtcef_spark.queries.relational import time_bucketing
+
+    df = time_bucketing(spark, SF_ORACLE)
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
     # map-side combine: partial_count/partial_sum before the exchange
     assert "partial_count" in plan or "partial count" in plan.lower()
 

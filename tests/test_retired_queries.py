@@ -1,0 +1,84 @@
+"""Oracle checks for queries rotated OUT of the 50-slot driver registry
+in r3 (slots given to unigram_perplexity / bm25_topk / dedup_paragraphs
+/ semantic_dedup).  The driver cap is 50 entries; these four keep the
+same Spark-vs-DuckDB hash gate here so deregistration never means
+unverified."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+from flink_rtcef_spark.sources.io import TABLES
+from tests.conftest import SF_SMOKE
+
+from tools.check_oracle import compare
+
+TIME_BUCKETING_SQL = """
+    SELECT (epoch_ms(ts) // 86400000) * 86400 AS bucket_id,
+           COUNT(*) AS n_events,
+           ROUND(SUM(value), 4) AS sum_value
+    FROM events
+    GROUP BY 1
+"""
+
+UNION_ASSEMBLY_SQL = """
+    WITH assembled AS (
+      SELECT * FROM events WHERE epoch_ms(ts) // 86400000 = 19723
+      UNION ALL
+      SELECT * FROM events WHERE epoch_ms(ts) // 86400000 = 19724
+    )
+    SELECT event_type, COUNT(*) AS n, ROUND(SUM(value), 4) AS sum_value
+    FROM assembled GROUP BY event_type
+"""
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE OR REPLACE VIEW {t} AS "
+            f"SELECT * FROM read_parquet('{SF_SMOKE}/{t}.parquet')"
+        )
+    return con
+
+
+def _check(spark, duck, fn, sql, name):
+    sdf = fn(spark, SF_SMOKE).toPandas()
+    ddf = duck.execute(sql).df()
+    problems = compare(name, sdf, ddf)
+    assert not problems, problems
+
+
+def test_time_bucketing_oracle(spark, duck):
+    from flink_rtcef_spark.queries.relational import time_bucketing
+
+    _check(spark, duck, time_bucketing, TIME_BUCKETING_SQL, "time_bucketing")
+
+
+def test_union_assembly_oracle(spark, duck):
+    from flink_rtcef_spark.queries.relational import union_assembly
+
+    _check(spark, duck, union_assembly, UNION_ASSEMBLY_SQL, "union_assembly")
+
+
+def test_sample_topk_group_oracle(spark, duck):
+    from flink_rtcef_spark.queries.pipeline import (
+        _TOPK_GROUP_SQL,
+        sample_topk_group,
+    )
+
+    _check(spark, duck, sample_topk_group, _TOPK_GROUP_SQL, "sample_topk_group")
+
+
+def test_embedding_dup_clusters_oracle(spark, duck):
+    from flink_rtcef_spark.queries.pipeline import (
+        _EMB_COMPONENTS_SQL,
+        embedding_dup_clusters,
+    )
+
+    _check(
+        spark, duck, embedding_dup_clusters, _EMB_COMPONENTS_SQL,
+        "embedding_dup_clusters",
+    )
