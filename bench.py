@@ -54,6 +54,11 @@ HEADLINE = [
     "token_counts_bpe",
     "multimodal_features",
     "decontam_hits",
+    # r3 additions: LM scoring, retrieval, paragraph/semantic dedup
+    "unigram_perplexity",
+    "bm25_topk",
+    "dedup_paragraphs",
+    "semantic_dedup",
 ]
 
 N_ITER = 3

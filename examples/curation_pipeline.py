@@ -6,10 +6,13 @@ map-side filters first (quality, language), then the digest-shuffle
 dedups, then the n-gram decontamination, then mixing/packing — each
 stage shrinks the corpus before the next pays its shuffle.
 
-    profile -> boilerplate cut -> quality + repetition gate
+    profile -> boilerplate cut -> paragraph dedup (corpus-wide)
+            -> quality + repetition gate -> perplexity filter
             -> pii redaction -> exact dedup -> minhash-LSH near-dedup
-            -> benchmark decontamination -> temperature mix
-            -> chunk + FFD-pack -> partitioned write + final profile
+            -> semantic near-dedup (SemDeDup) -> benchmark decontamination
+            -> temperature mix -> chunk + FFD-pack
+            -> deterministic shard export + partitioned write + profile
+            (+ a BM25 search probe over the curated corpus)
 
 Run: python examples/curation_pipeline.py [--sf-dir /root/testdata/sf0.01]
 Prints one summary line per stage (rows in -> rows out) and the
@@ -33,12 +36,17 @@ from flink_rtcef_spark.operators.dedup import (
     exact_dedup,
     lsh_candidate_pairs,
     minhash_signatures,
+    semantic_dedup_pairs,
 )
+from flink_rtcef_spark.operators.export import shard_manifest, write_shards
+from flink_rtcef_spark.operators.lm import perplexity_filter, unigram_perplexity
 from flink_rtcef_spark.operators.pii import redacted_column
+from flink_rtcef_spark.operators.retrieval import bm25_topk
 from flink_rtcef_spark.operators.profile import corpus_profile
 from flink_rtcef_spark.operators.sampling import temperature_sample
 from flink_rtcef_spark.operators.text import (
     chunk_documents,
+    dedup_paragraphs,
     pack_sequences,
     quality_signals,
     remove_boilerplate_lines,
@@ -77,6 +85,14 @@ def main() -> None:
     )
     n = stage("boilerplate line cut", docs, n)
 
+    # 1b. corpus-wide paragraph dedup (keep-first, 20-token blocks —
+    # the fixture has no newline paragraphs); text is rewritten, other
+    # columns ride along
+    deduped = dedup_paragraphs(docs, block_tokens=20)
+    n_cut = deduped.filter(F.col("n_kept") < F.col("n_paras")).count()
+    docs = deduped.select("doc_id", "text").join(docs.drop("text"), "doc_id")
+    print(f"  {'paragraph dedup':<28} {n:>6} docs, {n_cut} lost >=1 block")
+
     # 2. quality gate (map-side signals), incl. Gopher repetition cut
     q = quality_signals(docs)
     good_ids = q.filter(
@@ -89,9 +105,22 @@ def main() -> None:
     docs = docs.join(rep_ok, "doc_id", "left_semi")
     n = stage("quality + repetition gate", docs, n)
 
+    # 2a. perplexity filter: score every doc under a corpus unigram LM,
+    # drop the highest-perplexity 5% (the CCNet tail cut)
+    bits = unigram_perplexity(docs)
+    cut = bits.approxQuantile("ppl_bits", [0.95], 0.001)[0]
+    docs = perplexity_filter(docs, max_bits=cut)
+    n = stage(f"perplexity tail cut (<{cut:.2f}b)", docs, n)
+
     # 2b. PII scrub (map-only: rewrite text in place)
     docs = docs.withColumn("text", redacted_column("text"))
     n = stage("pii redaction", docs, n)
+
+    # materialize the macro-stage boundary: every gate above rewrote or
+    # filtered text, and letting ten downstream shuffles re-derive that
+    # lineage per action is how demo pipelines OOM (a production run
+    # writes the gated corpus to storage here for exactly this reason)
+    docs = docs.localCheckpoint(eager=True)
 
     # 3. exact dedup (digest shuffle)
     docs = exact_dedup(docs).drop("n_copies")
@@ -106,6 +135,18 @@ def main() -> None:
         "left_anti",
     )
     n = stage("minhash-LSH near-dedup", docs, n)
+
+    # 4b. semantic near-dedup (SemDeDup): cluster the embedding space,
+    # drop docs whose vector has a lower-id twin in the same cluster
+    # (vec_id aligns 1:1 with doc_id in the fixture)
+    emb = load_table(spark, args.sf_dir, "embeddings")
+    sem_drop = (
+        semantic_dedup_pairs(emb, n_clusters=8, threshold=0.45)
+        .select(F.col("id_b").alias("doc_id"))
+        .distinct()
+    )
+    docs = docs.join(F.broadcast(sem_drop), "doc_id", "left_anti")
+    n = stage("semantic near-dedup", docs, n)
 
     # 5. decontamination against a held-out "benchmark" slice
     benchmark = load_table(spark, args.sf_dir, "documents").filter(
@@ -131,6 +172,19 @@ def main() -> None:
     )
     n_packs = packed.select("pack_id").distinct().count()
     print(f"  {'chunk + FFD pack':<28} {n:>6} -> {n_packs:>6} packs")
+
+    # 7b. deterministic shard export: balanced, reproducible training
+    # shards + the manifest a consumer checks before reading
+    shard_dir = tempfile.mkdtemp(prefix="shards_")
+    write_shards(docs, shard_dir, n_shards=4)
+    manifest = shard_manifest(docs, n_shards=4).orderBy("shard").collect()
+    m_str = ", ".join(f"s{r['shard']}={r['n_docs']}" for r in manifest)
+    print(f"  {'shard export (4)':<28} {m_str} -> {shard_dir}")
+
+    # 7c. search probe over the curated corpus
+    hits = bm25_topk(docs, ["spark", "join", "stream"], k=3).collect()
+    top = ", ".join(f"doc {r['doc_id']} ({r['score']:.2f})" for r in hits)
+    print(f"  {'bm25 probe':<28} spark/join/stream -> {top}")
 
     # 8. partitioned write + final profile
     out = tempfile.mkdtemp(prefix="curated_")

@@ -65,7 +65,14 @@ def unigram_perplexity(
     Output: id_col, n_tokens, ppl_bits (rounded to 6).
     """
     if model is None:
-        model = unigram_model(df, text_col)
+        # persist the fitted model: it feeds BOTH the totals aggregate
+        # and the scoring join, and without materialization Spark would
+        # recompute the corpus explode+aggregate for each consumer —
+        # a full extra corpus scan at 100 TB.  The model is o(vocab),
+        # comfortably cacheable; callers scoring many corpora against
+        # one model should fit via unigram_model and manage its
+        # lifecycle themselves.
+        model = unigram_model(df, text_col).persist()
     totals = model.agg(
         F.sum("tok_count").alias("_n"), F.count(F.lit(1)).alias("_v")
     )

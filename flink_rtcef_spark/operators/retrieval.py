@@ -63,6 +63,10 @@ def bm25_topk(
         .filter(F.col("tok").isin(*terms))
         .groupBy(id_col, "dl", "tok")
         .agg(F.count(F.lit(1)).alias("tf"))
+        # tf feeds both the per-term document frequencies and the final
+        # scoring; persist so the matched-corpus explode runs once, not
+        # once per consumer (o(matching docs x terms) rows)
+        .persist()
     )
     dfreq = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df_t"))
     idf = dfreq.crossJoin(F.broadcast(stats)).select(

@@ -128,3 +128,38 @@ def test_curation_is_single_pass(spark):
     plan = plan_of(spark, "corpus_curation")
     assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
     assert len(re.findall(r"\(\d+\) Exchange", plan)) == 2
+
+
+def test_bm25_minimal_scans_and_broadcast(spark):
+    """BM25 must scan the corpus at most twice (stats + persisted tf)
+    and join the small sides broadcast, never sort-merge."""
+    plan = plan_of(spark, "bm25_topk")
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) <= 2
+    assert "SortMergeJoin" not in plan
+    assert "TakeOrderedAndProject" in plan  # top-k is a heap, not a sort
+
+
+def test_perplexity_fits_model_once(spark):
+    """The unigram model subtree must be materialized (persisted), not
+    recomputed per consumer — at 100 TB recomputation is an extra
+    corpus scan."""
+    plan = plan_of(spark, "unigram_perplexity")
+    assert "InMemoryTableScan" in plan
+    # corpus scans: model fit + scoring + id-only restore (pruned)
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) <= 3
+
+
+def test_paragraph_dedup_window_is_rank_limited(spark):
+    """The keep-first decision must compile to WindowGroupLimit (rank<=1
+    pushed below the shuffle) over the 3-column key frame."""
+    plan = plan_of(spark, "dedup_paragraphs")
+    assert "WindowGroupLimit" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_semantic_dedup_single_shuffle(spark):
+    """SemDeDup: map-side centroid assignment (ArrowEvalPython before
+    any exchange), one exchange on the cluster key, per-cluster GEMM."""
+    plan = plan_of(spark, "semantic_dedup")
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1
+    assert "FlatMapGroupsInPandas" in plan
