@@ -99,3 +99,111 @@ def decontaminate(
     return docs.join(
         broadcast(hits.select(doc_id_col)), doc_id_col, "left_anti"
     )
+
+
+def fuzzy_contamination_hits(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    threshold: float = 0.5,
+    shingle_n: int = 3,
+    n_hashes: int = 8,
+    bands: int = 4,
+    seed: int = 7,
+    doc_id_col: str = "doc_id",
+    text_col: str = "text",
+    bench_id_col: str = "doc_id",
+    bench_text_col: str = "text",
+) -> DataFrame:
+    """NEAR-duplicate decontamination: exact n-gram matching misses
+    paraphrased or lightly-edited benchmark leaks, so this pass flags
+    corpus documents whose shingle-Jaccard similarity to ANY benchmark
+    document reaches ``threshold``.
+
+    Plan shape (corpus 100 TB, benchmark megabytes — same asymmetry as
+    the exact pass):
+    1. both sides -> minhash signatures -> banded LSH keys; the
+       benchmark band table is tiny and BROADCAST, so candidate
+       generation never shuffles the corpus;
+    2. only candidate corpus docs explode to shingles for the verify
+       join (pairs-first, same discipline as dedup.jaccard_verify);
+       the benchmark shingle side is again broadcast.
+
+    Output: (doc_id, bench_id, jaccard rounded to 6) per flagged pair,
+    jaccard >= threshold.
+    """
+    from flink_rtcef_spark.operators.dedup import (
+        _tokens,
+        lsh_band_keys,
+        minhash_signatures,
+        shingles,
+    )
+
+    d_bands = lsh_band_keys(
+        minhash_signatures(docs, text_col, doc_id_col, n_hashes, shingle_n, seed),
+        doc_id_col, n_hashes, bands,
+    )
+    b_bands = lsh_band_keys(
+        minhash_signatures(
+            benchmark, bench_text_col, bench_id_col, n_hashes, shingle_n, seed
+        ),
+        bench_id_col, n_hashes, bands,
+    )
+    cands = (
+        d_bands.alias("d")
+        .join(
+            broadcast(b_bands.alias("b")),
+            (F.col("d.band") == F.col("b.band")) & (F.col("d.bh") == F.col("b.bh")),
+        )
+        .select(
+            F.col(f"d.{doc_id_col}").alias("doc_id"),
+            F.col(f"b.{bench_id_col}").alias("bench_id"),
+        )
+        .distinct()
+    )
+
+    def shingle_rows(df: DataFrame, idc: str, txt: str, out_id: str) -> DataFrame:
+        return (
+            df.select(F.col(idc).alias(out_id), _tokens(txt).alias("tokens"))
+            .select(out_id, F.explode(F.array_distinct(shingles(n=shingle_n))).alias("sh"))
+        )
+
+    d_sh = shingle_rows(docs, doc_id_col, text_col, "doc_id").join(
+        cands.select("doc_id").distinct(), "doc_id", "left_semi"
+    )
+    b_sh = shingle_rows(benchmark, bench_id_col, bench_text_col, "bench_id")
+    d_sizes = d_sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_a"))
+    b_sizes = b_sh.groupBy("bench_id").agg(F.count(F.lit(1)).alias("n_b"))
+    common = (
+        cands.join(d_sh, "doc_id")
+        .join(broadcast(b_sh), ["bench_id", "sh"])
+        .groupBy("doc_id", "bench_id")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    jac = (
+        common.join(d_sizes, "doc_id")
+        .join(broadcast(b_sizes), "bench_id")
+        .select(
+            "doc_id",
+            "bench_id",
+            F.round(
+                F.col("n_common")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+    return jac.filter(F.col("jaccard") >= threshold)
+
+
+def fuzzy_decontaminate(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    threshold: float = 0.5,
+    **kwargs,
+) -> DataFrame:
+    """Drop documents near-duplicating any benchmark document (the
+    paraphrase-robust complement to :func:`decontaminate`)."""
+    hits = fuzzy_contamination_hits(docs, benchmark, threshold, **kwargs)
+    return docs.join(
+        broadcast(hits.select("doc_id").distinct()), "doc_id", "left_anti"
+    )

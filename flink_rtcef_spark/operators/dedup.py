@@ -93,15 +93,17 @@ def minhash_signatures(
     return sh.groupBy(id_col).agg(*aggs)
 
 
-def lsh_candidate_pairs(
+def lsh_band_keys(
     sig_df: DataFrame,
     id_col: str = "doc_id",
     n_hashes: int = 8,
     bands: int = 4,
 ) -> DataFrame:
-    """Band the signature into ``bands`` groups; docs sharing any band
-    hash are candidates.  The self-join runs per band on the band-hash
-    key — shuffle size is the banded signature table, not the corpus."""
+    """(id, band, bh): the banded-LSH join keys of a signature table.
+    One scan: explode an array of (band, bandhash) structs instead of a
+    union of per-band selects (which rescans the signature table per
+    band — bands x the IO at scale).  Shared by the self-join candidate
+    generator and the cross-table fuzzy-decontamination pass."""
     if n_hashes % bands != 0:
         raise ValueError(
             f"n_hashes ({n_hashes}) must be divisible by bands ({bands}); "
@@ -109,9 +111,6 @@ def lsh_candidate_pairs(
             "and change recall"
         )
     rows_per_band = n_hashes // bands
-    # one scan: explode an array of (band, bandhash) structs instead of
-    # a union of per-band selects (which rescans the signature table
-    # per band — bands× the IO at scale)
     band_structs = F.array(
         *[
             F.struct(
@@ -127,9 +126,27 @@ def lsh_candidate_pairs(
             for b in range(bands)
         ]
     )
-    bands_df = sig_df.select(
+    return sig_df.select(
         F.col(id_col), F.explode(band_structs).alias("bb")
     ).select(id_col, F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh"))
+
+
+def lsh_candidate_pairs(
+    sig_df: DataFrame,
+    id_col: str = "doc_id",
+    n_hashes: int = 8,
+    bands: int = 4,
+) -> DataFrame:
+    """Band the signature into ``bands`` groups; docs sharing any band
+    hash are candidates.  The self-join runs per band on the band-hash
+    key — shuffle size is the banded signature table, not the corpus."""
+    if n_hashes % bands != 0:
+        raise ValueError(
+            f"n_hashes ({n_hashes}) must be divisible by bands ({bands}); "
+            "a remainder would silently drop trailing signature columns "
+            "and change recall"
+        )
+    bands_df = lsh_band_keys(sig_df, id_col, n_hashes, bands)
     a, b_ = bands_df.alias("a"), bands_df.alias("b")
     return (
         a.join(

@@ -79,3 +79,88 @@ def test_no_false_positives_on_shared_short_phrases(spark):
     )
     assert contamination_hits(docs, bench).count() == 0
     assert decontaminate(docs, bench).count() == 1
+
+
+# ------------------------------------------------------- fuzzy pass --
+def _fuzzy_frames(spark):
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog near the river bank")],
+        "doc_id long, text string",
+    )
+    docs = spark.createDataFrame(
+        [
+            # paraphrased leak: most shingles shared, a few words changed
+            (1, "the quick brown fox jumps over the lazy dog near the river shore"),
+            # clean doc, no overlap
+            (2, "completely different content about spark query planning and shuffles"),
+            # partial overlap below any reasonable threshold
+            (3, "the quick brown fox appears in many unrelated pangram sentences here"),
+        ],
+        "doc_id long, text string",
+    )
+    return docs, bench
+
+
+def test_fuzzy_hits_catch_paraphrase_exact_ngram_misses(spark):
+    from flink_rtcef_spark.operators.decontam import (
+        contamination_hits,
+        fuzzy_contamination_hits,
+    )
+
+    docs, bench = _fuzzy_frames(spark)
+    # the 13-gram exact pass misses the paraphrase (longest common run < 13)
+    exact = {r["doc_id"] for r in contamination_hits(docs, bench, n=13).collect()}
+    assert 1 not in exact
+    fuzzy = {
+        r["doc_id"]: r["jaccard"]
+        for r in fuzzy_contamination_hits(docs, bench, threshold=0.5).collect()
+    }
+    assert 1 in fuzzy and fuzzy[1] >= 0.5
+    assert 2 not in fuzzy
+
+
+def test_fuzzy_jaccard_matches_set_arithmetic(spark):
+    from flink_rtcef_spark.operators.decontam import fuzzy_contamination_hits
+
+    docs, bench = _fuzzy_frames(spark)
+    got = {
+        (r["doc_id"], r["bench_id"]): r["jaccard"]
+        for r in fuzzy_contamination_hits(docs, bench, threshold=0.0).collect()
+    }
+
+    def sh_set(text):
+        t = text.lower().split()
+        return {" ".join(t[i : i + 3]) for i in range(len(t) - 2)}
+
+    b = sh_set("the quick brown fox jumps over the lazy dog near the river bank")
+    for doc_id, text in [
+        (1, "the quick brown fox jumps over the lazy dog near the river shore"),
+    ]:
+        a = sh_set(text)
+        want = round(len(a & b) / len(a | b), 6)
+        assert got[(doc_id, 100)] == want
+
+
+def test_fuzzy_decontaminate_drops_only_flagged(spark):
+    from flink_rtcef_spark.operators.decontam import fuzzy_decontaminate
+
+    docs, bench = _fuzzy_frames(spark)
+    kept = sorted(r["doc_id"] for r in fuzzy_decontaminate(docs, bench, 0.5).collect())
+    assert kept == [2, 3]
+
+
+def test_fuzzy_plan_broadcasts_benchmark_sides(spark):
+    """Every benchmark-side join (band candidates, shingle verify,
+    benchmark sizes) must be broadcast — corpus-vs-corpus joins may
+    sort-merge, but the megabyte benchmark side never forces a corpus
+    shuffle."""
+    import re
+
+    from flink_rtcef_spark.operators.decontam import fuzzy_contamination_hits
+
+    docs, bench = _fuzzy_frames(spark)
+    df = fuzzy_contamination_hits(docs, bench, threshold=0.5)
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    assert len(re.findall(r"\(\d+\) BroadcastHashJoin", plan)) >= 3
