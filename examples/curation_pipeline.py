@@ -8,8 +8,8 @@ stage shrinks the corpus before the next pays its shuffle.
 
     profile -> boilerplate cut -> paragraph dedup (corpus-wide)
             -> quality + repetition gate -> perplexity filter
-            -> pii redaction -> exact dedup -> minhash-LSH near-dedup
-            -> semantic near-dedup (SemDeDup) -> benchmark decontamination
+            -> learned classifier gate -> pii redaction -> exact dedup -> minhash-LSH near-dedup
+            -> semantic near-dedup (SemDeDup) -> exact + fuzzy decontamination
             -> temperature mix -> chunk + FFD-pack
             -> deterministic shard export + partitioned write + profile
             (+ a BM25 search probe over the curated corpus)
@@ -31,7 +31,7 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 from pyspark.sql import functions as F
 
-from flink_rtcef_spark.operators.decontam import decontaminate
+from flink_rtcef_spark.operators.decontam import decontaminate, fuzzy_decontaminate
 from flink_rtcef_spark.operators.dedup import (
     exact_dedup,
     lsh_candidate_pairs,
@@ -41,6 +41,10 @@ from flink_rtcef_spark.operators.dedup import (
 from flink_rtcef_spark.operators.export import shard_manifest, write_shards
 from flink_rtcef_spark.operators.lm import perplexity_filter, unigram_perplexity
 from flink_rtcef_spark.operators.pii import redacted_column
+from flink_rtcef_spark.operators.quality_clf import (
+    classifier_filter,
+    train_quality_classifier,
+)
 from flink_rtcef_spark.operators.retrieval import bm25_topk
 from flink_rtcef_spark.operators.profile import corpus_profile
 from flink_rtcef_spark.operators.sampling import temperature_sample
@@ -106,21 +110,38 @@ def main() -> None:
     n = stage("quality + repetition gate", docs, n)
 
     # 2a. perplexity filter: score every doc under a corpus unigram LM,
-    # drop the highest-perplexity 5% (the CCNet tail cut)
-    bits = unigram_perplexity(docs)
+    # drop the highest-perplexity 5% (the CCNet tail cut).  The score
+    # table is persisted — it feeds the cut, the filter, AND the weak
+    # labels below — and the gated corpus is materialized before the
+    # iterative classifier training re-reads it (letting ml's fit
+    # re-derive the whole upstream lineage per pass is how demo
+    # pipelines OOM; a production run writes the gated corpus to
+    # storage at exactly this boundary)
+    bits = unigram_perplexity(docs).persist()
     cut = bits.approxQuantile("ppl_bits", [0.95], 0.001)[0]
-    docs = perplexity_filter(docs, max_bits=cut)
+    docs = docs.join(
+        bits.filter(F.col("ppl_bits") <= cut).select("doc_id"), "doc_id", "left_semi"
+    )
     n = stage(f"perplexity tail cut (<{cut:.2f}b)", docs, n)
+    docs = docs.localCheckpoint(eager=True)
+
+    # 2a'. learned quality gate: train the fasttext-style classifier on
+    # the lowest-vs-highest perplexity deciles as weak labels, keep
+    # docs scoring > 0.3 (demo threshold; production uses a held-out
+    # reference slice as the positive class)
+    lo = bits.approxQuantile("ppl_bits", [0.1, 0.9], 0.001)
+    pos_ids = bits.filter(F.col("ppl_bits") <= lo[0]).select("doc_id")
+    neg_ids = bits.filter(F.col("ppl_bits") >= lo[1]).select("doc_id")
+    clf = train_quality_classifier(
+        docs.join(pos_ids, "doc_id", "left_semi"),
+        docs.join(neg_ids, "doc_id", "left_semi"),
+    )
+    docs = classifier_filter(docs, clf, min_prob=0.3)
+    n = stage("classifier quality gate", docs, n)
 
     # 2b. PII scrub (map-only: rewrite text in place)
     docs = docs.withColumn("text", redacted_column("text"))
     n = stage("pii redaction", docs, n)
-
-    # materialize the macro-stage boundary: every gate above rewrote or
-    # filtered text, and letting ten downstream shuffles re-derive that
-    # lineage per action is how demo pipelines OOM (a production run
-    # writes the gated corpus to storage here for exactly this reason)
-    docs = docs.localCheckpoint(eager=True)
 
     # 3. exact dedup (digest shuffle)
     docs = exact_dedup(docs).drop("n_copies")
@@ -148,12 +169,16 @@ def main() -> None:
     docs = docs.join(F.broadcast(sem_drop), "doc_id", "left_anti")
     n = stage("semantic near-dedup", docs, n)
 
-    # 5. decontamination against a held-out "benchmark" slice
+    # 5. decontamination against a held-out "benchmark" slice: exact
+    # 13-gram pass, then the paraphrase-robust fuzzy (minhash-Jaccard)
+    # pass over what survives
     benchmark = load_table(spark, args.sf_dir, "documents").filter(
         F.col("doc_id") % 97 == 0
     )
     docs = decontaminate(docs.filter(F.col("doc_id") % 97 != 0), benchmark, n=8)
     n = stage("benchmark decontamination", docs, n)
+    docs = fuzzy_decontaminate(docs, benchmark, threshold=0.5)
+    n = stage("fuzzy decontamination", docs, n)
 
     # 6. temperature mixing over the language column
     docs = temperature_sample(docs, "lang", "doc_id", alpha=0.5)

@@ -53,14 +53,27 @@ def write_shards(
     id_col: str = "doc_id",
     seed: int = 0,
     fmt: str = "parquet",
+    order_col: str | None = None,
 ) -> None:
     """Write exactly one file per shard under ``path/shard=K/``, rows
     in sort_key order — byte-reproducible regardless of input
-    partitioning.  One shuffle (repartition on shard), sort within."""
+    partitioning.  One shuffle (repartition on shard), sort within.
+
+    ``order_col`` overrides the within-shard order for CURRICULUM
+    exports (e.g. ascending difficulty / quality score): shard
+    membership stays hash-determined (each shard remains an unbiased
+    corpus sample) while each shard's file is read in curriculum
+    order.  Ties break on the content key so the write stays
+    deterministic."""
+    order = (
+        ["shard", order_col, "sort_key", id_col]
+        if order_col is not None
+        else ["shard", "sort_key", id_col]
+    )
     out = (
         assign_shards(df, n_shards, id_col, seed)
         .repartition(n_shards, F.col("shard"))
-        .sortWithinPartitions("shard", "sort_key", id_col)
+        .sortWithinPartitions(*order)
     )
     out.write.mode("overwrite").partitionBy("shard").format(fmt).save(path)
 

@@ -49,6 +49,15 @@ def get_spark(
         builder = builder.config("spark.master", master)
     elif not os.environ.get("SPARK_MASTER"):
         builder = builder.config("spark.master", f"local[{cpus}]")
+    if not master and not os.environ.get("SPARK_MASTER"):
+        # local mode runs all `cpus` task threads inside ONE driver JVM,
+        # whose default heap (1g) starves 32 concurrent tasks long
+        # before the machine does; size it like the executor it is.
+        # Only effective when this process creates the JVM — a cluster
+        # submit sets memory via spark-submit and never hits this.
+        builder = builder.config(
+            "spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g")
+        )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()

@@ -259,3 +259,27 @@ def test_shard_manifest_covers_all_rows(spark):
     assert sum(r["n_docs"] for r in m) == 300
     assert sum(r["n_tokens"] for r in m) == 900
     assert sorted(r["shard"] for r in m) == [0, 1, 2, 3, 4]
+
+
+def test_curriculum_export_orders_within_shard(spark, tmp_path):
+    from flink_rtcef_spark.operators.export import write_shards
+
+    rows = [(i, f"body {i}", float((i * 37) % 100)) for i in range(400)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, score double")
+    p = str(tmp_path / "curr")
+    write_shards(df, p, n_shards=4, order_col="score")
+    import glob
+
+    import pyarrow.parquet as pq
+
+    for s in range(4):
+        f = glob.glob(f"{p}/shard={s}/*.parquet")[0]
+        t = pq.read_table(f).to_pandas()
+        assert list(t["score"]) == sorted(t["score"])
+    # shard membership unchanged by the order override
+    r = spark.read.parquet(p)
+    base = str(tmp_path / "plain")
+    write_shards(df, base, n_shards=4)
+    a = sorted(map(tuple, r.select("shard", "doc_id").collect()))
+    b = sorted(map(tuple, spark.read.parquet(base).select("shard", "doc_id").collect()))
+    assert a == b
