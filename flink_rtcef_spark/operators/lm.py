@@ -25,6 +25,9 @@ Scale design (100 TB corpus):
 
 from __future__ import annotations
 
+import pandas as pd  # noqa: F401  (resolves pandas_udf type hints under
+#                       deferred annotations: pyspark get_type_hints needs
+#                       `pd` importable from module globals)
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -118,3 +121,51 @@ def perplexity_filter(
     scores = unigram_perplexity(df, model, text_col, id_col, alpha)
     keep = scores.filter(F.col("ppl_bits") <= max_bits).select(id_col)
     return df.join(keep, id_col, "left_semi")
+
+
+def perplexity_score_column(
+    spark,
+    model: DataFrame,
+    text_col: str = "text",
+    alpha: float = DEFAULT_ALPHA,
+):
+    """STREAMING-SAFE per-document scorer: returns a Column computing
+    bits/token map-side from a BROADCAST token->count dict — no
+    explode, no aggregation, so it runs unchanged on a streaming
+    DataFrame in append mode (the batch ``unigram_perplexity`` keys an
+    aggregate on the document id, which append-mode streams reject).
+
+    This is the shape a real KenLM deployment has at the ingest edge:
+    model broadcast once, every document scored inside its own row.
+    The model must be bounded (o(vocab)) — the same constraint the
+    broadcast join in ``unigram_perplexity`` already imposes.  Arrow
+    batches keep the Python cost amortized.
+
+    Matches ``unigram_perplexity`` exactly (same smoothing, rounding)
+    — pinned by tests/test_streaming_curation.py.
+    """
+    import math
+
+    from pyspark.sql import types as T
+
+    rows = model.collect()
+    counts = {r["tok"]: r["tok_count"] for r in rows}
+    n = sum(counts.values())
+    v = len(counts)
+    denom = n + alpha * v
+    b_counts = spark.sparkContext.broadcast(counts)
+
+    @F.pandas_udf(T.DoubleType())
+    def _score(texts: pd.Series) -> pd.Series:
+        c = b_counts.value
+        out = []
+        for t in texts:
+            toks = [w for w in (t or "").lower().strip().split() if w]
+            if not toks:
+                out.append(0.0)
+                continue
+            bits = [-math.log2((c.get(w, 0) + alpha) / denom) for w in toks]
+            out.append(round(sum(bits) / len(bits), 6))
+        return pd.Series(out)
+
+    return _score(F.col(text_col))

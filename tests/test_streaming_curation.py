@@ -101,3 +101,62 @@ def test_streaming_curation_chain(spark, tmp_path):
     assert sorted(got["doc_id"]) == [1, 2, 3, 4]
     assert "[EMAIL]" in got.set_index("doc_id").loc[1, "redacted"]
     assert "[PHONE]" in got.set_index("doc_id").loc[2, "redacted"]
+
+
+def test_perplexity_scorer_streams_and_matches_batch(spark, tmp_path):
+    """The broadcast-model scorer must run on an append-mode stream and
+    reproduce the batch unigram_perplexity bits exactly."""
+    from flink_rtcef_spark.operators.lm import (
+        perplexity_score_column,
+        unigram_model,
+        unigram_perplexity,
+    )
+
+    stream_in, batch_in = _write_stream_fixture(spark, tmp_path)
+    model = unigram_model(batch_in).persist()
+    scorer = perplexity_score_column(spark, model)
+    table = _run_to_memory(
+        stream_in.select("doc_id", scorer.alias("ppl_bits")), "ppl_stream"
+    )
+    got = (
+        spark.sql(f"SELECT * FROM {table}")
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    want = (
+        unigram_perplexity(batch_in, model=model)
+        .select("doc_id", "ppl_bits")
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want)
+
+
+def test_classifier_scoring_streams(spark, tmp_path):
+    """pyspark.ml transforms are map-only: the trained quality gate
+    scores an append-mode stream unchanged, matching batch."""
+    from flink_rtcef_spark.operators.quality_clf import (
+        score_quality,
+        train_quality_classifier,
+    )
+
+    stream_in, batch_in = _write_stream_fixture(spark, tmp_path)
+    pos = batch_in.filter("doc_id <= 2")
+    neg = batch_in.filter("doc_id > 2")
+    model = train_quality_classifier(pos, neg)
+    table = _run_to_memory(score_quality(stream_in, model), "clf_stream")
+    got = (
+        spark.sql(f"SELECT * FROM {table}")
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    want = (
+        score_quality(batch_in, model)
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want)
