@@ -328,9 +328,33 @@ def weak_scaling_step(spark, sf_dir: str) -> dict:
         out[f"dedup_{tag}_docs"] = n
         out[f"dedup_{tag}_sec"] = round(dt, 3)
         out[f"dedup_{tag}_docs_per_sec"] = round(n / dt)
+
+        # r3 curation ops on the same scaled frame: paragraph dedup
+        # (window + two joins) and perplexity (fit + broadcast score)
+        from flink_rtcef_spark.operators.lm import unigram_perplexity
+        from flink_rtcef_spark.operators.text import dedup_paragraphs
+
+        def para_run(d=df):
+            dedup_paragraphs(d, block_tokens=20).count()
+
+        def ppl_run(d=df):
+            unigram_perplexity(d).count()
+
+        para_run()
+        out[f"para_{tag}_sec"] = round(_timed(para_run), 3)
+        out[f"para_{tag}_docs_per_sec"] = round(n / out[f"para_{tag}_sec"])
+        ppl_run()
+        out[f"ppl_{tag}_sec"] = round(_timed(ppl_run), 3)
+        out[f"ppl_{tag}_docs_per_sec"] = round(n / out[f"ppl_{tag}_sec"])
         df.unpersist()
     out["dedup_throughput_ratio"] = round(
         out["dedup_10x_docs_per_sec"] / out["dedup_1x_docs_per_sec"], 3
+    )
+    out["para_throughput_ratio"] = round(
+        out["para_10x_docs_per_sec"] / out["para_1x_docs_per_sec"], 3
+    )
+    out["ppl_throughput_ratio"] = round(
+        out["ppl_10x_docs_per_sec"] / out["ppl_1x_docs_per_sec"], 3
     )
     return out
 
