@@ -5,6 +5,8 @@ Python in the hot path).
 
 from __future__ import annotations
 
+import pandas as pd  # noqa: F401  (resolves pandas_udf type hints under
+#                       deferred annotations)
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
@@ -484,3 +486,23 @@ def dedup_paragraphs(
             F.coalesce("text", F.lit("")).alias("text"),
         )
     )
+
+
+def normalized_text(text_col: str = "text", form: str = "NFKC") -> Column:
+    """Unicode-normalize text (NFKC by default: compatibility forms
+    folded — fullwidth latin, ligatures, superscripts — the
+    normalization every tokenizer assumes).  Arrow-batched pandas UDF:
+    Spark has no unicode-normalization builtin, and per-row Python
+    would be 10-100x slower; this is the sanctioned slow path, one
+    map-side pass, streaming-safe."""
+    import unicodedata
+
+    from pyspark.sql import types as T
+
+    @F.pandas_udf(T.StringType())
+    def _norm(texts: pd.Series) -> pd.Series:
+        return pd.Series(
+            [unicodedata.normalize(form, t) if t is not None else None for t in texts]
+        )
+
+    return _norm(F.col(text_col))
