@@ -218,3 +218,54 @@ def test_temperature_rates_target_total_cap(counts, target):
     assert expected <= target + 1e-6 * max(1, target)
     if sum(counts.values()) >= target:
         assert expected == __import__("pytest").approx(target, rel=1e-6)
+
+
+# --------------------------------------------------------------- r3 ops --
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(
+        st.lists(st.sampled_from(["ab", "abc", "bc", "a", "cab"]), min_size=1, max_size=6)
+        .map(" ".join),
+        min_size=1,
+        max_size=6,
+    ),
+    st.integers(min_value=1, max_value=8),
+)
+def test_bpe_distributed_equals_sequential(spark, texts, n_merges):
+    """Distributed BPE training == the sequential reference algorithm
+    on arbitrary corpora (freq-weighted, lexicographic ties)."""
+    from flink_rtcef_spark.operators.bpe import train_bpe
+    from tests.test_bpe import _reference_bpe
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = train_bpe(df, n_merges=n_merges, sample=None)
+    want = _reference_bpe(" ".join(texts).split(), n_merges)
+    assert got == want
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(
+        st.lists(st.sampled_from(["x y", "y z", "common tail", "a b"]), min_size=1, max_size=4)
+        .map("\n\n".join),
+        min_size=1,
+        max_size=6,
+    )
+)
+def test_paragraph_dedup_each_content_survives_exactly_once(spark, texts):
+    """Corpus-wide invariant: every distinct paragraph content keeps
+    exactly ONE instance, and totals are conserved."""
+    from flink_rtcef_spark.operators.text import dedup_paragraphs, split_paragraphs
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    out = dedup_paragraphs(df).collect()
+    n_kept_total = sum(r["n_kept"] for r in out)
+    n_paras_total = sum(r["n_paras"] for r in out)
+    paras = split_paragraphs(df).collect()
+    distinct_contents = {r["para"] for r in paras}
+    assert n_paras_total == len(paras)
+    assert n_kept_total == len(distinct_contents)
