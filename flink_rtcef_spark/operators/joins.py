@@ -1,0 +1,179 @@
+"""Temporal join operators Spark lacks as built-ins: as-of join and a
+binned range join.
+
+The reference's evaluation joins are equi+interval shapes
+(ClassificationForecastCollector.scala:76-145 — covered by
+queries/relational.interval_join_eval); feature pipelines over a 100 TB
+event corpus additionally need the *as-of* shape (enrich each fact row
+with the most recent dimension state at or before its timestamp) and
+point-in-interval joins WITHOUT an equi key.  Naive Spark plans for
+both are scale-killers: a per-key self-join explodes on key fan-out,
+and a pure range predicate becomes BroadcastNestedLoopJoin (O(n*m)).
+
+Scale design (100 TB):
+- ``as_of_join`` is ONE shuffle on the join key + one within-partition
+  sort (union both sides, window ``last``/``first`` over the merged
+  order) — the distributed equivalent of a merge-scan as-of, with cost
+  O((|L|+|R|) log) and shuffle payload of only the key, timestamp, and
+  the carried right columns.  No join blow-up: each left row emits
+  exactly one output row regardless of how many right rows precede it.
+- ``range_join_binned`` rewrites point-in-interval into an EQUI join on
+  a bin id (each interval replicated to the bins it covers, each point
+  mapped to its single bin) + a residual filter — a hash shuffle whose
+  fan-out is interval_span/bin_width, instead of a nested loop over
+  the whole table.  The same rewrite Databricks' range-join hint
+  performs, expressed with public DataFrame ops.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+_MATCH = "__asof_match"
+_SIDE = "__asof_side"
+
+
+def as_of_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str | list[str],
+    left_ts: str = "ts",
+    right_ts: str | None = None,
+    right_cols: list[str] | None = None,
+    direction: str = "backward",
+    tolerance: Column | int | float | None = None,
+    suffix: str = "_right",
+) -> DataFrame:
+    """For every left row, the single right row with the nearest
+    ``right_ts`` at-or-before (``backward``) / at-or-after (``forward``)
+    the row's ``left_ts``, within the same ``on`` key.
+
+    Matches pandas ``merge_asof`` semantics (inclusive match at equal
+    timestamps; unmatched rows keep NULL right columns) and DuckDB's
+    ``ASOF LEFT JOIN`` (pinned in tests/test_joins_asof.py).
+
+    ``right_cols`` — right payload columns to carry (default: all
+    non-key, non-timestamp columns).  Carried columns are renamed with
+    ``suffix`` when they collide with a left column; the matched right
+    timestamp is always exposed as ``right_ts + suffix``.
+
+    ``tolerance`` bounds the match distance: a numeric value for
+    numeric timestamps, or an INTERVAL Column for TIMESTAMP columns
+    (e.g. ``F.expr("INTERVAL 5 MINUTES")``).  A match farther than the
+    tolerance is dropped (NULLs), exactly as in ``merge_asof``.
+
+    The matched right columns ride in ONE struct through the window
+    function, so a right row whose payload column is legitimately NULL
+    still wins the match (a per-column ``last(ignorenulls)`` would skip
+    it and stitch together columns from different right rows).
+    """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
+    keys = [on] if isinstance(on, str) else list(on)
+    rts = right_ts or left_ts
+    if right_cols is None:
+        right_cols = [c for c in right.columns if c not in (*keys, rts)]
+
+    payload = F.struct(
+        F.col(rts).cast(dict(right.dtypes)[rts]).alias("__ts"),
+        *[F.col(c).alias(c) for c in right_cols],
+    )
+    r = right.select(
+        *[F.col(k) for k in keys],
+        F.col(rts).alias("__t"),
+        payload.alias(_MATCH),
+        F.lit(0 if direction == "backward" else 1).alias(_SIDE),
+    )
+    l = left.select(
+        "*",
+        F.col(left_ts).alias("__t"),
+        F.lit(None).cast(r.schema[_MATCH].dataType).alias(_MATCH),
+        F.lit(1 if direction == "backward" else 0).alias(_SIDE),
+    )
+    merged = l.unionByName(r.select(*keys, "__t", _MATCH, _SIDE), allowMissingColumns=True)
+
+    # backward: right rows sort BEFORE left rows at equal __t, matched
+    # by last() over (unbounded preceding, current); forward: right rows
+    # sort AFTER, matched by first() over (current, unbounded following)
+    w = W.partitionBy(*keys).orderBy("__t", _SIDE)
+    if direction == "backward":
+        frame = w.rowsBetween(W.unboundedPreceding, W.currentRow)
+        matched = F.last(_MATCH, ignorenulls=True).over(frame)
+    else:
+        frame = w.rowsBetween(W.currentRow, W.unboundedFollowing)
+        matched = F.first(_MATCH, ignorenulls=True).over(frame)
+
+    out = merged.withColumn(_MATCH, matched).filter(
+        F.col(_SIDE) == (1 if direction == "backward" else 0)
+    )
+    if tolerance is not None:
+        in_tol = (
+            F.col(f"{_MATCH}.__ts") >= F.col("__t") - tolerance
+            if direction == "backward"
+            else F.col(f"{_MATCH}.__ts") <= F.col("__t") + tolerance
+        )
+        out = out.withColumn(_MATCH, F.when(in_tol, F.col(_MATCH)))
+
+    left_names = set(left.columns)
+    carried = [
+        F.col(f"{_MATCH}.__ts").alias(rts + suffix),
+        *[
+            F.col(f"{_MATCH}.{c}").alias(c + suffix if c in left_names else c)
+            for c in right_cols
+        ],
+    ]
+    return out.select(*[F.col(c) for c in left.columns], *carried)
+
+
+def range_join_binned(
+    left: DataFrame,
+    right: DataFrame,
+    left_point: str,
+    right_lo: str,
+    right_hi: str,
+    bin_width: int,
+    on: str | list[str] | None = None,
+    how: str = "inner",
+) -> DataFrame:
+    """Join each left row to every right interval containing its point
+    (``right_lo <= left_point <= right_hi``), optionally within equal
+    ``on`` keys — via an equi join on a bin id instead of the
+    BroadcastNestedLoopJoin Catalyst would otherwise pick when no equi
+    key exists.
+
+    Each right interval is replicated to ``span/bin_width + 1`` bins
+    (choose ``bin_width`` near the typical span so replication stays
+    O(1)); each left point lands in exactly one bin, so no output
+    dedup is needed.  ``how="left"`` keeps unmatched left rows.
+
+    Numeric point/bound columns only (timestamps: convert with
+    ``unix_millis`` first).
+    """
+    keys = [] if on is None else ([on] if isinstance(on, str) else list(on))
+    bw = F.lit(bin_width)
+    lb = left.withColumn("__bin", F.floor(F.col(left_point) / bw))
+    rb = right.withColumn(
+        "__bin",
+        F.explode(
+            F.sequence(
+                F.floor(F.col(right_lo) / bw), F.floor(F.col(right_hi) / bw)
+            )
+        ),
+    )
+    cond = [lb["__bin"] == rb["__bin"]]
+    cond += [lb[k] == rb[k] for k in keys]
+    contains = (rb[right_lo] <= lb[left_point]) & (lb[left_point] <= rb[right_hi])
+    if how == "inner":
+        joined = lb.join(rb, cond, "inner").filter(contains)
+    elif how == "left":
+        joined = lb.join(rb, [*cond, contains], "left")
+    else:
+        raise ValueError(f"how must be inner|left, got {how!r}")
+    right_out = [
+        rb[c].alias(c if c not in left.columns else c + "_right")
+        for c in right.columns
+        if c not in keys
+    ]
+    return joined.select(*[lb[c] for c in left.columns], *right_out)

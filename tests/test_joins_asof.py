@@ -1,0 +1,201 @@
+"""As-of join + binned range join (operators/joins.py) against two
+independent oracles: DuckDB's native ASOF JOIN and pandas merge_asof.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pytest
+
+from pyspark.sql import functions as F
+
+from flink_rtcef_spark.operators.joins import as_of_join, range_join_binned
+from tests.conftest import SF_SMOKE
+
+from tools.check_oracle import compare
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    con.execute(
+        "CREATE OR REPLACE VIEW events AS "
+        f"SELECT * FROM read_parquet('{SF_SMOKE}/events.parquet')"
+    )
+    return con
+
+
+def test_asof_backward_matches_duckdb_on_events(spark, duck):
+    """Each purchase enriched with the user's most recent click at or
+    before it — ours vs DuckDB ASOF LEFT JOIN, full-table."""
+    ev = spark.read.parquet(f"{SF_SMOKE}/events.parquet").select(
+        "event_id", "user_id", "event_type",
+        F.unix_millis(F.col("ts").cast("timestamp")).alias("tms"),
+        "value",
+    )
+    left = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "tms"
+    )
+    right = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "tms", F.col("value").alias("click_value"),
+        F.col("event_id").alias("click_id"),
+    )
+    ours = as_of_join(
+        left, right, on="user_id", left_ts="tms",
+        right_cols=["click_value", "click_id"],
+    ).toPandas()
+    # DuckDB ASOF breaks equal-ts ties arbitrarily among right rows; the
+    # sf0.001 events table has unique (user_id, ts) per type, so the
+    # match is unique.  ORDER is irrelevant (compare() sorts).
+    oracle = duck.execute(
+        """
+        WITH ev AS (SELECT event_id, user_id, event_type,
+                           epoch_ms(ts) AS tms, value FROM events),
+        l AS (SELECT event_id, user_id, tms FROM ev WHERE event_type='purchase'),
+        r AS (SELECT user_id, tms, value AS click_value, event_id AS click_id
+              FROM ev WHERE event_type='click')
+        SELECT l.event_id, l.user_id, l.tms,
+               r.tms AS tms_right, r.click_value, r.click_id
+        FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.tms >= r.tms
+        """
+    ).df()
+    problems = compare("asof_backward", ours, oracle)
+    assert not problems, problems
+
+
+def _random_frames(seed: int, n_left: int = 400, n_right: int = 300):
+    rng = np.random.default_rng(seed)
+    left = pd.DataFrame(
+        {
+            "k": rng.integers(0, 8, n_left),
+            "t": rng.integers(0, 1000, n_left),
+            "lv": rng.integers(0, 100, n_left),
+        }
+    )
+    right = pd.DataFrame(
+        {
+            "k": rng.integers(0, 8, n_right),
+            "t": rng.integers(0, 1000, n_right),
+            "rv": rng.integers(0, 100, n_right).astype("float64"),
+        }
+    )
+    # merge_asof demands unique right (k, t) for a deterministic match
+    right = right.drop_duplicates(["k", "t"])
+    return left, right
+
+
+@pytest.mark.parametrize("direction", ["backward", "forward"])
+@pytest.mark.parametrize("tolerance", [None, 50])
+def test_asof_matches_pandas_merge_asof(spark, direction, tolerance):
+    left, right = _random_frames(seed=7)
+    ours = (
+        as_of_join(
+            spark.createDataFrame(left),
+            spark.createDataFrame(right),
+            on="k", left_ts="t", right_cols=["rv"],
+            direction=direction, tolerance=tolerance,
+        )
+        .toPandas()
+        .sort_values(["k", "t", "lv"])
+        .reset_index(drop=True)
+    )
+    expected = (
+        pd.merge_asof(
+            left.sort_values("t", kind="mergesort"),
+            right.sort_values("t", kind="mergesort"),
+            on="t", by="k", direction=direction,
+            tolerance=tolerance,
+        )
+        .sort_values(["k", "t", "lv"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_series_equal(
+        ours["rv"], expected["rv"], check_names=False
+    )
+    # the matched timestamp column is NULL exactly where rv is NULL
+    assert ours["t_right"].isna().equals(ours["rv"].isna())
+
+
+def test_asof_null_payload_still_wins(spark):
+    """A right row whose payload is NULL must still be the as-of match
+    (the struct carries the whole row; per-column last(ignorenulls)
+    would wrongly reach back to an older non-null row)."""
+    left = spark.createDataFrame([(1, 10)], "k int, t int")
+    right = spark.createDataFrame(
+        [(1, 1, 5.0), (1, 9, None)], "k int, t int, rv double"
+    )
+    row = as_of_join(left, right, on="k", left_ts="t").collect()[0]
+    assert row["t_right"] == 9 and row["rv"] is None
+
+
+def test_asof_equal_ts_inclusive(spark):
+    left = spark.createDataFrame([(1, 5)], "k int, t int")
+    right = spark.createDataFrame([(1, 5, 1.0)], "k int, t int, rv double")
+    for direction in ("backward", "forward"):
+        row = as_of_join(
+            left, right, on="k", left_ts="t", direction=direction
+        ).collect()[0]
+        assert row["rv"] == 1.0, direction
+
+
+def test_asof_name_collision_suffix(spark):
+    left = spark.createDataFrame([(1, 5, 9.0)], "k int, t int, rv double")
+    right = spark.createDataFrame([(1, 4, 1.0)], "k int, t int, rv double")
+    out = as_of_join(left, right, on="k", left_ts="t")
+    assert set(out.columns) == {"k", "t", "rv", "t_right", "rv_right"}
+    row = out.collect()[0]
+    assert row["rv"] == 9.0 and row["rv_right"] == 1.0
+
+
+def test_range_join_binned_matches_plain_range_join(spark, duck):
+    """Binned rewrite == DuckDB's inequality join, on value intervals
+    over the events table (no equi key: the naive Spark plan here is a
+    nested loop)."""
+    iv = duck.execute(
+        """
+        SELECT event_id AS iv_id, value * 10 AS lo, value * 10 + 40 AS hi
+        FROM events WHERE event_type = 'purchase' AND event_id % 7 = 0
+        """
+    ).df()
+    pts = duck.execute(
+        "SELECT event_id AS pt_id, value * 25 AS v FROM events WHERE event_id % 5 = 0"
+    ).df()
+    con = duckdb.connect()
+    con.register("iv", iv)
+    con.register("pts", pts)
+    oracle = con.execute(
+        "SELECT pt_id, v, iv_id, lo, hi FROM pts JOIN iv "
+        "ON iv.lo <= pts.v AND pts.v <= iv.hi"
+    ).df()
+    ours = range_join_binned(
+        spark.createDataFrame(pts),
+        spark.createDataFrame(iv),
+        left_point="v", right_lo="lo", right_hi="hi", bin_width=50,
+    ).toPandas()
+    problems = compare("range_join_binned", ours, oracle)
+    assert not problems, problems
+
+
+def test_range_join_binned_left_keeps_unmatched(spark):
+    pts = spark.createDataFrame([(1, 5.0), (2, 500.0)], "pt_id int, v double")
+    iv = spark.createDataFrame([(7, 0.0, 10.0)], "iv_id int, lo double, hi double")
+    out = range_join_binned(
+        pts, iv, left_point="v", right_lo="lo", right_hi="hi",
+        bin_width=20, how="left",
+    ).toPandas().sort_values("pt_id")
+    assert len(out) == 2
+    assert out.iloc[0]["iv_id"] == 7 and pd.isna(out.iloc[1]["iv_id"])
+
+
+def test_asof_plan_single_exchange(spark):
+    """The whole as-of is ONE hash exchange on the key + one sort —
+    the property that survives 100 TB (no join, no broadcast)."""
+    left, right = _random_frames(seed=3)
+    plan = as_of_join(
+        spark.createDataFrame(left), spark.createDataFrame(right),
+        on="k", left_ts="t",
+    )._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "Join" not in plan, plan
