@@ -133,42 +133,44 @@ class WtDistribution:
         return Forecast()
 
     def _smartscan(self, threshold: float, max_spread: int) -> Forecast:
-        # getForecastSmartScan:315-355 expand/shrink two-pointer scan
+        # getForecastSmartScan:315-355 — two-pointer scan for the same
+        # objective as _fullscan: for each start s the minimal end e(s)
+        # with P(s,e) >= threshold; interval mass is monotone in s, so
+        # e(s) never moves left and the end pointer advances O(h) times
+        # total.  Every threshold comparison evaluates slice_prob (the
+        # SAME fresh left-to-right summation _fullscan uses) instead of
+        # an incrementally add/subtract-maintained running mass: float
+        # addition is not associative, and a running mass can disagree
+        # with _fullscan about >= threshold exactly at the boundary,
+        # making the two builders pick different intervals (caught by
+        # tests/test_property.py::test_interval_builders_invariants).
         h = self.horizon
-        best_s, best_e = 1, h
-        best_p = 0.0
-        found = False
-        start = 0
-        while True:
-            # expansion: from start+1, extend end until P >= threshold
-            e = start
-            p = 0.0
-            while p < threshold and e < h:
+        best = Forecast()
+        e = 0
+        for s in range(1, h + 1):
+            if e < s - 1:
+                e = s - 1
+            while e < h and self.slice_prob(s, e) < threshold:
                 e += 1
-                p += self.wt.get(e, 0.0)
+            p = self.slice_prob(s, e)
             if p < threshold:
+                # P(s,h) < threshold implies P(s',h) < threshold for all
+                # s' > s: no later start can reach the mass either
                 break
-            # shrink: advance start while still above threshold
-            s = start + 1
-            while p - self.wt.get(s, 0.0) >= threshold and s < e:
-                p -= self.wt.get(s, 0.0)
-                s += 1
             spread = e - s
-            if not found or spread < (best_e - best_s) or (
-                spread == (best_e - best_s) and p > best_p
+            if (
+                not best.valid
+                or spread < (best.end - best.start)
+                or (spread == (best.end - best.start) and p > best.prob)
             ):
-                best_s, best_e, best_p = s, e, p
-                found = True
-            start = s
-            if e == h:
-                break
-        if found and (best_e - best_s) <= max_spread:
-            return Forecast(
-                start=best_s,
-                end=best_e,
-                middle=self.conditional_expectation(best_s, best_e),
-                prob=best_p,
-            )
+                best = Forecast(
+                    start=s,
+                    end=e,
+                    middle=self.conditional_expectation(s, e),
+                    prob=p,
+                )
+        if best.valid and (best.end - best.start) <= max_spread:
+            return best
         return Forecast()
 
     def _fixed_spread(self, threshold: float, spread: int) -> Forecast:
