@@ -112,6 +112,7 @@ def main() -> None:
     hot = hotkey_fixtures(spark)
     scale = weak_scaling_step(spark, sf_dir)
     stream = streaming_throughput(spark, sf_dir)
+    asof = asof_fixture(spark, sf_dir)
 
     print(
         json.dumps(
@@ -127,6 +128,7 @@ def main() -> None:
                 "cep_marginal_events_per_sec": marginal,
                 **hot,
                 **stream,
+                **asof,
                 "weak_scaling_10x": scale,
             }
         )
@@ -239,6 +241,64 @@ def hotkey_fixtures(spark) -> dict:
     out["cep_hotkey_plain_sec"] = out["cep_hotkey_windowed_reset_plain_sec"]
     out["cep_hotkey_presplit_sec"] = out["cep_hotkey_windowed_reset_presplit_sec"]
     return out
+
+
+def asof_fixture(spark, sf_dir: str) -> dict:
+    """As-of join over the events table (every purchase enriched with
+    the user's most recent click): one shuffle + window merge, |L| output
+    rows.  Median of 3 warm runs, same harness as the headline set."""
+    from pyspark.sql import functions as F
+
+    from flink_rtcef_spark.operators.joins import as_of_join
+
+    ev = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .select(
+            "event_id", "user_id", "event_type",
+            F.unix_millis(F.col("ts").cast("timestamp")).alias("tms"),
+            "value",
+        )
+        .cache()
+    )
+    n = ev.count()
+    left = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "tms"
+    )
+    right = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "tms", F.col("value").alias("click_value")
+    )
+
+    def run():
+        as_of_join(
+            left, right, on="user_id", left_ts="tms", right_cols=["click_value"]
+        ).count()
+
+    run()  # warm
+    dt = _median3(run)
+    ev.unpersist()
+
+    # ExactSubstr over the documents table: anchor hashing + hash
+    # shuffle + island merge (k=20 so the synthetic docs carry real
+    # duplicated runs)
+    from flink_rtcef_spark.operators.substring import remove_duplicate_substrings
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    ).cache()
+    n_docs = docs.count()
+
+    def run_substr():
+        remove_duplicate_substrings(docs, k=20).count()
+
+    run_substr()
+    dts = _median3(run_substr)
+    docs.unpersist()
+    return {
+        "asof_join_sec": round(dt, 3),
+        "asof_join_events_per_sec": round(n / dt),
+        "exactsubstr_sec": round(dts, 3),
+        "exactsubstr_docs_per_sec": round(n_docs / dts),
+    }
 
 
 def weak_scaling_step(spark, sf_dir: str) -> dict:
