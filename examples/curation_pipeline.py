@@ -89,6 +89,18 @@ def main() -> None:
     )
     n = stage("boilerplate line cut", docs, n)
 
+    # 1a. ExactSubstr (Lee et al. 2022): cut >=20-token runs duplicated
+    # anywhere in the corpus, keeping the globally first occurrence.
+    # Runs at ANY alignment, so it catches what the block-aligned
+    # paragraph dedup below can't.  Row count is unchanged (the cut is
+    # within documents) -- report cut tokens instead.
+    from flink_rtcef_spark.operators.substring import remove_duplicate_substrings
+
+    docs = remove_duplicate_substrings(docs, k=20)
+    cut_total = docs.agg(F.sum("n_cut_tokens")).first()[0] or 0
+    docs = docs.drop("n_cut_tokens")
+    print(f"  {'exact-substring cut (k=20)':<28} {n:>6} docs, {cut_total} tokens cut")
+
     # 1b. corpus-wide paragraph dedup (keep-first, 20-token blocks —
     # the fixture has no newline paragraphs); text is rewritten, other
     # columns ride along
@@ -146,6 +158,7 @@ def main() -> None:
     # 3. exact dedup (digest shuffle)
     docs = exact_dedup(docs).drop("n_copies")
     n = stage("exact dedup", docs, n)
+
 
     # 4. near-dedup: minhash -> banded LSH -> drop the larger id of
     # each candidate pair (cheap cluster policy for the demo)
