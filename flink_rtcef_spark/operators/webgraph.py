@@ -1,0 +1,157 @@
+"""Link-graph ranking for web-corpus curation (PageRank over hosts).
+
+Web-scale curation pipelines (CommonCrawl-derived corpora) weight and
+filter documents by the rank of their host in the crawl's link graph —
+a quality prior that is orthogonal to content signals (quality
+classifier, perplexity).  The reference engine has no graph operator;
+this is part of the training-data-pipeline surface this engine adds.
+
+Scale design (100 TB crawl → ~1e8 hosts, ~1e10 host-level edges):
+
+- The edge table is partitioned ONCE on ``src`` and cached/persisted;
+  every iteration's rank join then aligns with that partitioning, so
+  per iteration only the o(hosts) rank table moves, never the edges.
+- Per-iteration cost: one hash join on ``src`` (edge-partition
+  aligned) + one shuffle on ``dst`` for the contribution sum
+  (map-side combinable).  Nothing in the loop is proportional to
+  document count — the graph is host-level.
+- Dangling mass (hosts with no out-links) is a one-row aggregate,
+  joined back via ``crossJoin(broadcast(...))`` — kept lazy, no
+  per-iteration driver action beyond the ``localCheckpoint`` lineage
+  cut (same discipline as the large-star/small-star components loop
+  in ``operators/dedup.py``).
+- Iterations are FIXED (not convergence-tested) so batch and oracle
+  runs are bit-reproducible; curation uses the rank ordering, which
+  stabilizes within ~10 iterations on power-law graphs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def pagerank(
+    edges: DataFrame,
+    n_iter: int = 10,
+    damping: float = 0.85,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str | None = None,
+    checkpoint_every: int = 5,
+) -> DataFrame:
+    """Weighted PageRank over a directed edge list; returns
+    ``(node, rank)`` with ranks summing to 1.
+
+    ``weight=None`` treats every edge as weight 1.  Parallel edges are
+    legal (their weights add).  Contributions are split proportionally
+    to edge weight; the mass of dangling nodes is redistributed
+    uniformly, so total rank is conserved exactly (up to fp error).
+    """
+    if n_iter < 1:
+        raise ValueError(f"n_iter must be >= 1, got {n_iter}")
+    w = F.col(weight).cast("double") if weight else F.lit(1.0)
+    # collapse parallel edges; partition once on src so every
+    # iteration's rank join aligns with this layout
+    e = (
+        edges.groupBy(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        .agg(F.sum(w).alias("w"))
+        .repartition("src")
+        .persist()
+    )
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .persist()
+    )
+    n_nodes = nodes.count()  # o(hosts) driver scalar, computed once
+    out_w = e.groupBy("src").agg(F.sum("w").alias("out_w"))
+
+    d = float(damping)
+    ranks = nodes.withColumn("rank", F.lit(1.0 / n_nodes))
+    for i in range(n_iter):
+        contrib = (
+            e.join(out_w, "src")
+            .join(ranks.withColumnRenamed("node", "src"), "src")
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum(F.col("rank") * F.col("w") / F.col("out_w")).alias("contrib"))
+        )
+        dangling = (
+            ranks.join(out_w.select(F.col("src").alias("node")), "node", "left_anti")
+            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dang"))
+        )
+        ranks = (
+            nodes.join(contrib, "node", "left")
+            .crossJoin(F.broadcast(dangling))
+            .select(
+                "node",
+                (
+                    F.lit((1.0 - d) / n_nodes)
+                    + F.lit(d)
+                    * (F.coalesce(F.col("contrib"), F.lit(0.0)) + F.col("dang") / n_nodes)
+                ).alias("rank"),
+            )
+        )
+        if (i + 1) % checkpoint_every == 0 and (i + 1) < n_iter:
+            # cut lineage so the plan doesn't grow exponentially with
+            # iterations (each step references the previous twice)
+            ranks = ranks.localCheckpoint(eager=True)
+    return ranks
+
+
+def pagerank_oracle_sql(
+    edges_sql: str,
+    n_iter: int = 10,
+    damping: float = 0.85,
+    round_to: int | None = None,
+) -> str:
+    """Unrolled ANSI-SQL twin of :func:`pagerank` for the DuckDB oracle.
+
+    ``edges_sql`` must SELECT columns ``src, dst, w``.  Fixed-iteration
+    unrolling (r0 → r1 → … → rN as chained CTEs) sidesteps recursive-CTE
+    outer-join restrictions and keeps the oracle a plain string the
+    driver can run verbatim.
+    """
+    d = repr(float(damping))
+    parts = [
+        f"WITH edges_raw AS MATERIALIZED ({edges_sql})",
+        "e AS MATERIALIZED (SELECT src, dst, SUM(w) AS w FROM edges_raw GROUP BY src, dst)",
+        "nodes AS MATERIALIZED (SELECT src AS node FROM e UNION SELECT dst FROM e)",
+        "nn AS MATERIALIZED (SELECT COUNT(*) * 1.0 AS n FROM nodes)",
+        "ow AS MATERIALIZED (SELECT src, SUM(w) AS out_w FROM e GROUP BY src)",
+        "r0 AS MATERIALIZED (SELECT node, 1.0 / nn.n AS rank FROM nodes, nn)",
+    ]
+    for i in range(n_iter):
+        p, c = f"r{i}", f"r{i + 1}"
+        parts.append(
+            f"c{i} AS MATERIALIZED (SELECT e.dst AS node, "
+            f"SUM({p}.rank * e.w / ow.out_w) AS contrib "
+            f"FROM e JOIN ow ON e.src = ow.src JOIN {p} ON {p}.node = e.src "
+            "GROUP BY e.dst)"
+        )
+        parts.append(
+            f"d{i} AS MATERIALIZED (SELECT COALESCE(SUM(rank), 0.0) AS dang FROM {p} "
+            "WHERE node NOT IN (SELECT src FROM ow))"
+        )
+        parts.append(
+            f"{c} AS MATERIALIZED (SELECT nodes.node, "
+            f"(1.0 - {d}) / nn.n + {d} * (COALESCE(c{i}.contrib, 0.0) "
+            f"+ d{i}.dang / nn.n) AS rank "
+            f"FROM nodes LEFT JOIN c{i} ON nodes.node = c{i}.node, nn, d{i})"
+        )
+    rank_expr = f"ROUND(rank, {round_to})" if round_to is not None else "rank"
+    return ",\n".join(parts) + f"\nSELECT node, {rank_expr} AS rank FROM r{n_iter}"
+
+
+def rank_documents_by_host(
+    docs: DataFrame,
+    host_ranks: DataFrame,
+    host_col: str = "source",
+) -> DataFrame:
+    """Attach the host's rank to each document (curation weight).  The
+    rank table is o(hosts) — broadcast it; the corpus never shuffles."""
+    r = host_ranks.withColumnRenamed("node", host_col)
+    return docs.join(F.broadcast(r), host_col, "left").withColumn(
+        "rank", F.coalesce(F.col("rank"), F.lit(0.0))
+    )
