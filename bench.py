@@ -362,9 +362,13 @@ def weak_scaling_step(spark, sf_dir: str) -> dict:
     # --- dedup weak scaling: minhash + LSH banding on documents x1 / x10
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
     for tag, copies in (("1x", 1), ("10x", 10)):
-        # perturb each copy's text so the duplicate structure (not 10x
-        # exact clusters, which would quadratically inflate pairs) is
-        # preserved across scales
+        # weak scaling must hold DUPLICATE DENSITY constant: suffix
+        # every token with the copy id so cross-copy Jaccard ~ 0 and
+        # each copy reproduces the original near-dup structure.  (The
+        # earlier "append one token" perturbation left copies
+        # near-identical, so candidate pairs grew ~400x instead of
+        # 10x and the ratio measured cluster-size inflation, not the
+        # plan: 773 -> 300k pairs at sf0.1.)
         if copies == 1:
             df = docs
         else:
@@ -373,7 +377,18 @@ def weak_scaling_step(spark, sf_dir: str) -> dict:
                     "__c", F.explode(F.sequence(F.lit(0), F.lit(copies - 1)))
                 )
                 .withColumn("doc_id", F.col("doc_id") * copies + F.col("__c"))
-                .withColumn("text", F.concat_ws(" ", "text", F.col("__c")))
+                .withColumn(
+                    "text",
+                    F.array_join(
+                        F.transform(
+                            F.split(F.col("text"), r"\s+"),
+                            lambda t: F.concat(
+                                t, F.lit("_"), F.col("__c").cast("string")
+                            ),
+                        ),
+                        " ",
+                    ),
+                )
                 .drop("__c")
             )
         df = df.cache()
