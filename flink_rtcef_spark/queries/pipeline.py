@@ -1496,3 +1496,57 @@ def semantic_dedup_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     return semantic_dedup_pairs(emb, n_clusters=_SEM_K, threshold=_SEM_TAU)
+
+
+# --------------------------------------------------------------------------
+# Host link-graph PageRank (operators/webgraph.py): the crawl-graph
+# quality prior of web-corpus curation.  The testdata has no explicit
+# link table, so a deterministic host graph is derived from documents
+# (each doc "links" its source to the sources of three arithmetically
+# chosen target docs — identical arithmetic on both engines); the
+# operator under test is the iterative rank loop itself.
+_PR_ARMS = [(17, 1), (97, 2), (389, 3)]
+
+_PR_EDGES_SQL = " UNION ALL ".join(
+    f"""SELECT a.source AS src, b.source AS dst, 1.0 AS w
+        FROM documents a JOIN documents b
+          ON b.doc_id = (a.doc_id * {m} + {j}) %
+             (SELECT COUNT(*) FROM documents)"""
+    for m, j in _PR_ARMS
+)
+
+
+def host_graph_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Derived (src_host, dst_host) edge list over the documents table
+    (fixture derivation — the count() here sizes the modulus, it is
+    not part of the pagerank operator)."""
+    docs = load_table(spark, sf_dir, "documents")
+    n = docs.count()
+    right = docs.select(F.col("doc_id").alias("tid"), F.col("source").alias("dst"))
+    arms = [
+        docs.select(
+            F.col("source").alias("src"),
+            ((F.col("doc_id") * m + j) % n).alias("tid"),
+        )
+        for m, j in _PR_ARMS
+    ]
+    u = arms[0]
+    for a in arms[1:]:
+        u = u.union(a)
+    return u.join(right, "tid").select("src", "dst")
+
+
+def _pr_oracle() -> str:
+    from flink_rtcef_spark.operators.webgraph import pagerank_oracle_sql
+
+    return pagerank_oracle_sql(_PR_EDGES_SQL, n_iter=10, round_to=6)
+
+
+@query("domain_pagerank", oracle=_pr_oracle())
+def domain_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_rtcef_spark.operators.webgraph import pagerank
+
+    edges = host_graph_edges(spark, sf_dir)
+    return pagerank(edges, n_iter=10).select(
+        "node", F.round("rank", 6).alias("rank")
+    )

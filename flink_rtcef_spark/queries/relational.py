@@ -563,17 +563,8 @@ def semi_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --------------------------------------------------------------------------
 # Pivot — per-user event-type count matrix (wide report layout).
-@query(
-    "pivot_event_counts",
-    oracle="""
-    SELECT user_id,
-           CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view,
-           CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click,
-           CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
-           CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error
-    FROM events GROUP BY user_id
-    """,
-)
+# Rotated OUT of the 50-slot driver registry in r3 (slot given to
+# domain_pagerank); the oracle gate lives on in test_retired_queries.
 def pivot_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     return (

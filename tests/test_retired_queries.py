@@ -82,3 +82,22 @@ def test_embedding_dup_clusters_oracle(spark, duck):
         spark, duck, embedding_dup_clusters, _EMB_COMPONENTS_SQL,
         "embedding_dup_clusters",
     )
+
+
+PIVOT_EVENT_COUNTS_SQL = """
+    SELECT user_id,
+           CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view,
+           CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click,
+           CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
+           CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error
+    FROM events GROUP BY user_id
+"""
+
+
+def test_pivot_event_counts_oracle(spark, duck):
+    from flink_rtcef_spark.queries.relational import pivot_event_counts
+
+    _check(
+        spark, duck, pivot_event_counts, PIVOT_EVENT_COUNTS_SQL,
+        "pivot_event_counts",
+    )

@@ -91,33 +91,10 @@ def test_checkpoint_does_not_change_result(spark):
 
 
 # ---- derived host graph over the documents table (oracle parity) ----
+# (the derivation + registered query live in queries/pipeline.py)
 
-_EDGE_ARMS = [(17, 1), (97, 2), (389, 3)]
-
-_EDGES_SQL = " UNION ALL ".join(
-    f"""SELECT a.source AS src, b.source AS dst, 1.0 AS w
-        FROM documents a JOIN documents b
-          ON b.doc_id = (a.doc_id * {m} + {j}) %
-             (SELECT COUNT(*) FROM documents)"""
-    for m, j in _EDGE_ARMS
-)
-
-
-def host_graph_edges(spark, sf_dir):
-    docs = load_table(spark, sf_dir, "documents")
-    n = docs.count()  # fixture derivation, not part of the operator
-    right = docs.select(F.col("doc_id").alias("tid"), F.col("source").alias("dst"))
-    arms = [
-        docs.select(
-            F.col("source").alias("src"),
-            ((F.col("doc_id") * m + j) % n).alias("tid"),
-        )
-        for m, j in _EDGE_ARMS
-    ]
-    u = arms[0]
-    for a in arms[1:]:
-        u = u.union(a)
-    return u.join(right, "tid").select("src", "dst")
+from flink_rtcef_spark.queries.pipeline import _PR_EDGES_SQL as _EDGES_SQL
+from flink_rtcef_spark.queries.pipeline import host_graph_edges
 
 
 def test_domain_pagerank_oracle(spark):
