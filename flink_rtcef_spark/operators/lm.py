@@ -169,3 +169,101 @@ def perplexity_score_column(
         return pd.Series(out)
 
     return _score(F.col(text_col))
+
+
+def _indexed_tokens(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """(id, prev, cur) per token position — the bigram scoring frame.
+    Pair construction is a map-side array transform (no window, no
+    per-doc shuffle): the token array zips with itself shifted by one
+    inside the row."""
+    toks = df.select(
+        F.col(id_col), whitespace_tokens(text_col).alias("__toks")
+    ).filter(F.size("__toks") >= 1)
+    pairs = F.expr(
+        "transform(sequence(1, size(__toks)), i -> "
+        "struct(CASE WHEN i = 1 THEN NULL ELSE __toks[i-2] END AS prev, "
+        "__toks[i-1] AS cur))"
+    )
+    return toks.select(F.col(id_col), F.explode(pairs).alias("__p")).select(
+        id_col, F.col("__p.prev").alias("prev"), F.col("__p.cur").alias("cur")
+    )
+
+
+def bigram_model(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(prev, cur) -> count over the corpus.  Same shuffle discipline as
+    the unigram fit: pairs are generated map-side inside each row's
+    token array, the single shuffle is the map-side-combinable count
+    aggregate whose payload is o(bigram vocab), not o(tokens)."""
+    return (
+        _indexed_tokens(df, text_col, id_col)
+        .filter(F.col("prev").isNotNull())
+        .groupBy("prev", "cur")
+        .agg(F.count(F.lit(1)).alias("bg_count"))
+    )
+
+
+def bigram_perplexity(
+    df: DataFrame,
+    model_uni: DataFrame | None = None,
+    model_bi: DataFrame | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lam: float = 0.7,
+    alpha: float = DEFAULT_ALPHA,
+) -> DataFrame:
+    """Per-document bits/token under a Jelinek-Mercer interpolated
+    bigram LM: p(w|v) = lam * c(v,w)/c(v) + (1-lam) * p_uni(w), with
+    the add-alpha unigram as the backoff floor (identical smoothing to
+    :func:`unigram_perplexity`, so lam=0 reproduces it exactly — pinned
+    by tests).  A document's first token has no context and scores
+    p_uni.
+
+    This is one interpolation order below a full KenLM but exercises
+    the exact production topology: two o(vocab)-bounded model tables
+    broadcast, the corpus never shuffled for scoring, one map-side
+    combinable per-doc aggregate.
+
+    Output: id_col, n_tokens, ppl_bits (rounded to 6).
+    """
+    if model_uni is None:
+        model_uni = unigram_model(df, text_col).persist()
+    if model_bi is None:
+        model_bi = bigram_model(df, text_col, id_col).persist()
+    totals = model_uni.agg(
+        F.sum("tok_count").alias("_n"), F.count(F.lit(1)).alias("_v")
+    )
+    toks = _indexed_tokens(df, text_col, id_col)
+    cur_counts = model_uni.select(
+        F.col("tok").alias("cur"), F.col("tok_count").alias("_c_cur")
+    )
+    prev_counts = model_uni.select(
+        F.col("tok").alias("prev"), F.col("tok_count").alias("_c_prev")
+    )
+    scored = (
+        toks.join(F.broadcast(cur_counts), "cur", "left")
+        .join(F.broadcast(prev_counts), "prev", "left")
+        .join(F.broadcast(model_bi), ["prev", "cur"], "left")
+        .crossJoin(F.broadcast(totals))
+    )
+    p_uni = (F.coalesce(F.col("_c_cur"), F.lit(0)) + F.lit(alpha)) / (
+        F.col("_n") + F.lit(alpha) * F.col("_v")
+    )
+    p_bi = F.coalesce(F.col("bg_count"), F.lit(0)) / F.col("_c_prev")
+    p = F.when(
+        F.col("prev").isNull() | F.col("_c_prev").isNull(), p_uni
+    ).otherwise(F.lit(lam) * p_bi + F.lit(1.0 - lam) * p_uni)
+    per_doc = scored.withColumn("_bits", -F.log2(p)).groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.round(F.avg("_bits"), 6).alias("ppl_bits"),
+    )
+    return (
+        df.select(id_col)
+        .join(per_doc, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
+            F.coalesce("ppl_bits", F.lit(0.0)).alias("ppl_bits"),
+        )
+    )
