@@ -83,6 +83,55 @@ def main() -> None:
         f"token p50/p99 = {prof['tokens_p5']}/{prof['tokens_p99']}"
     )
 
+    # 0. web-ingest head: the same corpus arriving as a WARC crawl.
+    # A small archive is synthesized from the first 40 docs (driver-
+    # bounded fixture synthesis only — the source itself is the real
+    # distributed reader), then the crawl gate runs: WARC parse ->
+    # canonical-URL dedup (every page also appears under a tracking-
+    # param variant) -> domain blocklist -> host PageRank prior.
+    from flink_rtcef_spark.operators.web import (
+        dedup_by_canonical_url,
+        filter_domains,
+    )
+    from flink_rtcef_spark.operators.webgraph import pagerank
+    from flink_rtcef_spark.queries.pipeline import host_graph_edges
+    from flink_rtcef_spark.sources.warc import warc_responses_as_documents
+
+    def _warc_rec(url: str, text: str) -> str:
+        body = f"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n{text}"
+        return (
+            "WARC/1.0\r\nWARC-Type: response\r\n"
+            f"WARC-Target-URI: {url}\r\n"
+            f"Content-Length: {len(body)}\r\n\r\n{body}\r\n\r\n"
+        )
+
+    recs = []
+    for r in docs.select("doc_id", "source", "text").limit(40).collect():
+        url = f"http://www.{r['source']}.example/doc/{r['doc_id']}"
+        recs.append(_warc_rec(url, r["text"]))
+        recs.append(_warc_rec(f"{url}?utm_source=feed&fbclid=x", r["text"]))
+    warc_path = tempfile.mkdtemp(prefix="warc_") + "/crawl.warc"
+    Path(warc_path).write_text("".join(recs), newline="")
+    web = warc_responses_as_documents(spark, warc_path)
+    n_raw = web.count()
+    web = dedup_by_canonical_url(web, url_col="url")
+    n_urldedup = web.count()
+    web = filter_domains(web, ["src0.example"], mode="block", url_col="url")
+    n_domains = web.count()
+    print(
+        f"  {'warc ingest gate':<28} {n_raw:>6} -> {n_urldedup} url-deduped"
+        f" -> {n_domains} after domain block"
+    )
+    edges = host_graph_edges(spark, args.sf_dir).withColumn(
+        "w", (F.abs(F.hash("src", "dst")) % 5 + 1).cast("double")
+    )  # weighted variant: link strength differentiates the hosts
+    ranks = pagerank(edges, n_iter=5, weight="w")
+    top = ranks.orderBy(F.desc("rank"), "node").limit(3).collect()
+    print(
+        "  host pagerank prior          top: "
+        + ", ".join(f"{t['node']} ({t['rank']:.6f})" for t in top)
+    )
+
     # 1. boilerplate lines shared by >5% of docs
     docs = remove_boilerplate_lines(docs, max_df=max(5, n // 20)).join(
         load_table(spark, args.sf_dir, "documents").drop("text"), "doc_id"
