@@ -267,3 +267,54 @@ def bigram_perplexity(
             F.coalesce("ppl_bits", F.lit(0.0)).alias("ppl_bits"),
         )
     )
+
+
+def bigram_score_column(
+    spark,
+    model_uni: DataFrame,
+    model_bi: DataFrame,
+    text_col: str = "text",
+    lam: float = 0.7,
+    alpha: float = DEFAULT_ALPHA,
+):
+    """STREAMING-SAFE bigram scorer: the broadcast-dict twin of
+    :func:`bigram_perplexity` (same interpolation, smoothing, and
+    rounding — pinned by tests/test_streaming_curation.py), map-only so
+    it runs unchanged on an append-mode stream.  Both model dicts must
+    be bounded (o(vocab) / o(bigram vocab)) — the constraint the batch
+    broadcast joins already impose."""
+    import math
+
+    from pyspark.sql import types as T
+
+    uni = {r["tok"]: r["tok_count"] for r in model_uni.collect()}
+    bi = {(r["prev"], r["cur"]): r["bg_count"] for r in model_bi.collect()}
+    n = sum(uni.values())
+    v = len(uni)
+    denom = n + alpha * v
+    b_uni = spark.sparkContext.broadcast(uni)
+    b_bi = spark.sparkContext.broadcast(bi)
+
+    @F.pandas_udf(T.DoubleType())
+    def _score(texts: pd.Series) -> pd.Series:
+        cu, cb = b_uni.value, b_bi.value
+        out = []
+        for t in texts:
+            toks = [w for w in (t or "").lower().strip().split() if w]
+            if not toks:
+                out.append(0.0)
+                continue
+            bits = []
+            prev = None
+            for w in toks:
+                p_uni = (cu.get(w, 0) + alpha) / denom
+                if prev is None or prev not in cu:
+                    p = p_uni
+                else:
+                    p = lam * cb.get((prev, w), 0) / cu[prev] + (1 - lam) * p_uni
+                bits.append(-math.log2(p))
+                prev = w
+            out.append(round(sum(bits) / len(bits), 6))
+        return pd.Series(out)
+
+    return _score(F.col(text_col))

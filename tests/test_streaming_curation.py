@@ -160,3 +160,36 @@ def test_classifier_scoring_streams(spark, tmp_path):
         .reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(got, want)
+
+
+def test_bigram_scorer_streams_and_matches_batch(spark, tmp_path):
+    """The broadcast-dict bigram scorer streams in append mode and
+    reproduces the batch bigram_perplexity bits exactly."""
+    from flink_rtcef_spark.operators.lm import (
+        bigram_model,
+        bigram_perplexity,
+        bigram_score_column,
+        unigram_model,
+    )
+
+    stream_in, batch_in = _write_stream_fixture(spark, tmp_path)
+    uni = unigram_model(batch_in).persist()
+    bi = bigram_model(batch_in).persist()
+    scorer = bigram_score_column(spark, uni, bi, lam=0.7)
+    table = _run_to_memory(
+        stream_in.select("doc_id", scorer.alias("ppl_bits")), "bigram_stream"
+    )
+    got = (
+        spark.sql(f"SELECT * FROM {table}")
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    want = (
+        bigram_perplexity(batch_in, model_uni=uni, model_bi=bi, lam=0.7)
+        .select("doc_id", "ppl_bits")
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want)
