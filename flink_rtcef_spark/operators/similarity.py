@@ -462,3 +462,194 @@ class IVFPQIndex:
         cells = self.ivf.query_cells(query_vec, n_probe)
         probed = encoded.filter(F.col("cell").isin([int(c) for c in cells]))
         return self.pq.ann_topk(probed, query_vec, kk=kk, id_col=id_col)
+
+
+# --------------------------------------------------------------------------
+# kNN join: top-k neighbors for EVERY left vector (the kNN-graph
+# builder behind graph-based clustering, dedup-by-neighborhood, and
+# retrieval eval sets) — not the single-query ann_topk shape.
+
+
+def knn_join_brute(
+    left: DataFrame,
+    right: DataFrame | None = None,
+    k: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    broadcast_limit: int = 500_000,
+) -> DataFrame:
+    """Exact top-k neighbors per left row against a BROADCAST right
+    side: the right matrix is collected once (bounded by
+    ``broadcast_limit`` — probe is ``limit(n+1)``, never a full count)
+    and every left partition scores against it in one numpy GEMM per
+    Arrow batch.  ``right=None`` means self-join (kNN graph); the
+    self-match is excluded.
+
+    Ranking is by (cosine rounded to 6, then neighbor id) so results
+    are deterministic and oracle-reproducible across summation orders.
+    Output: src_id, nbr_id, cosine, rank (1-based, dense per src).
+    """
+    self_mode = right is None
+    r = left if self_mode else right
+    probe = r.limit(broadcast_limit + 1).count()
+    if probe > broadcast_limit:
+        raise ValueError(
+            f"right side exceeds broadcast_limit={broadcast_limit}; "
+            "use knn_join_ivf for the bucketed scale path"
+        )
+    rows = r.select(id_col, vec_col).collect()
+    r_ids = np.array([row[0] for row in rows], dtype=np.int64)
+    r_mat = np.array([np.asarray(row[1], dtype=np.float64) for row in rows])
+    r_mat = r_mat / np.maximum(
+        np.linalg.norm(r_mat, axis=1, keepdims=True), 1e-300
+    )
+    sc = left.sparkSession.sparkContext
+    b_ids, b_mat = sc.broadcast(r_ids), sc.broadcast(r_mat)
+    kk = k
+
+    schema = T.StructType(
+        [
+            T.StructField("src_id", T.LongType()),
+            T.StructField("nbr_id", T.LongType()),
+            T.StructField("cosine", T.DoubleType()),
+            T.StructField("rank", T.IntegerType()),
+        ]
+    )
+
+    def _score(batches):
+        ids, mat = b_ids.value, b_mat.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            q = np.array(
+                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+            )
+            q = q / np.maximum(np.linalg.norm(q, axis=1, keepdims=True), 1e-300)
+            s = np.round(q @ mat.T, 6)
+            out = []
+            for i, src in enumerate(pdf[id_col].to_numpy()):
+                row = s[i]
+                mask = ids != src if self_mode else np.ones(len(ids), bool)
+                cand = np.flatnonzero(mask)
+                # deterministic order: score desc, then id asc
+                order = cand[np.lexsort((ids[cand], -row[cand]))][:kk]
+                for rnk, j in enumerate(order, start=1):
+                    out.append((int(src), int(ids[j]), float(row[j]), rnk))
+            yield pd.DataFrame(
+                out, columns=["src_id", "nbr_id", "cosine", "rank"]
+            )
+
+    return left.select(id_col, vec_col).mapInPandas(_score, schema)
+
+
+def knn_join_ivf(
+    left: DataFrame,
+    index: "IVFIndex",
+    right: DataFrame | None = None,
+    k: int = 5,
+    n_probe: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """The 100 TB path: both sides assign to the broadcast IVF
+    centroids map-side; each left vector probes its ``n_probe``
+    closest cells (an exploded (vector, cell) pair per probe), the
+    per-cell candidate sets meet in ONE hash shuffle on the cell id,
+    a per-cell applyInPandas GEMM emits local top-k, and a window
+    keeps the global top-k per source.  Nothing is all-pairs; cell
+    population bounds each Arrow batch (the semantic_dedup
+    discipline).  Self-matches are excluded in self mode.
+
+    Approximate by construction (recall = probability the true
+    neighbor shares a probed cell); tie-breaks and rounding match
+    :func:`knn_join_brute`, so with n_probe == n_cells the output IS
+    the brute answer — pinned by tests.
+    """
+    self_mode = right is None
+    r = left if self_mode else right
+    cn = index.centroids / np.linalg.norm(
+        index.centroids, axis=1, keepdims=True
+    )
+    sc = left.sparkSession.sparkContext
+    b_cn = sc.broadcast(cn)
+    npb = min(n_probe, len(index.centroids))
+
+    @F.pandas_udf(T.ArrayType(T.IntegerType()))
+    def _probe_cells(vecs: pd.Series) -> pd.Series:
+        c = b_cn.value
+        out = []
+        for v in vecs:
+            q = np.asarray(v, dtype=np.float64)
+            q = q / max(np.linalg.norm(q), 1e-300)
+            s = c @ q
+            out.append(
+                [int(i) for i in np.argsort(-s, kind="stable")[:npb]]
+            )
+        return pd.Series(out)
+
+    probes = left.select(
+        F.col(id_col).alias("src_id"),
+        F.col(vec_col).alias("__qv"),
+        F.explode(_probe_cells(F.col(vec_col))).alias("cell"),
+    )
+    members = index.assign(r, vec_col).select(
+        F.col(id_col).alias("nbr_id"), F.col(vec_col).alias("__mv"), "cell"
+    )
+    lhs = probes.select(
+        "cell",
+        F.lit("q").alias("__side"),
+        F.col("src_id").alias("__id"),
+        F.col("__qv").alias("__v"),
+    )
+    rhs = members.select(
+        "cell",
+        F.lit("m").alias("__side"),
+        F.col("nbr_id").alias("__id"),
+        F.col("__mv").alias("__v"),
+    )
+    both = lhs.unionByName(rhs)
+    kk = k
+
+    schema = T.StructType(
+        [
+            T.StructField("src_id", T.LongType()),
+            T.StructField("nbr_id", T.LongType()),
+            T.StructField("cosine", T.DoubleType()),
+        ]
+    )
+
+    def _cell_topk(pdf: pd.DataFrame) -> pd.DataFrame:
+        qs = pdf[pdf["__side"] == "q"]
+        ms = pdf[pdf["__side"] == "m"]
+        if len(qs) == 0 or len(ms) == 0:
+            return pd.DataFrame(columns=["src_id", "nbr_id", "cosine"])
+        qm = np.array([np.asarray(v, np.float64) for v in qs["__v"]])
+        mm = np.array([np.asarray(v, np.float64) for v in ms["__v"]])
+        qm = qm / np.maximum(np.linalg.norm(qm, axis=1, keepdims=True), 1e-300)
+        mm = mm / np.maximum(np.linalg.norm(mm, axis=1, keepdims=True), 1e-300)
+        s = np.round(qm @ mm.T, 6)
+        m_ids = ms["__id"].to_numpy()
+        out = []
+        for i, src in enumerate(qs["__id"].to_numpy()):
+            row = s[i]
+            mask = m_ids != src if self_mode else np.ones(len(m_ids), bool)
+            cand = np.flatnonzero(mask)
+            order = cand[np.lexsort((m_ids[cand], -row[cand]))][:kk]
+            out.extend(
+                (int(src), int(m_ids[j]), float(row[j])) for j in order
+            )
+        return pd.DataFrame(out, columns=["src_id", "nbr_id", "cosine"])
+
+    local = both.groupBy("cell").applyInPandas(_cell_topk, schema)
+    # a neighbor can surface from several probed cells: dedup, then
+    # keep the global top-k per source
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("src_id").orderBy(
+        F.col("cosine").desc(), F.col("nbr_id").asc()
+    )
+    return (
+        local.dropDuplicates(["src_id", "nbr_id"])
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= kk)
+    )

@@ -1,0 +1,111 @@
+"""kNN join: brute path vs a DuckDB exact oracle, IVF path == brute
+when every cell is probed, recall floor and determinism at partial
+probes, and the bounded-broadcast guard."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from flink_rtcef_spark.operators.similarity import (
+    IVFIndex,
+    knn_join_brute,
+    knn_join_ivf,
+)
+from flink_rtcef_spark.sources.io import load_table
+from tests.conftest import SF_SMOKE
+
+from tools.check_oracle import compare
+
+_IP = "list_sum(list_transform(list_zip({a}, {b}), p -> p[1] * p[2]))"
+
+
+def _cos(a: str, b: str) -> str:
+    ip = _IP.format(a=a, b=b)
+    na = _IP.format(a=a, b=a)
+    nb = _IP.format(a=b, b=b)
+    return f"{ip} / (SQRT({na}) * SQRT({nb}))"
+
+
+_KNN_SQL = f"""
+    WITH ev AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ed
+      FROM embeddings
+    ),
+    pairs AS (
+      SELECT a.vec_id AS src_id, b.vec_id AS nbr_id,
+             ROUND({_cos('a.ed', 'b.ed')}, 6) AS cosine
+      FROM ev a JOIN ev b ON a.vec_id <> b.vec_id
+    ),
+    ranked AS (
+      SELECT src_id, nbr_id, cosine,
+             CAST(ROW_NUMBER() OVER (PARTITION BY src_id
+                  ORDER BY cosine DESC, nbr_id ASC) AS INTEGER) AS rank
+      FROM pairs
+    )
+    SELECT * FROM ranked WHERE rank <= 3
+"""
+
+
+def _duck():
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW embeddings AS SELECT * FROM "
+        f"read_parquet('{SF_SMOKE}/embeddings.parquet')"
+    )
+    return con
+
+
+def test_brute_matches_duckdb_oracle(spark):
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    sdf = knn_join_brute(emb, k=3).toPandas()
+    ddf = _duck().execute(_KNN_SQL).df()
+    problems = compare("knn_join_brute", sdf, ddf)
+    assert not problems, problems
+
+
+def test_brute_two_table_mode(spark):
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    left = emb.filter(F.col("vec_id") < 20)
+    out = knn_join_brute(left, right=emb, k=4).toPandas()
+    assert set(out["src_id"]) == set(range(20))
+    assert (out.groupby("src_id").size() == 4).all()
+    # two-table mode keeps the self pair: cosine(v, v) = 1 at rank 1
+    top = out[out["rank"] == 1]
+    assert (top["src_id"] == top["nbr_id"]).all()
+
+
+def test_ivf_full_probe_equals_brute(spark):
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    idx = IVFIndex().fit_from_rows(emb, ids=list(range(8)))
+    brute = knn_join_brute(emb, k=3).toPandas().sort_values(
+        ["src_id", "rank"]
+    ).reset_index(drop=True)
+    ivf = (
+        knn_join_ivf(emb, idx, k=3, n_probe=8)
+        .toPandas()
+        .sort_values(["src_id", "rank"])
+        .reset_index(drop=True)[brute.columns]
+    )
+    import pandas.testing as pdt
+
+    pdt.assert_frame_equal(ivf, brute)
+
+
+def test_ivf_partial_probe_recall_and_determinism(spark):
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    idx = IVFIndex().fit_from_rows(emb, ids=list(range(8)))
+    brute = knn_join_brute(emb, k=3).toPandas()
+    a = knn_join_ivf(emb, idx, k=3, n_probe=4).toPandas()
+    b = knn_join_ivf(emb, idx, k=3, n_probe=4).toPandas()
+    key = lambda d: set(zip(d["src_id"], d["nbr_id"]))
+    assert key(a) == key(b)  # deterministic under re-execution
+    recall = len(key(a) & key(brute)) / len(key(brute))
+    assert recall >= 0.6, recall
+
+
+def test_broadcast_limit_guard(spark):
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    with pytest.raises(ValueError, match="knn_join_ivf"):
+        knn_join_brute(emb, k=3, broadcast_limit=10)
