@@ -653,3 +653,53 @@ def knn_join_ivf(
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= kk)
     )
+
+
+def cluster_by_knn(
+    df: DataFrame,
+    k: int = 5,
+    threshold: float = 0.7,
+    mutual: bool = True,
+    index: "IVFIndex | None" = None,
+    n_probe: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Graph-based embedding clustering: build the kNN graph
+    (:func:`knn_join_brute`, or the IVF-bucketed path when ``index``
+    is given), keep edges with cosine >= threshold — optionally only
+    MUTUAL ones (i <-> j both rank each other, the standard guard
+    against hub vectors chaining unrelated clusters) — then resolve
+    components with the O(log n) large-star/small-star loop.
+
+    Returns (id_col, component).  Scale shape: kNN edges are o(n*k),
+    never all-pairs; the component loop shuffles 16-byte id pairs.
+    """
+    from flink_rtcef_spark.operators.dedup import connected_components
+
+    if index is not None:
+        nn = knn_join_ivf(
+            df, index, k=k, n_probe=n_probe, vec_col=vec_col, id_col=id_col
+        )
+    else:
+        nn = knn_join_brute(df, k=k, vec_col=vec_col, id_col=id_col)
+    edges = nn.filter(F.col("cosine") >= threshold).select(
+        "src_id", "nbr_id"
+    )
+    if mutual:
+        rev = edges.select(
+            F.col("nbr_id").alias("src_id"), F.col("src_id").alias("nbr_id")
+        )
+        edges = edges.intersect(rev)
+    pairs = edges.filter(F.col("src_id") < F.col("nbr_id")).select(
+        F.col("src_id").alias("id_a"), F.col("nbr_id").alias("id_b")
+    )
+    comp = connected_components(pairs)
+    return (
+        df.select(F.col(id_col))
+        .join(comp.withColumnRenamed("id", id_col), id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("component", F.col(id_col)).alias("component"),
+        )
+    )

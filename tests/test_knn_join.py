@@ -10,6 +10,7 @@ from pyspark.sql import functions as F
 
 from flink_rtcef_spark.operators.similarity import (
     IVFIndex,
+    cluster_by_knn,
     knn_join_brute,
     knn_join_ivf,
 )
@@ -109,3 +110,46 @@ def test_broadcast_limit_guard(spark):
     emb = load_table(spark, SF_SMOKE, "embeddings")
     with pytest.raises(ValueError, match="knn_join_ivf"):
         knn_join_brute(emb, k=3, broadcast_limit=10)
+
+
+def test_cluster_by_knn_groups_duplicates(spark):
+    """Three tight clusters + a singleton: mutual-kNN components must
+    recover exactly the planted structure."""
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    base = rng.randn(3, 16)
+    rows = []
+    vid = 0
+    for c in range(3):
+        for _ in range(4):
+            v = base[c] + rng.randn(16) * 0.01
+            rows.append((vid, [float(x) for x in v]))
+            vid += 1
+    rows.append((vid, [float(x) for x in rng.randn(16) * 5]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {
+        r["vec_id"]: r["component"]
+        for r in cluster_by_knn(df, k=3, threshold=0.9).collect()
+    }
+    assert len(out) == 13
+    for c in range(3):
+        ids = list(range(c * 4, c * 4 + 4))
+        assert len({out[i] for i in ids}) == 1, (c, out)
+    comps = {out[i] for i in (0, 4, 8, 12)}
+    assert len(comps) == 4  # three clusters + singleton all distinct
+
+
+def test_cluster_by_knn_ivf_path(spark):
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    idx = IVFIndex().fit_from_rows(emb, ids=list(range(8)))
+    out = cluster_by_knn(
+        emb, k=3, threshold=0.95, index=idx, n_probe=8
+    ).toPandas()
+    brute = cluster_by_knn(emb, k=3, threshold=0.95).toPandas()
+    # full probe == brute component structure (same edges -> same CC)
+    a = out.sort_values("vec_id").reset_index(drop=True)
+    b = brute.sort_values("vec_id").reset_index(drop=True)
+    import pandas.testing as pdt
+
+    pdt.assert_frame_equal(a, b)
