@@ -59,6 +59,7 @@ HEADLINE = [
     "bm25_topk",
     "dedup_paragraphs",
     "semantic_dedup",
+    "domain_pagerank",
 ]
 
 N_ITER = 3
@@ -113,6 +114,8 @@ def main() -> None:
     scale = weak_scaling_step(spark, sf_dir)
     stream = streaming_throughput(spark, sf_dir)
     asof = asof_fixture(spark, sf_dir)
+    knn = knn_fixture(spark, sf_dir)
+    pr = pagerank_fixture(spark, sf_dir)
 
     print(
         json.dumps(
@@ -129,10 +132,73 @@ def main() -> None:
                 **hot,
                 **stream,
                 **asof,
+                **knn,
+                **pr,
                 "weak_scaling_10x": scale,
             }
         )
     )
+
+
+def knn_fixture(spark, sf_dir: str) -> dict:
+    """kNN-graph build over the embeddings table: brute broadcast GEMM
+    vs the IVF-bucketed path (16 Lloyd cells, 2 probes) at the same k.
+    The pair shows the scale trade measured: the bucketed plan scans
+    ~n_probe/n_cells of the corpus per vector."""
+    from flink_rtcef_spark.operators.similarity import (
+        IVFIndex,
+        knn_join_brute,
+        knn_join_ivf,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").cache()
+    n = emb.count()
+    out = {"knn_vectors": n}
+
+    def brute():
+        knn_join_brute(emb, k=5).count()
+
+    brute()
+    out["knn_brute_sec"] = round(_median3(brute), 3)
+    idx = IVFIndex(n_cells=16).fit(emb)
+
+    def ivf():
+        knn_join_ivf(emb, idx, k=5, n_probe=2).count()
+
+    ivf()
+    out["knn_ivf_sec"] = round(_median3(ivf), 3)
+    emb.unpersist()
+    return out
+
+
+def pagerank_fixture(spark, sf_dir: str) -> dict:
+    """PageRank wall over a user-interaction graph derived from the
+    events table (src user -> dst user via consecutive events on the
+    same event_type; o(users) nodes, o(events) edges), 10 iterations.
+    Measures the iterative-join loop, not fixture derivation."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from flink_rtcef_spark.operators.webgraph import pagerank
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    edges = (
+        ev.select("event_type", "ts", "event_id", F.col("user_id").alias("dst"))
+        .withColumn("src", F.lag("dst").over(w))
+        .filter(F.col("src").isNotNull() & (F.col("src") != F.col("dst")))
+        .select("src", "dst")
+        .cache()
+    )
+    n_edges = edges.count()
+
+    def run():
+        pagerank(edges, n_iter=10).count()
+
+    run()
+    sec = round(_median3(run), 3)
+    edges.unpersist()
+    return {"pagerank_edges": n_edges, "pagerank_10iter_sec": sec}
 
 
 def _hotkey_events(spark, n_events: int, with_resets: bool):

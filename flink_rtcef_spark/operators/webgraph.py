@@ -67,31 +67,46 @@ def pagerank(
     )
     n_nodes = nodes.count()  # o(hosts) driver scalar, computed once
     out_w = e.groupBy("src").agg(F.sum("w").alias("out_w"))
+    # the out-weight normalization is iteration-invariant: join it into
+    # the edge table ONCE instead of once per iteration (the oracle
+    # mirrors the w/out_w-first association so fp results stay equal)
+    e_norm = (
+        e.join(out_w, "src")
+        .select("src", "dst", (F.col("w") / F.col("out_w")).alias("w_norm"))
+        .persist()
+    )
+    # dangling nodes are a property of the graph, not the iteration:
+    # detect once and skip the per-iteration mass aggregate when none
+    has_dangling = (
+        nodes.join(
+            out_w.select(F.col("src").alias("node")), "node", "left_anti"
+        ).limit(1).count()
+        > 0
+    )
 
     d = float(damping)
     ranks = nodes.withColumn("rank", F.lit(1.0 / n_nodes))
     for i in range(n_iter):
         contrib = (
-            e.join(out_w, "src")
-            .join(ranks.withColumnRenamed("node", "src"), "src")
+            e_norm.join(ranks.withColumnRenamed("node", "src"), "src")
             .groupBy(F.col("dst").alias("node"))
-            .agg(F.sum(F.col("rank") * F.col("w") / F.col("out_w")).alias("contrib"))
+            .agg(F.sum(F.col("rank") * F.col("w_norm")).alias("contrib"))
         )
-        dangling = (
-            ranks.join(out_w.select(F.col("src").alias("node")), "node", "left_anti")
-            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dang"))
-        )
-        ranks = (
-            nodes.join(contrib, "node", "left")
-            .crossJoin(F.broadcast(dangling))
-            .select(
-                "node",
-                (
-                    F.lit((1.0 - d) / n_nodes)
-                    + F.lit(d)
-                    * (F.coalesce(F.col("contrib"), F.lit(0.0)) + F.col("dang") / n_nodes)
-                ).alias("rank"),
+        new_ranks = nodes.join(contrib, "node", "left")
+        if has_dangling:
+            dangling = (
+                ranks.join(
+                    out_w.select(F.col("src").alias("node")), "node", "left_anti"
+                )
+                .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dang"))
             )
+            new_ranks = new_ranks.crossJoin(F.broadcast(dangling))
+            mass = F.coalesce(F.col("contrib"), F.lit(0.0)) + F.col("dang") / n_nodes
+        else:
+            mass = F.coalesce(F.col("contrib"), F.lit(0.0))
+        ranks = new_ranks.select(
+            "node",
+            (F.lit((1.0 - d) / n_nodes) + F.lit(d) * mass).alias("rank"),
         )
         if (i + 1) % checkpoint_every == 0 and (i + 1) < n_iter:
             # cut lineage so the plan doesn't grow exponentially with
@@ -120,15 +135,19 @@ def pagerank_oracle_sql(
         "nodes AS MATERIALIZED (SELECT src AS node FROM e UNION SELECT dst FROM e)",
         "nn AS MATERIALIZED (SELECT COUNT(*) * 1.0 AS n FROM nodes)",
         "ow AS MATERIALIZED (SELECT src, SUM(w) AS out_w FROM e GROUP BY src)",
+        # w/out_w first, then * rank — the association the Spark loop
+        # uses (e_norm precomputed once), so fp results match exactly
+        "en AS MATERIALIZED (SELECT e.src, e.dst, e.w / ow.out_w AS w_norm "
+        "FROM e JOIN ow ON e.src = ow.src)",
         "r0 AS MATERIALIZED (SELECT node, 1.0 / nn.n AS rank FROM nodes, nn)",
     ]
     for i in range(n_iter):
         p, c = f"r{i}", f"r{i + 1}"
         parts.append(
-            f"c{i} AS MATERIALIZED (SELECT e.dst AS node, "
-            f"SUM({p}.rank * e.w / ow.out_w) AS contrib "
-            f"FROM e JOIN ow ON e.src = ow.src JOIN {p} ON {p}.node = e.src "
-            "GROUP BY e.dst)"
+            f"c{i} AS MATERIALIZED (SELECT en.dst AS node, "
+            f"SUM({p}.rank * en.w_norm) AS contrib "
+            f"FROM en JOIN {p} ON {p}.node = en.src "
+            "GROUP BY en.dst)"
         )
         parts.append(
             f"d{i} AS MATERIALIZED (SELECT COALESCE(SUM(rank), 0.0) AS dang FROM {p} "
