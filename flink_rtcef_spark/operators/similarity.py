@@ -498,6 +498,9 @@ def knn_join_brute(
             "use knn_join_ivf for the bucketed scale path"
         )
     rows = r.select(id_col, vec_col).collect()
+    schema_empty = "src_id long, nbr_id long, cosine double, rank int"
+    if not rows:
+        return left.sparkSession.createDataFrame([], schema_empty)
     r_ids = np.array([row[0] for row in rows], dtype=np.int64)
     r_mat = np.array([np.asarray(row[1], dtype=np.float64) for row in rows])
     r_mat = r_mat / np.maximum(

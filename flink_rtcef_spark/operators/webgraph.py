@@ -66,6 +66,8 @@ def pagerank(
         .persist()
     )
     n_nodes = nodes.count()  # o(hosts) driver scalar, computed once
+    if n_nodes == 0:
+        return nodes.withColumn("rank", F.lit(0.0))  # empty graph
     out_w = e.groupBy("src").agg(F.sum("w").alias("out_w"))
     # the out-weight normalization is iteration-invariant: join it into
     # the edge table ONCE instead of once per iteration (the oracle

@@ -153,3 +153,12 @@ def test_cluster_by_knn_ivf_path(spark):
     import pandas.testing as pdt
 
     pdt.assert_frame_equal(a, b)
+
+
+def test_empty_inputs(spark):
+    empty_v = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    assert knn_join_brute(empty_v, k=3).count() == 0
+    from flink_rtcef_spark.operators.webgraph import pagerank
+
+    empty_e = spark.createDataFrame([], "src string, dst string")
+    assert pagerank(empty_e, n_iter=2).count() == 0
