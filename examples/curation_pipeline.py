@@ -273,6 +273,19 @@ def main() -> None:
     top = ", ".join(f"doc {r['doc_id']} ({r['score']:.2f})" for r in hits)
     print(f"  {'bm25 probe':<28} spark/join/stream -> {top}")
 
+    # 7d. model-free embedding probe: hash-project the curated text and
+    # cluster by mutual kNN (swap in a real encoder column and nothing
+    # downstream changes)
+    from flink_rtcef_spark.operators.embed import hashed_text_embedding
+    from flink_rtcef_spark.operators.similarity import cluster_by_knn
+
+    emb = hashed_text_embedding(docs, dim=64).withColumnRenamed(
+        "doc_id", "vec_id"
+    )
+    comp = cluster_by_knn(emb, k=3, threshold=0.8)
+    n_comp = comp.select("component").distinct().count()
+    print(f"  {'hashed-embed knn clusters':<28} {comp.count()} docs -> {n_comp} clusters")
+
     # 8. partitioned write + final profile
     out = tempfile.mkdtemp(prefix="curated_")
     write_partitioned(docs, out, "lang")
