@@ -644,17 +644,16 @@ def knn_join_ivf(
         return pd.DataFrame(out, columns=["src_id", "nbr_id", "cosine"])
 
     local = both.groupBy("cell").applyInPandas(_cell_topk, schema)
-    # a neighbor can surface from several probed cells: dedup, then
-    # keep the global top-k per source
+    # every member lives in exactly ONE cell, so a (src, nbr) pair can
+    # only arise in that cell — no dedup shuffle needed before the
+    # global per-source top-k window
     from pyspark.sql import Window
 
     w = Window.partitionBy("src_id").orderBy(
         F.col("cosine").desc(), F.col("nbr_id").asc()
     )
-    return (
-        local.dropDuplicates(["src_id", "nbr_id"])
-        .withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= kk)
+    return local.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= kk
     )
 
 
