@@ -689,10 +689,12 @@ def cluster_by_knn(
         "src_id", "nbr_id"
     )
     if mutual:
+        # left-semi against the reversed edge set — INTERSECT would add
+        # a distinct-aggregate pass the o(n*k) edge list doesn't need
         rev = edges.select(
             F.col("nbr_id").alias("src_id"), F.col("src_id").alias("nbr_id")
         )
-        edges = edges.intersect(rev)
+        edges = edges.join(rev, ["src_id", "nbr_id"], "left_semi")
     pairs = edges.filter(F.col("src_id") < F.col("nbr_id")).select(
         F.col("src_id").alias("id_a"), F.col("nbr_id").alias("id_b")
     )
