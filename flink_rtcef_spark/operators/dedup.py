@@ -782,3 +782,39 @@ def levenshtein_verify(
         .filter(F.col("edit_dist") >= 0)  # threshold exceed returns -1
         .filter(F.col("edit_dist") <= max_dist)
     )
+
+
+def keep_best_in_component(
+    docs: DataFrame,
+    components: DataFrame,
+    score_col: str,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Cluster-exemplar selection: keep the best-scoring document of
+    each duplicate component (the production alternative to keep-min-id
+    — e.g. keep the longest or highest-quality copy).  Ties break on
+    the id so the choice is deterministic.  ``components`` is the
+    (id, component) frame from :func:`connected_components`; documents
+    without a component row are singletons and always survive.
+
+    One window over the o(docs) (component, score, id) triples — text
+    never shuffles; the winners semi-join back.
+    """
+    from pyspark.sql import Window
+
+    scored = docs.select(F.col(id_col), F.col(score_col)).join(
+        components.withColumnRenamed("id", id_col), id_col, "left"
+    )
+    # singletons: component = own id (unique -> rank 1 by construction)
+    scored = scored.withColumn(
+        "component", F.coalesce("component", F.col(id_col))
+    )
+    w = Window.partitionBy("component").orderBy(
+        F.col(score_col).desc(), F.col(id_col).asc()
+    )
+    winners = (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(id_col)
+    )
+    return docs.join(winners, id_col, "left_semi")

@@ -127,3 +127,25 @@ def test_levenshtein_threshold_short_circuit(spark):
     assert len(got) == 1
     assert got[0]["id_a"] == 1 and got[0]["id_b"] == 2
     assert got[0]["edit_dist"] == 1
+
+
+def test_keep_best_in_component(spark):
+    from flink_rtcef_spark.operators.dedup import keep_best_in_component
+
+    docs = spark.createDataFrame(
+        [
+            (1, "short", 5.0),
+            (2, "the long best copy", 18.0),   # same cluster as 1, 3
+            (3, "mid copy", 8.0),
+            (4, "lone doc", 8.0),              # singleton, no component row
+        ],
+        "doc_id long, text string, quality double",
+    )
+    comps = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1)], "id long, component long"
+    )
+    kept = sorted(
+        r["doc_id"]
+        for r in keep_best_in_component(docs, comps, "quality").collect()
+    )
+    assert kept == [2, 4]  # best of the cluster + the singleton
