@@ -707,3 +707,60 @@ def cluster_by_knn(
             F.coalesce("component", F.col(id_col)).alias("component"),
         )
     )
+
+
+def kmeans_fit_distributed(
+    df: DataFrame,
+    k: int = 16,
+    n_iter: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    init_ids: "list[int] | None" = None,
+) -> "IVFIndex":
+    """Distributed Lloyd k-means (cosine assignment) — the unbounded
+    alternative to ``IVFIndex.fit``'s driver-sample trainer: at 100 TB
+    the corpus never reaches the driver, only the o(k x dim) centroid
+    table does, once per iteration.
+
+    Per iteration: map-side argmax assignment against the BROADCAST
+    centroid matrix (one pandas-UDF GEMM, no shuffle), then an
+    element-wise mean via explode to (cell, idx, val) with a map-side
+    combinable sum — shuffle payload is o(partitions x k x dim) after
+    combine.  Deterministic: init is the rows named by ``init_ids``
+    (default: the k smallest ids), ties in assignment break to the
+    lowest cell id (argmax semantics), empty clusters keep their
+    previous centroid.  Returns a fitted :class:`IVFIndex` ready for
+    ``assign`` / ``ann_topk`` / ``knn_join_ivf``.
+    """
+    if init_ids is None:
+        init_ids = [
+            r[0]
+            for r in df.select(id_col).orderBy(id_col).limit(k).collect()
+        ]
+    idx = IVFIndex(n_cells=len(init_ids))
+    idx.fit_from_rows(df, ids=init_ids, id_col=id_col, vec_col=vec_col)
+    dim = idx.centroids.shape[1]
+    for _ in range(n_iter):
+        assigned = idx.assign(df, vec_col)
+        sums = (
+            assigned.select(
+                "cell", F.posexplode(F.col(vec_col)).alias("idx", "val")
+            )
+            .groupBy("cell", "idx")
+            .agg(
+                F.sum(F.col("val").cast("double")).alias("s"),
+                F.count(F.lit(1)).alias("n"),
+            )
+            .collect()
+        )
+        new_c = idx.centroids.copy()
+        acc = {}
+        for r in sums:
+            acc.setdefault(r["cell"], [np.zeros(dim), 0])
+            acc[r["cell"]][0][r["idx"]] = r["s"]
+            acc[r["cell"]][1] = r["n"]
+        for cell, (vec_sum, n) in acc.items():
+            if n > 0:
+                new_c[cell] = vec_sum / n
+        idx.centroids = new_c
+    return idx

@@ -162,3 +162,57 @@ def test_empty_inputs(spark):
 
     empty_e = spark.createDataFrame([], "src string, dst string")
     assert pagerank(empty_e, n_iter=2).count() == 0
+
+
+def _numpy_lloyd(vecs, init, n_iter):
+    import numpy as np
+
+    c = init.copy()
+    for _ in range(n_iter):
+        vn = vecs / np.maximum(np.linalg.norm(vecs, axis=1, keepdims=True), 1e-300)
+        cn = c / np.maximum(np.linalg.norm(c, axis=1, keepdims=True), 1e-300)
+        assign = np.argmax(vn @ cn.T, axis=1)
+        for j in range(len(c)):
+            members = vecs[assign == j]
+            if len(members):
+                c[j] = members.mean(axis=0)
+    return c
+
+
+def test_kmeans_distributed_matches_numpy_lloyd(spark):
+    import numpy as np
+
+    from flink_rtcef_spark.operators.similarity import kmeans_fit_distributed
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    idx = kmeans_fit_distributed(emb, k=6, n_iter=4, init_ids=list(range(6)))
+    rows = sorted(emb.select("vec_id", "embedding").collect(), key=lambda r: r[0])
+    vecs = np.array([np.asarray(r[1], dtype=np.float64) for r in rows])
+    want = _numpy_lloyd(vecs, vecs[:6].copy(), n_iter=4)
+    assert np.allclose(idx.centroids, want, atol=1e-9), (
+        np.abs(idx.centroids - want).max()
+    )
+
+
+def test_kmeans_distributed_recovers_planted_clusters(spark):
+    import numpy as np
+
+    from flink_rtcef_spark.operators.similarity import kmeans_fit_distributed
+
+    rng = np.random.RandomState(3)
+    base = rng.randn(3, 8) * 5
+    rows = []
+    vid = 0
+    for c in range(3):
+        for _ in range(20):
+            rows.append(
+                (vid, [float(x) for x in base[c] + rng.randn(8) * 0.05])
+            )
+            vid += 1
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    # init with one member of each planted cluster
+    idx = kmeans_fit_distributed(df, k=3, n_iter=5, init_ids=[0, 20, 40])
+    assigned = idx.assign(df).toPandas()
+    for c in range(3):
+        cells = set(assigned[assigned["vec_id"].between(c * 20, c * 20 + 19)]["cell"])
+        assert len(cells) == 1, (c, cells)
