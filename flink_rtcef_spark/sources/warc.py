@@ -87,10 +87,14 @@ def read_warc(
             F.col("content_length").isNotNull()
             & (F.length("__payload") == F.col("content_length"))
         )
-    # HTTP response/request payloads carry their own header block
-    is_http = F.col("__payload").startswith("HTTP/") | F.col(
-        "__payload"
-    ).rlike(r"^(GET|POST|HEAD|PUT|DELETE|OPTIONS) ")
+    # HTTP response/request payloads carry their own header block;
+    # an HTTP-looking payload WITHOUT a blank line has no header/body
+    # split (instr = 0 would silently chop 3 chars via substring(_, 4))
+    hdr_end = F.expr("instr(__payload, '\r\n\r\n')")
+    is_http = (
+        F.col("__payload").startswith("HTTP/")
+        | F.col("__payload").rlike(r"^(GET|POST|HEAD|PUT|DELETE|OPTIONS) ")
+    ) & (hdr_end > 0)
     http_headers = F.when(
         is_http, F.substring_index(F.col("__payload"), "\r\n\r\n", 1)
     )

@@ -103,3 +103,62 @@ def test_plan_is_jvm_only(spark, tmp_path):
     df = warc_responses_as_documents(spark, _write_fixture(tmp_path))
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+# ---- property: serialize -> parse round-trips arbitrary payloads ----
+
+from hypothesis import given, settings, strategies as st
+
+# printable payloads; excludes the record delimiter by construction
+# (the documented framing assumption) but DOES include lone CRLFs,
+# blank lines, and HTTP-looking prefixes
+_payload = st.text(
+    alphabet=st.characters(
+        min_codepoint=32, max_codepoint=126, include_characters="\r\n"
+    ),
+    min_size=0,
+    max_size=200,
+).map(lambda s: s.replace("WARC/1.0", "WARC-1.0"))
+
+
+@settings(max_examples=15, deadline=None)
+@given(st.lists(_payload, min_size=1, max_size=6))
+def test_warc_roundtrip_fuzz(spark, tmp_path_factory, payloads):
+    tmp = tmp_path_factory.mktemp("warcfuzz")
+    recs = []
+    for i, p in enumerate(payloads):
+        recs.append(
+            _rec(
+                {"WARC-Type": "resource", "WARC-Record-ID": f"<urn:uuid:{i}>",
+                 "Content-Length": str(len(p))},
+                p,
+            )
+        )
+    path = tmp / "fuzz.warc"
+    path.write_text("".join(recs), newline="")
+    got = {
+        r["record_id"]: r
+        for r in read_warc(spark, str(path), strict=True).collect()
+    }
+    assert len(got) == len(payloads)
+    for i, p in enumerate(payloads):
+        r = got[f"<urn:uuid:{i}>"]
+        assert r["body"] == p, (i, p, r["body"])
+        assert r["content_length"] == len(p)
+
+
+def test_http_prefix_without_blank_line_stays_raw(spark, tmp_path):
+    """A payload that LOOKS like HTTP but has no header/body blank line
+    must pass through untouched (the naive substring split would chop
+    the first 3 characters)."""
+    p = "GET no blank line here at all"
+    rec = _rec(
+        {"WARC-Type": "resource", "WARC-Record-ID": "<urn:uuid:9>",
+         "Content-Length": str(len(p))},
+        p,
+    )
+    path = tmp_path / "httpish.warc"
+    path.write_text(rec, newline="")
+    r = read_warc(spark, str(path), strict=True).collect()[0]
+    assert r["body"] == p
+    assert r["http_status"] is None
