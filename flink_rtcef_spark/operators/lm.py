@@ -152,7 +152,9 @@ def perplexity_score_column(
     counts = {r["tok"]: r["tok_count"] for r in rows}
     n = sum(counts.values())
     v = len(counts)
-    denom = n + alpha * v
+    # empty model (no history yet at the ingest edge): no signal —
+    # score 0 rather than divide by zero
+    denom = (n + alpha * v) if v else None
     b_counts = spark.sparkContext.broadcast(counts)
 
     @F.pandas_udf(T.DoubleType())
@@ -161,7 +163,7 @@ def perplexity_score_column(
         out = []
         for t in texts:
             toks = [w for w in (t or "").lower().strip().split() if w]
-            if not toks:
+            if not toks or denom is None:
                 out.append(0.0)
                 continue
             bits = [-math.log2((c.get(w, 0) + alpha) / denom) for w in toks]
@@ -291,7 +293,7 @@ def bigram_score_column(
     bi = {(r["prev"], r["cur"]): r["bg_count"] for r in model_bi.collect()}
     n = sum(uni.values())
     v = len(uni)
-    denom = n + alpha * v
+    denom = (n + alpha * v) if v else None  # empty model -> score 0
     b_uni = spark.sparkContext.broadcast(uni)
     b_bi = spark.sparkContext.broadcast(bi)
 
@@ -301,7 +303,7 @@ def bigram_score_column(
         out = []
         for t in texts:
             toks = [w for w in (t or "").lower().strip().split() if w]
-            if not toks:
+            if not toks or denom is None:
                 out.append(0.0)
                 continue
             bits = []
