@@ -709,6 +709,83 @@ def cluster_by_knn(
     )
 
 
+def _lloyd_step_sums(assigned: DataFrame, vec_col: str):
+    """(cell, idx) -> (sum, n) rows — the element-wise mean's shuffle,
+    map-side combinable, o(partitions x k x dim) payload."""
+    return (
+        assigned.select(
+            "cell", F.posexplode(F.col(vec_col)).alias("idx", "val")
+        )
+        .groupBy("cell", "idx")
+        .agg(
+            F.sum(F.col("val").cast("double")).alias("s"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .collect()
+    )
+
+
+def _lloyd_distributed(
+    df: DataFrame,
+    centroids: np.ndarray,
+    n_iter: int,
+    vec_col: str,
+    metric: str,
+) -> np.ndarray:
+    """Generic distributed Lloyd loop: broadcast-GEMM assignment
+    (cosine argmax or euclidean argmin, ties to the lowest cell) +
+    the map-side-combinable element-wise mean; only the o(k x dim)
+    centroid table reaches the driver per iteration.  Empty clusters
+    keep their previous centroid."""
+    if metric not in ("cosine", "l2"):
+        raise ValueError(f"metric must be 'cosine' or 'l2', got {metric!r}")
+    c = centroids.copy()
+    dim = c.shape[1]
+    sc = df.sparkSession.sparkContext
+    for _ in range(n_iter):
+        b_c = sc.broadcast(c)
+        if metric == "cosine":
+
+            @F.pandas_udf(T.IntegerType())
+            def _cell(vecs: pd.Series) -> pd.Series:
+                cc = b_c.value
+                cn = cc / np.maximum(
+                    np.linalg.norm(cc, axis=1, keepdims=True), 1e-300
+                )
+                mat = np.array([np.asarray(v, np.float64) for v in vecs])
+                if len(mat) == 0:
+                    return pd.Series([], dtype="int32")
+                mat = mat / np.maximum(
+                    np.linalg.norm(mat, axis=1, keepdims=True), 1e-300
+                )
+                return pd.Series(np.argmax(mat @ cn.T, axis=1).astype("int32"))
+
+        else:
+
+            @F.pandas_udf(T.IntegerType())
+            def _cell(vecs: pd.Series) -> pd.Series:
+                cc = b_c.value
+                mat = np.array([np.asarray(v, np.float64) for v in vecs])
+                if len(mat) == 0:
+                    return pd.Series([], dtype="int32")
+                d2 = (cc ** 2).sum(axis=1)[None, :] - 2.0 * (mat @ cc.T)
+                return pd.Series(np.argmin(d2, axis=1).astype("int32"))
+
+        assigned = df.withColumn("cell", _cell(F.col(vec_col)))
+        sums = _lloyd_step_sums(assigned, vec_col)
+        new_c = c.copy()
+        acc = {}
+        for r in sums:
+            acc.setdefault(r["cell"], [np.zeros(dim), 0])
+            acc[r["cell"]][0][r["idx"]] = r["s"]
+            acc[r["cell"]][1] = r["n"]
+        for cell, (vec_sum, n) in acc.items():
+            if n > 0:
+                new_c[cell] = vec_sum / n
+        c = new_c
+    return c
+
+
 def kmeans_fit_distributed(
     df: DataFrame,
     k: int = 16,
@@ -739,28 +816,74 @@ def kmeans_fit_distributed(
         ]
     idx = IVFIndex(n_cells=len(init_ids))
     idx.fit_from_rows(df, ids=init_ids, id_col=id_col, vec_col=vec_col)
-    dim = idx.centroids.shape[1]
-    for _ in range(n_iter):
-        assigned = idx.assign(df, vec_col)
-        sums = (
-            assigned.select(
-                "cell", F.posexplode(F.col(vec_col)).alias("idx", "val")
-            )
-            .groupBy("cell", "idx")
-            .agg(
-                F.sum(F.col("val").cast("double")).alias("s"),
-                F.count(F.lit(1)).alias("n"),
-            )
-            .collect()
-        )
-        new_c = idx.centroids.copy()
-        acc = {}
-        for r in sums:
-            acc.setdefault(r["cell"], [np.zeros(dim), 0])
-            acc[r["cell"]][0][r["idx"]] = r["s"]
-            acc[r["cell"]][1] = r["n"]
-        for cell, (vec_sum, n) in acc.items():
-            if n > 0:
-                new_c[cell] = vec_sum / n
-        idx.centroids = new_c
+    idx.centroids = _lloyd_distributed(
+        df, idx.centroids, n_iter, vec_col, metric="cosine"
+    )
     return idx
+
+
+def pq_fit_distributed(
+    df: DataFrame,
+    m: int = 8,
+    k: int = 16,
+    n_iter: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    init_ids: "list[int] | None" = None,
+) -> "ProductQuantizer":
+    """Distributed product-quantizer training — the unbounded
+    alternative to ``ProductQuantizer.fit``'s driver sample: per
+    subspace, the euclidean Lloyd loop runs over the L2-NORMALIZED
+    corpus (the same normalization ``fit`` applies) with the subvector
+    slice as the training column; only o(m x k x d/m) codebook floats
+    ever reach the driver.
+
+    Deterministic: codebooks init from the subvectors of the rows
+    named by ``init_ids`` (default: the k smallest ids) — the same
+    convention as ``fit_from_rows``.
+    """
+    pq = ProductQuantizer(m=m, k=k, n_iter=n_iter)
+    dim = len(df.select(vec_col).first()[0])
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    sub = dim // m
+    nrm = F.sqrt(
+        F.aggregate(
+            F.transform(vec_col, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda a, v: a + v,
+        )
+    )
+    normed = df.select(
+        F.col(id_col),
+        F.transform(
+            vec_col, lambda x: x.cast("double") / F.greatest(nrm, F.lit(1e-300))
+        ).alias("__nv"),
+    ).persist()
+    if init_ids is None:
+        init_ids = [
+            r[0]
+            for r in normed.select(id_col).orderBy(id_col).limit(k).collect()
+        ]
+    init_rows = (
+        normed.filter(F.col(id_col).isin(list(init_ids)))
+        .orderBy(id_col)
+        .collect()
+    )
+    init_vecs = np.array([np.asarray(r[1], np.float64) for r in init_rows])
+    books = np.empty((m, len(init_rows), sub))
+    for j in range(m):
+        sliced = normed.select(
+            F.slice("__nv", j * sub + 1, sub).alias("__sv")
+        )
+        books[j] = _lloyd_distributed(
+            sliced,
+            init_vecs[:, j * sub : (j + 1) * sub],
+            n_iter,
+            "__sv",
+            metric="l2",
+        )
+    normed.unpersist()
+    pq.k = len(init_rows)
+    pq.codebooks = books
+    return pq

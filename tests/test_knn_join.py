@@ -216,3 +216,43 @@ def test_kmeans_distributed_recovers_planted_clusters(spark):
     for c in range(3):
         cells = set(assigned[assigned["vec_id"].between(c * 20, c * 20 + 19)]["cell"])
         assert len(cells) == 1, (c, cells)
+
+
+def test_pq_fit_distributed_matches_numpy(spark):
+    import numpy as np
+
+    from flink_rtcef_spark.operators.similarity import pq_fit_distributed
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    m, k, n_iter = 4, 5, 3
+    pq = pq_fit_distributed(emb, m=m, k=k, n_iter=n_iter, init_ids=list(range(k)))
+    rows = sorted(emb.select("vec_id", "embedding").collect(), key=lambda r: r[0])
+    vecs = np.array([np.asarray(r[1], dtype=np.float64) for r in rows])
+    vecs = vecs / np.maximum(np.linalg.norm(vecs, axis=1, keepdims=True), 1e-300)
+    d = vecs.shape[1]
+    sub = d // m
+    for j in range(m):
+        x = vecs[:, j * sub : (j + 1) * sub]
+        c = x[:k].copy()
+        for _ in range(n_iter):
+            d2 = ((x[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+            a = np.argmin(d2, axis=1)
+            for ci in range(len(c)):
+                members = x[a == ci]
+                if len(members):
+                    c[ci] = members.mean(axis=0)
+        assert np.allclose(pq.codebooks[j], c, atol=1e-9), (
+            j, np.abs(pq.codebooks[j] - c).max()
+        )
+
+
+def test_pq_distributed_books_drive_adc(spark):
+    from flink_rtcef_spark.operators.similarity import pq_fit_distributed
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    pq = pq_fit_distributed(emb, m=4, k=8, n_iter=2)
+    query = emb.filter(F.col("vec_id") == 7).first()["embedding"]
+    top = pq.ann_topk(pq.encode(emb), list(query), kk=5).toPandas()
+    assert len(top) == 5
+    # the query's own vector should surface in its ADC top-5
+    assert 7 in set(top["vec_id"])
