@@ -783,6 +783,10 @@ def _lloyd_distributed(
             if n > 0:
                 new_c[cell] = vec_sum / n
         c = new_c
+        # the sums are collected, so this iteration's centroid
+        # broadcast is dead — release executor copies before the next
+        # one ships (matters for long training loops)
+        b_c.unpersist(blocking=False)
     return c
 
 
