@@ -676,6 +676,7 @@ def semantic_dedup_pairs(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     centroid_ids: list[int] | None = None,
+    index=None,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023): cluster the embedding space, then
     search for near-duplicates WITHIN each cluster only — the cluster
@@ -684,8 +685,9 @@ def semantic_dedup_pairs(
 
     Centroids are pinned corpus rows (``centroid_ids``, default ids
     0..k-1) so the whole operator is deterministic and SQL-reproducible;
-    swap in ``IVFIndex.fit`` for Lloyd-trained centroids when quality
-    beats oracle-checkability.  Assignment is a map-side batch GEMM
+    pass ``index=`` a fitted IVFIndex (e.g. from
+    ``kmeans_fit_distributed``) for Lloyd-trained centroids when
+    quality beats oracle-checkability.  Assignment is a map-side batch GEMM
     against the broadcast centroid matrix (no shuffle); the only
     shuffle is the groupBy(cluster), and per-cluster work runs as a
     bucketed applyInPandas GEMM — the same 100 TB-safe shape as
@@ -696,8 +698,13 @@ def semantic_dedup_pairs(
     """
     from flink_rtcef_spark.operators.similarity import IVFIndex
 
-    ids = list(centroid_ids) if centroid_ids is not None else list(range(n_clusters))
-    ivf = IVFIndex(n_cells=len(ids)).fit_from_rows(df, ids, id_col, vec_col)
+    if index is not None:
+        # quality path: a trained IVFIndex (kmeans_fit_distributed) —
+        # same plan shape, Lloyd centroids instead of pinned rows
+        ivf = index
+    else:
+        ids = list(centroid_ids) if centroid_ids is not None else list(range(n_clusters))
+        ivf = IVFIndex(n_cells=len(ids)).fit_from_rows(df, ids, id_col, vec_col)
     assigned = ivf.assign(df.select(id_col, vec_col), vec_col)
 
     def score_cluster(pdf: pd.DataFrame) -> pd.DataFrame:

@@ -149,3 +149,21 @@ def test_keep_best_in_component(spark):
         for r in keep_best_in_component(docs, comps, "quality").collect()
     )
     assert kept == [2, 4]  # best of the cluster + the singleton
+
+
+def test_semantic_dedup_with_trained_index(spark):
+    from flink_rtcef_spark.operators.dedup import semantic_dedup_pairs
+    from flink_rtcef_spark.operators.similarity import kmeans_fit_distributed
+    from flink_rtcef_spark.sources.io import load_table
+    from tests.conftest import SF_SMOKE
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    idx = kmeans_fit_distributed(emb, k=8, n_iter=3)
+    pairs = semantic_dedup_pairs(emb, threshold=0.9, index=idx).toPandas()
+    default = semantic_dedup_pairs(emb, n_clusters=8, threshold=0.9).toPandas()
+    # both paths produce valid ordered pairs above the threshold; the
+    # trained clustering groups similar vectors at least as well
+    for d in (pairs, default):
+        assert (d["id_a"] < d["id_b"]).all()
+        assert (d["cosine"] >= 0.9).all()
+    assert len(pairs) >= len(default)
