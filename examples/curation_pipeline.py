@@ -209,14 +209,19 @@ def main() -> None:
     n = stage("exact dedup", docs, n)
 
 
-    # 4. near-dedup: minhash -> banded LSH -> drop the larger id of
-    # each candidate pair (cheap cluster policy for the demo)
-    pairs = lsh_candidate_pairs(minhash_signatures(docs))
-    docs = docs.join(
-        F.broadcast(pairs.select(F.col("id_b").alias("doc_id")).distinct()),
-        "doc_id",
-        "left_anti",
+    # 4. near-dedup: minhash -> banded LSH -> connected components ->
+    # keep the LONGEST copy of each duplicate cluster (exemplar
+    # selection on a quality score, not keep-min-id)
+    from flink_rtcef_spark.operators.dedup import (
+        connected_components,
+        keep_best_in_component,
     )
+
+    pairs = lsh_candidate_pairs(minhash_signatures(docs))
+    comps = connected_components(pairs)
+    docs = keep_best_in_component(
+        docs.withColumn("__len", F.length("text")), comps, "__len"
+    ).drop("__len")
     n = stage("minhash-LSH near-dedup", docs, n)
 
     # 4b. semantic near-dedup (SemDeDup): cluster the embedding space,
