@@ -269,3 +269,74 @@ def test_paragraph_dedup_each_content_survives_exactly_once(spark, texts):
     distinct_contents = {r["para"] for r in paras}
     assert n_paras_total == len(paras)
     assert n_kept_total == len(distinct_contents)
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    texts=st.lists(
+        st.text(
+            alphabet=st.sampled_from("ab c"),
+            min_size=0,
+            max_size=40,
+        ),
+        min_size=1,
+        max_size=20,
+    )
+)
+def test_exact_dedup_idempotent_and_partition_invariant(spark, texts):
+    """dedup(dedup(x)) == dedup(x), and the survivor set is identical
+    under any input partitioning (hash-keyed, not position-keyed)."""
+    from flink_rtcef_spark.operators.dedup import exact_dedup
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    once = exact_dedup(df).drop("n_copies")
+    ids1 = sorted(r["doc_id"] for r in once.collect())
+    twice = exact_dedup(once).drop("n_copies")
+    ids2 = sorted(r["doc_id"] for r in twice.collect())
+    assert ids1 == ids2
+    ids3 = sorted(
+        r["doc_id"]
+        for r in exact_dedup(df.repartition(7)).drop("n_copies").collect()
+    )
+    assert ids1 == ids3
+    # survivors are exactly the distinct NORMALIZED contents (the
+    # operator dedups on lower+trim by design)
+    surv_norm = sorted(r["text"].strip().lower() for r in once.collect())
+    assert surv_norm == sorted({t.strip().lower() for t in texts})
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    texts=st.lists(
+        st.text(alphabet=st.sampled_from("xy z"), min_size=0, max_size=30),
+        min_size=1,
+        max_size=12,
+    )
+)
+def test_hashed_embedding_partition_and_duplicate_invariants(spark, texts):
+    """Equal texts embed identically; embeddings are partitioning-
+    invariant (content-hashed, no positional state)."""
+    import numpy as np
+
+    from flink_rtcef_spark.operators.embed import hashed_text_embedding
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    a = {
+        r["doc_id"]: tuple(r["embedding"])
+        for r in hashed_text_embedding(df, dim=16).collect()
+    }
+    b = {
+        r["doc_id"]: tuple(r["embedding"])
+        for r in hashed_text_embedding(df.repartition(5), dim=16).collect()
+    }
+    assert a == b
+    by_text = {}
+    for i, t in enumerate(texts):
+        by_text.setdefault(t, []).append(i)
+    for t, ids in by_text.items():
+        vecs = {a[i] for i in ids}
+        assert len(vecs) == 1, (t, ids)
