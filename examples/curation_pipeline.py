@@ -278,6 +278,23 @@ def main() -> None:
     top = ", ".join(f"doc {r['doc_id']} ({r['score']:.2f})" for r in hits)
     print(f"  {'bm25 probe':<28} spark/join/stream -> {top}")
 
+    # 7c2. leakage-safe train/val/test split: any near-dup pair still in
+    # the curated corpus (candidates under the dedup threshold) must not
+    # straddle the eval boundary — split per CLUSTER and audit to zero
+    from flink_rtcef_spark.operators.splits import (
+        leakage_safe_split,
+        split_leakage,
+    )
+
+    residual_pairs = lsh_candidate_pairs(minhash_signatures(docs))
+    assigned = leakage_safe_split(
+        docs, residual_pairs, (("train", 0.9), ("val", 0.05), ("test", 0.05))
+    )
+    by = {r["split"]: r["count"] for r in assigned.groupBy("split").count().collect()}
+    leaked = split_leakage(assigned, residual_pairs).count()
+    split_str = ", ".join(f"{k}={by.get(k, 0)}" for k in ("train", "val", "test"))
+    print(f"  {'leakage-safe split':<28} {split_str}; straddling pairs = {leaked}")
+
     # 7d. model-free embedding probe: hash-project the curated text and
     # cluster by mutual kNN (swap in a real encoder column and nothing
     # downstream changes)

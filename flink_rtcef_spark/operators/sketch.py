@@ -1,0 +1,315 @@
+"""Mergeable cardinality / frequency sketches with exact cross-engine
+determinism — the 100 TB profiling layer.
+
+At corpus scale you cannot afford exact ``COUNT(DISTINCT text)`` per
+group (a full shuffle of every distinct value) or an exact frequency
+table over trillions of tokens.  The standard answers are HyperLogLog
+and Count-Min — both MERGEABLE, so Spark computes them as plain
+map-side-combinable aggregations: the shuffle payload is the bounded
+sketch (256 registers / d×w counters), never the data.
+
+What is unusual here is that both sketches are built on the repo's
+md5-derived ``portable_hash64`` and integer-exact register arithmetic,
+so a DuckDB oracle reproduces the estimates BIT FOR BIT — the sketch
+queries sit behind the same hash-match gate as the exact ones
+(tools/check_oracle.py), instead of the usual "approx, so tolerance
+assert" cop-out:
+
+- HLL register sums are computed as ``SUM(2^(CAP - rho))`` in BIGINT —
+  exact and addition-order-independent, where a naive ``SUM(pow(2.0,
+  -rho))`` would round differently per partition order and break the
+  hash gate.  rho (leading-zero count) comes from hex-string scanning,
+  not ``floor(log2(w))`` — log2 of values just below a power of two can
+  round UP in IEEE double and mis-bucket the register.
+- Count-Min is all-integer.
+
+Reference: the reference engine has no sketch layer (its profiling is
+exact in-memory counts, e.g. the S×S transition matrices in
+``Wayeb/cef/src/main/scala/estimator/MatrixEstimator``); this module is
+part of the beyond-reference training-data surface, same family as
+operators/dedup.py.
+
+Scale design (100 TB):
+- ``hll_registers``: groupBy (group, bucket) MAX — partial-agg
+  combinable, ≤256 rows of state per group survive the shuffle.
+- ``hll_estimate``: groupBy (group) SUM over ≤256 rows — trivial.
+- ``cms_build``: posexplode of d in-row hashes + groupBy SUM — one
+  map-side-combinable agg; sketch size d×w rows regardless of input.
+- ``cms_lookup``: join probes against the sketch on (row, col) — the
+  sketch side is tiny, Spark broadcasts it.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from flink_rtcef_spark.functions.scalar import portable_hash64
+
+# ---------------------------------------------------------------------------
+# HyperLogLog (Flajolet et al. 2007), m = 256 registers (b = 8)
+# ---------------------------------------------------------------------------
+
+#: number of registers; error ≈ 1.04/sqrt(m) ≈ 6.5 %
+HLL_M = 256
+#: rho cap — P(rho > 40) = 2^-40 per item; capping keeps the exact
+#: integer register sum within BIGINT (256 * 2^40 << 2^63)
+HLL_RHO_CAP = 40
+#: alpha_m for m = 256 — both engines evaluate the SAME expression so
+#: the IEEE result is identical; see _ALPHA_SQL
+_ALPHA = 0.7213 / (1.0 + 1.079 / 256.0)
+_ALPHA_SQL = "(0.7213 / (1.0 + 1.079 / 256.0))"
+
+
+def _nibble_lz(c: Column) -> Column:
+    """Leading zero bits within one hex nibble (0 excluded — handled by
+    the caller's all-zero guard)."""
+    return (
+        F.when(c == "1", F.lit(3))
+        .when(c.isin("2", "3"), F.lit(2))
+        .when(c.isin("4", "5", "6", "7"), F.lit(1))
+        .otherwise(F.lit(0))
+    )
+
+
+def hll_rho(col: Column) -> Column:
+    """rho = 1 + number of leading zero bits of the 60-bit value held in
+    md5 hex chars 17..31 of ``col`` (disjoint from the bucket bits,
+    which come from chars 1..15 via portable_hash64).  Pure string
+    scanning — no float log2 — capped at HLL_RHO_CAP."""
+    hexs = F.substring(F.md5(col), 17, 15)
+    zeros = F.length(F.regexp_extract(hexs, "^(0*)", 1))
+    first = hexs.substr(zeros + 1, F.lit(1))
+    rho = F.when(zeros == 15, F.lit(61)).otherwise(
+        zeros * 4 + _nibble_lz(first) + 1
+    )
+    return F.least(rho, F.lit(HLL_RHO_CAP))
+
+
+def hll_rho_sql(expr: str) -> str:
+    """DuckDB twin of :func:`hll_rho` over SQL expression ``expr``."""
+    hexs = f"substr(md5({expr}), 17, 15)"
+    zeros = f"length(regexp_extract({hexs}, '^(0*)', 1))"
+    first = f"substr({hexs}, {zeros} + 1, 1)"
+    nib = (
+        f"(CASE WHEN {first} = '1' THEN 3 "
+        f"WHEN {first} IN ('2','3') THEN 2 "
+        f"WHEN {first} IN ('4','5','6','7') THEN 1 ELSE 0 END)"
+    )
+    return (
+        f"LEAST(CASE WHEN {zeros} = 15 THEN 61 "
+        f"ELSE {zeros} * 4 + {nib} + 1 END, {HLL_RHO_CAP})"
+    )
+
+
+def hll_registers(
+    df: DataFrame, value_col: str, group_cols: list[str] | None = None
+) -> DataFrame:
+    """Sketch state: one row per (group, bucket) with the max rho seen.
+    This IS the mergeable form — union two register frames and re-MAX
+    to merge sketches (streaming twin: the same MAX under microbatch
+    accumulation yields identical registers)."""
+    group_cols = group_cols or []
+    v = F.col(value_col).cast("string")
+    out = df.select(
+        *group_cols,
+        (portable_hash64(v) % HLL_M).alias("bucket"),
+        hll_rho(v).alias("rho"),
+    )
+    return out.groupBy(*group_cols, "bucket").agg(F.max("rho").alias("rho"))
+
+
+def hll_merge(*register_frames: DataFrame) -> DataFrame:
+    """Merge sketches: union + re-MAX (associative, commutative)."""
+    out = register_frames[0]
+    for extra in register_frames[1:]:
+        out = out.unionByName(extra)
+    keys = [c for c in out.columns if c != "rho"]
+    return out.groupBy(*keys).agg(F.max("rho").alias("rho"))
+
+
+def hll_estimate(
+    registers: DataFrame, group_cols: list[str] | None = None
+) -> DataFrame:
+    """Cardinality estimate per group from a register frame.
+
+    raw = alpha * m^2 / sum_j 2^(-M_j) with absent buckets at M = 0;
+    computed exactly as  alpha * m^2 * 2^CAP / SUM(2^(CAP-M))  where the
+    register sum is BIGINT (order-independent).  Small-range correction
+    (raw <= 2.5 m, some register empty): linear counting m*ln(m/V).
+    The 2^60-range correction is omitted: with a 60-bit hash it engages
+    above ~10^17 distincts, beyond any corpus this reads.
+    """
+    group_cols = group_cols or []
+    # each term 2^(CAP-rho) is an exact integer (rho <= CAP); summing
+    # BIGINTs is addition-order-independent, unlike a double sum
+    term = (F.lit(float(2**HLL_RHO_CAP)) / F.pow(F.lit(2.0), F.col("rho"))).cast(
+        "long"
+    )
+    agg = registers.groupBy(*group_cols).agg(
+        F.sum(term).alias("observed_sum"),
+        F.count(F.lit(1)).alias("n_buckets"),
+    )
+    total = F.col("observed_sum") + (F.lit(HLL_M) - F.col("n_buckets")) * F.lit(
+        2**HLL_RHO_CAP
+    )
+    raw = F.lit(_ALPHA) * F.lit(float(HLL_M * HLL_M * (2**HLL_RHO_CAP))) / total
+    empty = F.lit(HLL_M) - F.col("n_buckets")
+    est = F.when(
+        (raw <= 2.5 * HLL_M) & (empty > 0),
+        F.lit(float(HLL_M)) * F.log(F.lit(float(HLL_M)) / empty),
+    ).otherwise(raw)
+    return agg.select(
+        *group_cols, F.round(est, 2).alias("hll_distinct")
+    )
+
+
+def hll_distinct(
+    df: DataFrame, value_col: str, group_cols: list[str] | None = None
+) -> DataFrame:
+    """End-to-end: registers → estimate, per group."""
+    return hll_estimate(hll_registers(df, value_col, group_cols), group_cols)
+
+
+def hll_distinct_sql(
+    table: str, value_expr: str, group_cols: list[str] | None = None
+) -> str:
+    """DuckDB twin of :func:`hll_distinct` — identical arithmetic, so
+    the estimate hash-matches (see module docstring for why the integer
+    register sum makes that possible)."""
+    group_cols = group_cols or []
+    gsel = "".join(f"{g}, " for g in group_cols)
+    gby_reg = "GROUP BY " + ", ".join([*group_cols, "bucket"])
+    gby_est = ("GROUP BY " + ", ".join(group_cols)) if group_cols else ""
+    v = f"CAST({value_expr} AS VARCHAR)"
+    h = f"CAST(('0x' || substr(md5({v}), 1, 15)) AS BIGINT)"
+    cap = 2**HLL_RHO_CAP
+    return f"""
+    WITH regs AS (
+      SELECT {gsel}{h} % {HLL_M} AS bucket,
+             MAX({hll_rho_sql(v)}) AS rho
+      FROM {table} {gby_reg}
+    ), agg AS (
+      SELECT {gsel}
+             CAST(SUM(CAST({cap} AS BIGINT) // (CAST(1 AS BIGINT) << rho))
+                  AS BIGINT) AS observed_sum,
+             COUNT(*) AS n_buckets
+      FROM regs {gby_est}
+    )
+    SELECT {gsel}
+           ROUND(CASE WHEN {_ALPHA_SQL} * {float(HLL_M * HLL_M * cap)!r}
+                        / (observed_sum + ({HLL_M} - n_buckets) * CAST({cap} AS BIGINT))
+                        <= {2.5 * HLL_M!r}
+                      AND {HLL_M} - n_buckets > 0
+                 THEN {float(HLL_M)!r} * ln({float(HLL_M)!r} / ({HLL_M} - n_buckets))
+                 ELSE {_ALPHA_SQL} * {float(HLL_M * HLL_M * cap)!r}
+                        / (observed_sum + ({HLL_M} - n_buckets) * CAST({cap} AS BIGINT))
+                 END, 2) AS hll_distinct
+    FROM agg
+    """
+
+
+# ---------------------------------------------------------------------------
+# Count-Min sketch (Cormode & Muthukrishnan 2005)
+# ---------------------------------------------------------------------------
+
+
+def _cms_col(value: Column, row: int, width: int, seed: int) -> Column:
+    return (
+        portable_hash64(F.concat(value, F.lit(f"#cms{row}#{seed}"))) % width
+    )
+
+
+def cms_build(
+    df: DataFrame,
+    value_col: str,
+    depth: int = 4,
+    width: int = 1024,
+    seed: int = 0,
+    weight_col: str | None = None,
+) -> DataFrame:
+    """Count-Min sketch of the ``value_col`` frequency distribution:
+    rows (r, c, cnt) — at most depth×width of them however large the
+    input.  One posexplode of the d in-row hashes + a combinable SUM;
+    two sketches over disjoint data merge by adding cnt per (r, c)
+    (see :func:`cms_merge`)."""
+    v = F.col(value_col).cast("string")
+    w = F.col(weight_col).cast("long") if weight_col else F.lit(1).cast("long")
+    cols = F.array(*[_cms_col(v, r, width, seed) for r in range(depth)])
+    return (
+        df.select(F.posexplode(cols).alias("r", "c"), w.alias("w"))
+        .groupBy("r", "c")
+        .agg(F.sum("w").alias("cnt"))
+    )
+
+
+def cms_merge(*sketches: DataFrame) -> DataFrame:
+    out = sketches[0]
+    for extra in sketches[1:]:
+        out = out.unionByName(extra)
+    return out.groupBy("r", "c").agg(F.sum("cnt").alias("cnt"))
+
+
+def cms_lookup(
+    sketch: DataFrame,
+    probes: DataFrame,
+    value_col: str,
+    depth: int = 4,
+    width: int = 1024,
+    seed: int = 0,
+) -> DataFrame:
+    """Point-frequency estimates for ``probes``: est = MIN over the d
+    rows of the counter each hash lands in (never under the true count;
+    over by at most eps·N w.h.p.).  The probe side explodes d rows,
+    joins the tiny sketch (broadcast), and MINs back per value."""
+    v = F.col(value_col).cast("string")
+    cols = F.array(*[_cms_col(v, r, width, seed) for r in range(depth)])
+    exploded = probes.select(
+        F.col(value_col), F.posexplode(cols).alias("r", "c")
+    )
+    return (
+        exploded.join(F.broadcast(sketch), ["r", "c"], "left")
+        .groupBy(value_col)
+        .agg(F.min(F.coalesce("cnt", F.lit(0))).alias("cms_count"))
+    )
+
+
+def cms_sql(
+    source_sql: str,
+    probe_sql: str,
+    value_col: str,
+    depth: int = 4,
+    width: int = 1024,
+    seed: int = 0,
+) -> str:
+    """DuckDB twin of cms_build + cms_lookup — all-integer, exact.
+    ``source_sql``/``probe_sql`` are subqueries yielding ``value_col``
+    (probes may carry extra columns, which are preserved)."""
+    v = f"CAST({value_col} AS VARCHAR)"
+    v_probe = f"CAST(p.{value_col} AS VARCHAR)"
+
+    def col(r: int, val: str) -> str:
+        return (
+            f"CAST(('0x' || substr(md5({val} || '#cms{r}#{seed}'), 1, 15)) "
+            f"AS BIGINT) % {width}"
+        )
+
+    hashes = ", ".join(f"{col(r, v)} AS c{r}" for r in range(depth))
+    unions = " UNION ALL ".join(
+        f"SELECT {r} AS r, c{r} AS c, w FROM hashed" for r in range(depth)
+    )
+    probe_min = ", ".join(f"COALESCE(s{r}.cnt, 0)" for r in range(depth))
+    probe_joins = " ".join(
+        f"LEFT JOIN sketch s{r} ON s{r}.r = {r} AND s{r}.c = {col(r, v_probe)}"
+        for r in range(depth)
+    )
+    return f"""
+    WITH hashed AS (
+      SELECT {hashes}, CAST(1 AS BIGINT) AS w FROM ({source_sql})
+    ), cells AS ({unions}),
+    sketch AS (
+      SELECT r, c, CAST(SUM(w) AS BIGINT) AS cnt FROM cells GROUP BY r, c
+    )
+    SELECT p.*, CAST(LEAST({probe_min}) AS BIGINT) AS cms_count
+    FROM ({probe_sql}) p {probe_joins}
+    """

@@ -1550,3 +1550,36 @@ def domain_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pagerank(edges, n_iter=10).select(
         "node", F.round("rank", 6).alias("rank")
     )
+
+
+# --------------------------------------------------------------------------
+# Sketched distinct-count profile (operators/sketch.py).  At 100 TB the
+# exact COUNT(DISTINCT text) per group shuffles every distinct value;
+# the HLL register aggregation shuffles <= 256 BIGINTs per group.  The
+# md5-deterministic registers and integer-exact register sums make the
+# ESTIMATE itself hash-checkable against DuckDB — the query returns the
+# estimate next to the exact count so the error envelope is visible.
+def _hll_oracle() -> str:
+    from flink_rtcef_spark.operators.sketch import hll_distinct_sql
+
+    inner = hll_distinct_sql("documents", "text", ["lang", "source"])
+    return f"""
+    SELECT h.lang, h.source, h.hll_distinct, e.exact_distinct
+    FROM ({inner}) h
+    JOIN (SELECT lang, source,
+                 CAST(COUNT(DISTINCT text) AS BIGINT) AS exact_distinct
+          FROM documents GROUP BY lang, source) e
+      ON h.lang = e.lang AND h.source = e.source
+    """
+
+
+@query("hll_distinct_texts", oracle=_hll_oracle())
+def hll_distinct_texts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_rtcef_spark.operators.sketch import hll_distinct
+
+    docs = load_table(spark, sf_dir, "documents")
+    est = hll_distinct(docs, "text", ["lang", "source"])
+    exact = docs.groupBy("lang", "source").agg(
+        F.countDistinct("text").alias("exact_distinct")
+    )
+    return est.join(exact, ["lang", "source"])

@@ -179,19 +179,11 @@ def confusion_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 # Batch-vs-runtime delta reports (WayebEngine.java:370-430): per key a
 # running cumulative count and the delta vs the previous report = lag of
-# the cumulative — analytic window functions.
-@query(
-    "lag_delta_reports",
-    oracle="""
-    SELECT user_id, event_id,
-           COUNT(*) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_events,
-           ROUND(SUM(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS cum_value,
-           COALESCE(LAG(event_id) OVER (PARTITION BY user_id ORDER BY ts, event_id), -1) AS prev_event_id
-    FROM events
-    """,
-)
+# the cumulative — analytic window functions.  (Rotated out of the
+# 50-slot driver registry in r3 to make room for hll_distinct_texts;
+# the same Spark-vs-DuckDB hash gate lives in
+# tests/test_retired_queries.py, and sessionize keeps LAG-window
+# coverage in the driver set.)
 def lag_delta_reports(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     w = W.partitionBy("user_id").orderBy("ts", "event_id")

@@ -101,3 +101,20 @@ def test_pivot_event_counts_oracle(spark, duck):
         spark, duck, pivot_event_counts, PIVOT_EVENT_COUNTS_SQL,
         "pivot_event_counts",
     )
+
+
+LAG_DELTA_SQL = """
+    SELECT user_id, event_id,
+           COUNT(*) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_events,
+           ROUND(SUM(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS cum_value,
+           COALESCE(LAG(event_id) OVER (PARTITION BY user_id ORDER BY ts, event_id), -1) AS prev_event_id
+    FROM events
+"""
+
+
+def test_lag_delta_reports_oracle(spark, duck):
+    from flink_rtcef_spark.queries.relational import lag_delta_reports
+
+    _check(spark, duck, lag_delta_reports, LAG_DELTA_SQL, "lag_delta_reports")

@@ -1,0 +1,162 @@
+"""HLL / Count-Min sketches (operators/sketch.py): cross-engine
+bit-parity, mergeability, and accuracy envelopes."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from flink_rtcef_spark.operators.sketch import (
+    HLL_M,
+    cms_build,
+    cms_lookup,
+    cms_merge,
+    cms_sql,
+    hll_distinct,
+    hll_distinct_sql,
+    hll_merge,
+    hll_registers,
+    hll_rho,
+)
+
+from .conftest import SF_ORACLE
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF_ORACLE}/documents.parquet")
+
+
+def test_hll_rho_distribution(spark):
+    """rho is 1 + leading-zero-bits: over many values, P(rho >= k) ~
+    2^(1-k) — sanity that the hex scan decodes real bit positions."""
+    df = spark.range(50000).select(F.col("id").cast("string").alias("v"))
+    rows = df.select(hll_rho(F.col("v")).alias("rho")).groupBy("rho").count()
+    by = {r["rho"]: r["count"] for r in rows.collect()}
+    assert by[1] / 50000 == pytest.approx(0.5, abs=0.02)
+    assert by[2] / 50000 == pytest.approx(0.25, abs=0.02)
+    assert max(by) <= 40
+
+
+def test_hll_accuracy_unsplit(spark):
+    """Estimate within the ~3 sigma HLL envelope (1.04/sqrt(256) ~ 6.5%
+    per sigma) across an order-of-magnitude cardinality range."""
+    for n in (300, 5000, 40000):
+        df = spark.range(n).select(F.col("id").alias("v"))
+        est = hll_distinct(df, "v").first()["hll_distinct"]
+        assert est == pytest.approx(n, rel=0.2), (n, est)
+
+
+def test_hll_duplicates_dont_count(spark):
+    df = spark.range(3000).select((F.col("id") % 100).alias("v"))
+    est = hll_distinct(df, "v").first()["hll_distinct"]
+    assert est == pytest.approx(100, rel=0.25)
+
+
+def test_hll_matches_duckdb_bit_for_bit(spark, docs):
+    got = {
+        (r["lang"], r["source"]): r["hll_distinct"]
+        for r in hll_distinct(docs, "text", ["lang", "source"]).collect()
+    }
+    con = duckdb.connect()
+    sql = hll_distinct_sql(
+        f"read_parquet('{SF_ORACLE}/documents.parquet')",
+        "text",
+        ["lang", "source"],
+    )
+    want = {(l, s): e for l, s, e in con.execute(sql).fetchall()}
+    assert got == want
+
+
+def test_hll_merge_equals_whole(spark, docs):
+    """Sketch of (A union B) == merge(sketch A, sketch B) — the property
+    that makes per-shard profiling sum up at 100 TB."""
+    a = hll_registers(docs.filter("doc_id % 2 = 0"), "text", ["lang"])
+    b = hll_registers(docs.filter("doc_id % 2 = 1"), "text", ["lang"])
+    whole = hll_registers(docs, "text", ["lang"])
+    merged = hll_merge(a, b)
+    assert merged.exceptAll(whole).count() == 0
+    assert whole.exceptAll(merged).count() == 0
+
+
+def test_hll_registers_bounded(spark):
+    df = spark.range(200000).select(F.col("id").alias("v"))
+    assert hll_registers(df, "v").count() <= HLL_M
+
+
+@pytest.fixture(scope="module")
+def words(spark, docs):
+    return docs.select(
+        F.explode(F.split(F.lower("text"), "\\s+")).alias("word")
+    ).filter(F.length("word") > 0)
+
+
+def test_cms_never_underestimates_and_is_tight(spark, words):
+    truth = words.groupBy("word").count()
+    probes = truth.orderBy(F.desc("count"), "word").limit(30).select("word")
+    sketch = cms_build(words, "word")
+    est = cms_lookup(sketch, probes, "word")
+    joined = est.join(truth, "word").collect()
+    assert len(joined) == 30
+    n_total = words.count()
+    for r in joined:
+        assert r["cms_count"] >= r["count"], r
+        # eps = e/width ~ 0.0027; allow 2x slack on the w.h.p. bound
+        assert r["cms_count"] - r["count"] <= 2 * 2.72 * n_total / 1024, r
+
+
+def test_cms_matches_duckdb(spark, words):
+    src = (
+        "SELECT unnest(string_split(lower(text), ' ')) AS word "
+        f"FROM read_parquet('{SF_ORACLE}/documents.parquet')"
+    )
+    # probe a fixed word set so both engines agree on the probe frame
+    probe_words = ["the", "data", "spark", "of", "zzz-absent"]
+    probes_sql = " UNION ALL ".join(
+        f"SELECT '{w}' AS word" for w in probe_words
+    )
+    con = duckdb.connect()
+    want = dict(
+        con.execute(
+            "SELECT word, cms_count FROM ("
+            + cms_sql(f"SELECT word FROM ({src}) WHERE length(word) > 0",
+                      probes_sql, "word")
+            + ")"
+        ).fetchall()
+    )
+    spark_words = (
+        spark.read.parquet(f"{SF_ORACLE}/documents.parquet")
+        .select(F.explode(F.split(F.lower("text"), " ")).alias("word"))
+        .filter(F.length("word") > 0)
+    )
+    probes = spark.createDataFrame([(w,) for w in probe_words], "word string")
+    got = {
+        r["word"]: r["cms_count"]
+        for r in cms_lookup(cms_build(spark_words, "word"), probes, "word").collect()
+    }
+    assert got == want
+    assert got["zzz-absent"] >= 0  # absent probes yield a (small) estimate
+
+
+def test_cms_merge_equals_whole(spark, words):
+    a = cms_build(words.filter(F.crc32("word") % 2 == 0), "word")
+    b = cms_build(words.filter(F.crc32("word") % 2 == 1), "word")
+    whole = cms_build(words, "word")
+    merged = cms_merge(a, b)
+    assert merged.exceptAll(whole).count() == 0
+    assert whole.exceptAll(merged).count() == 0
+
+
+def test_cms_weighted(spark):
+    df = spark.createDataFrame(
+        [("a", 5), ("a", 7), ("b", 1)], "v string, w int"
+    )
+    probes = spark.createDataFrame([("a",), ("b",)], "v string")
+    got = {
+        r["v"]: r["cms_count"]
+        for r in cms_lookup(
+            cms_build(df, "v", weight_col="w"), probes, "v"
+        ).collect()
+    }
+    assert got["a"] >= 12 and got["b"] >= 1
