@@ -23,6 +23,14 @@ assert" cop-out:
   round UP in IEEE double and mis-bucket the register.
 - Count-Min is all-integer.
 
+Relation to operators/profile.py: profile.py wraps Spark's BUILT-IN
+Datasketches aggregates (``hll_sketch_agg`` / KLL) — the fastest
+JVM-native path for interactive profiling, but its estimates are not
+reproducible outside Spark, so they can only be tolerance-tested.
+This module is the cross-engine-deterministic counterpart (and adds
+Count-Min, which Spark has no SQL aggregate for); use profile.py for
+ad-hoc health checks, this one where the estimate must be auditable.
+
 Reference: the reference engine has no sketch layer (its profiling is
 exact in-memory counts, e.g. the S×S transition matrices in
 ``Wayeb/cef/src/main/scala/estimator/MatrixEstimator``); this module is
