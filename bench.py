@@ -60,6 +60,7 @@ HEADLINE = [
     "dedup_paragraphs",
     "semantic_dedup",
     "domain_pagerank",
+    "hll_distinct_texts",
 ]
 
 N_ITER = 3
