@@ -340,3 +340,87 @@ def test_hashed_embedding_partition_and_duplicate_invariants(spark, texts):
     for t, ids in by_text.items():
         vecs = {a[i] for i in ids}
         assert len(vecs) == 1, (t, ids)
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(st.integers(min_value=0, max_value=400), min_size=1, max_size=200),
+)
+def test_hll_duplication_and_merge_invariants(spark, values):
+    """HLL registers are a pure function of the SET of values: feeding
+    duplicates (df UNION df) cannot move the estimate, and the sketch of
+    the whole equals the merge of the sketches of any 2-way split."""
+    from flink_rtcef_spark.operators.sketch import (
+        hll_distinct,
+        hll_estimate,
+        hll_merge,
+        hll_registers,
+    )
+
+    df = spark.createDataFrame([(v,) for v in values], "v int")
+    est_once = hll_distinct(df, "v").first()["hll_distinct"]
+    est_twice = hll_distinct(df.union(df), "v").first()["hll_distinct"]
+    assert est_once == est_twice
+
+    a = hll_registers(df.filter("v % 2 = 0"), "v")
+    b = hll_registers(df.filter("v % 2 = 1"), "v")
+    merged_est = hll_estimate(hll_merge(a, b)).first()["hll_distinct"]
+    assert merged_est == est_once
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(st.text(alphabet="abcxyz", min_size=1, max_size=4),
+             min_size=1, max_size=120),
+)
+def test_cms_upper_bounds_truth_on_arbitrary_input(spark, values):
+    """CMS estimates never undercount, on arbitrary value multisets;
+    and the sketch is invariant to input partitioning."""
+    from collections import Counter
+
+    from flink_rtcef_spark.operators.sketch import cms_build, cms_lookup
+
+    df = spark.createDataFrame([(v,) for v in values], "v string")
+    probes = df.distinct()
+    got = {
+        r["v"]: r["cms_count"]
+        for r in cms_lookup(cms_build(df, "v"), probes, "v").collect()
+    }
+    truth = Counter(values)
+    for v, n in truth.items():
+        assert got[v] >= n, (v, n, got[v])
+
+    re_part = cms_build(df.repartition(7), "v")
+    assert re_part.exceptAll(cms_build(df, "v")).count() == 0
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.integers(min_value=2, max_value=40),
+    st.lists(
+        st.tuples(st.integers(0, 39), st.integers(0, 39)).filter(lambda p: p[0] != p[1]),
+        max_size=30,
+    ),
+    st.integers(min_value=0, max_value=3),
+)
+def test_leakage_safe_split_never_straddles(spark, n_docs, raw_pairs, seed):
+    """For ANY pair graph over the corpus, the cluster-aware split has
+    zero straddling pairs (including transitive chains) and covers every
+    document exactly once."""
+    import pyspark.sql.functions as F
+
+    from flink_rtcef_spark.operators.splits import (
+        leakage_safe_split,
+        split_leakage,
+    )
+
+    docs = spark.range(n_docs).select(F.col("id").alias("doc_id"))
+    pairs = [(a % n_docs, b % n_docs) for a, b in raw_pairs if a % n_docs != b % n_docs]
+    prs = spark.createDataFrame(pairs or [(0, 1)][: n_docs - 1] or [(0, 0)],
+                                "id_a long, id_b long")
+    if not pairs and n_docs < 2:
+        return
+    assigned = leakage_safe_split(docs, prs, seed=seed)
+    assert assigned.count() == n_docs
+    assert assigned.filter("split IS NULL OR cluster IS NULL").count() == 0
+    assert split_leakage(assigned, prs).count() == 0
