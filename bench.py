@@ -498,6 +498,32 @@ def weak_scaling_step(spark, sf_dir: str) -> dict:
     out["ppl_throughput_ratio"] = round(
         out["ppl_10x_docs_per_sec"] / out["ppl_1x_docs_per_sec"], 3
     )
+
+    # --- HLL sketch weak scaling: x10 rows AND x10 distincts (copy id
+    # mixed into the value), per-lang groups.  The shuffle payload is
+    # <=256 registers per group at EVERY scale — the ratio should sit
+    # near the row-scan ratio, the whole point of sketched profiling.
+    from flink_rtcef_spark.operators.sketch import hll_distinct
+
+    hdocs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("lang", "text")
+    for tag, copies in (("1x", 1), ("10x", 10)):
+        if copies == 1:
+            df = hdocs
+        else:
+            df = hdocs.withColumn(
+                "__c", F.explode(F.sequence(F.lit(0), F.lit(copies - 1)))
+            ).withColumn("text", F.concat_ws("#", "text", "__c")).drop("__c")
+        df = df.cache()
+        n = df.count()
+        hll_distinct(df, "text", ["lang"]).count()  # warm
+        dt = _timed(lambda: hll_distinct(df, "text", ["lang"]).count())
+        out[f"hll_{tag}_rows"] = n
+        out[f"hll_{tag}_sec"] = round(dt, 3)
+        out[f"hll_{tag}_rows_per_sec"] = round(n / dt)
+        df.unpersist()
+    out["hll_throughput_ratio"] = round(
+        out["hll_10x_rows_per_sec"] / out["hll_1x_rows_per_sec"], 3
+    )
     return out
 
 
