@@ -163,3 +163,48 @@ def test_semantic_dedup_single_shuffle(spark):
     plan = plan_of(spark, "semantic_dedup")
     assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1
     assert "FlatMapGroupsInPandas" in plan
+
+
+def _explain(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def test_hll_registers_plan_partial_agg_single_exchange(spark):
+    """The HLL map stage must combine map-side (partial_max) and move
+    only register rows through ONE Exchange; the scan prunes to the
+    value+group columns."""
+    from flink_rtcef_spark.operators.sketch import hll_registers
+
+    df = spark.read.parquet(f"{SF_ORACLE}/documents.parquet")
+    plan = _explain(hll_registers(df, "text", ["lang"]))
+    assert "partial_max" in plan
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m and sorted(c.split(":")[0] for c in m.group(1).split(",")) == [
+        "lang", "text",
+    ]
+
+
+def test_cms_build_plan_partial_agg_single_exchange(spark):
+    from flink_rtcef_spark.operators.sketch import cms_build
+
+    df = spark.read.parquet(f"{SF_ORACLE}/documents.parquet")
+    plan = _explain(cms_build(df, "text"))
+    assert "partial_sum" in plan
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1
+
+
+def test_hash_split_plan_is_map_only(spark):
+    """Split assignment is a pure Project over the scan: no Exchange,
+    no Python, inside WholeStageCodegen."""
+    from flink_rtcef_spark.operators.splits import hash_split
+
+    df = spark.read.parquet(f"{SF_ORACLE}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    plan = _explain(hash_split(df))
+    assert not re.findall(r"\(\d+\) \w*Exchange", plan)
+    assert "Python" not in plan
+    assert "codegen id" in plan  # rides in a WholeStageCodegen span
