@@ -148,3 +148,84 @@ def temperature_sample(
         return df
     rates = temperature_rates(counts, alpha, target_total)
     return stratified_sample(df, source_col, rates, key_col, seed=seed)
+
+
+def epoch_upsample(
+    df: DataFrame,
+    weights: dict[str, float],
+    group_col: str,
+    id_col: str,
+    seed: int = 0,
+    default_weight: float = 1.0,
+) -> DataFrame:
+    """Repetition-budget UPsampling for pretraining mixes: each row of
+    group g appears ``floor(w_g)`` times plus one more with probability
+    ``frac(w_g)`` — so the expected copy count is exactly ``w_g`` and
+    any integer weight is exact (weight 2.0 = every doc twice).  The
+    mix recipes behind DoReMi / Pile-style training repeat high-value
+    sources ~2-5 epochs while truncating low-value ones; the
+    downsampling half (w < 1) degenerates to :func:`bernoulli_sample`.
+
+    Output adds an ``epoch`` column (0-based copy index) so downstream
+    shard writers can interleave epochs rather than emit them
+    back-to-back.
+
+    Scale design: one map-side ``explode(sequence(0, floor))`` plus the
+    fractional hash-coin filter — no shuffle, no state; the blow-up is
+    the OUTPUT size (sum of weights), which is the point.  The
+    fractional coin keys on (id, seed) — independent of the coin any
+    earlier bernoulli/stratified stage used ONLY if seeds differ, so
+    pass a pipeline-unique seed.  Deterministic in (id, seed):
+    re-runs, repartitions, and the DuckDB oracle agree row-for-row.
+    """
+    if any(w < 0 for w in weights.values()) or default_weight < 0:
+        raise ValueError(f"weights must be non-negative: {weights}")
+    w = F.lit(float(default_weight))
+    for g, wg in sorted(weights.items()):
+        w = F.when(F.col(group_col) == g, F.lit(float(wg))).otherwise(w)
+    full = F.floor(w).cast("int")
+    frac = w - F.floor(w)
+    coin = hash_fraction(F.col(id_col), seed)
+    n_copies = (full + (coin < frac).cast("int")).alias("__n")
+    return (
+        df.withColumn("__n", n_copies)
+        .filter(F.col("__n") > 0)
+        .withColumn(
+            "epoch",
+            F.explode(
+                F.sequence(F.lit(0).cast("long"), (F.col("__n") - 1).cast("long"))
+            ),
+        )
+        .drop("__n")
+    )
+
+
+def epoch_upsample_sql(
+    source_sql: str,
+    weights: dict[str, float],
+    group_col: str,
+    id_col: str,
+    seed: int = 0,
+    default_weight: float = 1.0,
+) -> str:
+    """DuckDB twin of :func:`epoch_upsample` (same md5 coin, same
+    floor/frac split) for oracle checks.  The epoch fan-out joins a
+    bounded range table sized to the max weight."""
+    w = repr(float(default_weight))
+    for g, wg in sorted(weights.items()):
+        w = f"CASE WHEN s.{group_col} = '{g}' THEN {float(wg)!r} ELSE {w} END"
+    coin = (
+        f"(CAST(('0x' || substr(md5(CAST(s.{id_col} AS VARCHAR) || '#{seed}'), 1, 15)) "
+        f"AS BIGINT) / {float(1 << 60)!r})"
+    )
+    n = (
+        f"(CAST(FLOOR({w}) AS INT) + "
+        f"(CASE WHEN {coin} < ({w}) - FLOOR({w}) THEN 1 ELSE 0 END))"
+    )
+    max_epochs = int(max([*weights.values(), default_weight])) + 1
+    return f"""
+    SELECT s.*, CAST(r.epoch AS BIGINT) AS epoch
+    FROM ({source_sql}) s
+    JOIN (SELECT UNNEST(range(0, {max_epochs})) AS epoch) r
+      ON r.epoch < {n}
+    """

@@ -206,3 +206,95 @@ def test_compression_ratio_streams(spark, tmp_path):
     q.stop()
     want = df.select("doc_id", compression_ratio_column().alias("ratio")).toPandas()
     assert sorted(map(tuple, got.to_numpy())) == sorted(map(tuple, want.to_numpy()))
+
+
+# ----------------------------------------------------------- upsampling --
+def test_epoch_upsample_integer_weights_exact(spark):
+    import pyspark.sql.functions as F
+
+    from flink_rtcef_spark.operators.sampling import epoch_upsample
+
+    df = spark.createDataFrame(
+        [(i, "hi" if i % 2 else "lo") for i in range(100)],
+        "doc_id long, source string",
+    )
+    up = epoch_upsample(df, {"hi": 3.0, "lo": 1.0}, "source", "doc_id")
+    by = {r["source"]: r["count"] for r in up.groupBy("source").count().collect()}
+    assert by == {"hi": 150, "lo": 50}
+    # epochs are 0..w-1 per doc, exactly once each
+    bad = (
+        up.groupBy("doc_id")
+        .agg(F.countDistinct("epoch").alias("ne"), F.count("*").alias("n"))
+        .filter("ne <> n")
+        .count()
+    )
+    assert bad == 0
+
+
+def test_epoch_upsample_fractional_expectation_and_bounds(spark):
+    from flink_rtcef_spark.operators.sampling import epoch_upsample
+
+    df = spark.createDataFrame(
+        [(i, "s") for i in range(4000)], "doc_id long, source string"
+    )
+    up = epoch_upsample(df, {"s": 2.3}, "source", "doc_id")
+    n = up.count()
+    # every doc 2 or 3 times; expectation 2.3 +- sampling noise
+    assert 2 * 4000 <= n <= 3 * 4000
+    assert abs(n / 4000 - 2.3) < 0.05
+    per = up.groupBy("doc_id").count().select("count").distinct().collect()
+    assert {r["count"] for r in per} == {2, 3}
+
+
+def test_epoch_upsample_downsampling_half_matches_bernoulli(spark):
+    from flink_rtcef_spark.operators.sampling import (
+        bernoulli_sample,
+        epoch_upsample,
+    )
+
+    df = spark.createDataFrame(
+        [(i, "s") for i in range(2000)], "doc_id long, source string"
+    )
+    up = epoch_upsample(df, {"s": 0.25}, "source", "doc_id", seed=7)
+    bern = bernoulli_sample(df, 0.25, "doc_id", seed=7)
+    assert up.drop("epoch").exceptAll(bern).count() == 0
+    assert bern.exceptAll(up.drop("epoch")).count() == 0
+
+
+def test_epoch_upsample_matches_duckdb(spark):
+    import duckdb
+
+    from flink_rtcef_spark.operators.sampling import (
+        epoch_upsample,
+        epoch_upsample_sql,
+    )
+    from tests.conftest import SF_SMOKE
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").select(
+        "doc_id", "source"
+    )
+    got = {
+        (r["doc_id"], r["epoch"])
+        for r in epoch_upsample(
+            docs, {"web": 2.5, "books": 0.5}, "source", "doc_id", seed=3
+        ).collect()
+    }
+    sql = epoch_upsample_sql(
+        f"SELECT doc_id, source FROM read_parquet('{SF_SMOKE}/documents.parquet')",
+        {"web": 2.5, "books": 0.5},
+        "source",
+        "doc_id",
+        seed=3,
+    )
+    want = {(r[0], r[2]) for r in duckdb.connect().execute(sql).fetchall()}
+    assert got == want and len(got) > 0
+
+
+def test_epoch_upsample_rejects_negative_weight(spark):
+    import pytest as _pytest
+
+    from flink_rtcef_spark.operators.sampling import epoch_upsample
+
+    df = spark.createDataFrame([(1, "s")], "doc_id long, source string")
+    with _pytest.raises(ValueError):
+        epoch_upsample(df, {"s": -1.0}, "source", "doc_id")
