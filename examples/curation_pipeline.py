@@ -251,8 +251,27 @@ def main() -> None:
     docs = temperature_sample(docs, "lang", "doc_id", alpha=0.5)
     n = stage("temperature mix (lang^0.5)", docs, n)
 
-    # 7. chunk long docs, pack chunks to a 512-token budget
-    chunks = chunk_documents(docs, chunk_tokens=128, stride=128)
+    # 6b. repetition budget on the TRAINING-SEQUENCE path: high-value
+    # sources repeat for extra epochs (expected copies == weight;
+    # map-side explode, no shuffle).  The corpus `docs` itself stays
+    # deduplicated — epochs exist only in the packed sequences.
+    from flink_rtcef_spark.operators.sampling import epoch_upsample
+
+    train_docs = epoch_upsample(
+        docs, {"src1": 2.0, "src3": 1.5}, "source", "doc_id", seed=11
+    )
+    n_train = train_docs.count()
+    print(f"  {'epoch upsample (src1 x2, src3 x1.5)':<28} {n:>6} -> {n_train:>6}")
+
+    # 7. chunk long docs, pack chunks to a 512-token budget (the id
+    # carries the epoch so repeated docs pack as distinct sequences)
+    chunks = chunk_documents(
+        train_docs.select(
+            (F.col("doc_id") * 8 + F.col("epoch")).alias("doc_id"), "text"
+        ),
+        chunk_tokens=128,
+        stride=128,
+    )
     packed = pack_sequences(
         chunks.select(
             (F.col("doc_id") * 10000 + F.col("chunk_idx")).alias("chunk_id"),
@@ -263,7 +282,7 @@ def main() -> None:
         tokens_col="n_tokens",
     )
     n_packs = packed.select("pack_id").distinct().count()
-    print(f"  {'chunk + FFD pack':<28} {n:>6} -> {n_packs:>6} packs")
+    print(f"  {'chunk + FFD pack':<28} {n_train:>6} -> {n_packs:>6} packs")
 
     # 7b. deterministic shard export: balanced, reproducible training
     # shards + the manifest a consumer checks before reading

@@ -273,21 +273,27 @@ def test_epoch_upsample_matches_duckdb(spark):
     docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").select(
         "doc_id", "source"
     )
+    weights = {"src1": 2.5, "src2": 0.5, "src3": 3.0}
     got = {
         (r["doc_id"], r["epoch"])
         for r in epoch_upsample(
-            docs, {"web": 2.5, "books": 0.5}, "source", "doc_id", seed=3
+            docs, weights, "source", "doc_id", seed=3
         ).collect()
     }
     sql = epoch_upsample_sql(
         f"SELECT doc_id, source FROM read_parquet('{SF_SMOKE}/documents.parquet')",
-        {"web": 2.5, "books": 0.5},
+        weights,
         "source",
         "doc_id",
         seed=3,
     )
     want = {(r[0], r[2]) for r in duckdb.connect().execute(sql).fetchall()}
     assert got == want and len(got) > 0
+    # the weighted branches actually fired: some doc appears 3x
+    from collections import Counter
+
+    per_doc = Counter(d for d, _ in got)
+    assert max(per_doc.values()) >= 3
 
 
 def test_epoch_upsample_rejects_negative_weight(spark):
