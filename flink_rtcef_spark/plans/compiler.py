@@ -44,6 +44,10 @@ NONOVERLAP = "nonoverlap"
 
 @dataclass
 class CompiledPattern:
+    """The executable form of one SRE pattern: minterm alphabet + SDFA
+    + symbolization Column builder — everything the CEP/forecast
+    operators broadcast to executors."""
+
     pattern: Pattern
     atoms: list[Predicate]
     minterms: list[Minterm]
@@ -114,6 +118,9 @@ def compile_pattern(
     policy: str = OVERLAP,
     streaming: bool = True,
 ) -> CompiledPattern:
+    """Compile SRE text (+ optional declarations) through the full
+    chain: parse → selection rewrite → minterm alphabet → NFA →
+    determinize → disambiguate → count policy (SURVEY §2.D)."""
     pattern = parse_pattern(pattern_text)
     decls = parse_declarations(declarations_text)
     formula = apply_selection(pattern.formula)
