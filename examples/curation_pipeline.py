@@ -98,7 +98,15 @@ def main() -> None:
     from flink_rtcef_spark.sources.warc import warc_responses_as_documents
 
     def _warc_rec(url: str, text: str) -> str:
-        body = f"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n{text}"
+        # real crawl payloads are HTML, not text: wrap each doc in
+        # markup (+ script/style noise) so the extraction step below
+        # has actual work to do
+        html = (
+            "<html><head><title></title><style>p{margin:0}</style>"
+            f"<script>track();</script></head><body><p>{text}</p>"
+            "<!-- footer --></body></html>"
+        )
+        body = f"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n{html}"
         return (
             "WARC/1.0\r\nWARC-Type: response\r\n"
             f"WARC-Target-URI: {url}\r\n"
@@ -106,7 +114,8 @@ def main() -> None:
         )
 
     recs = []
-    for r in docs.select("doc_id", "source", "text").limit(40).collect():
+    sample_rows = docs.select("doc_id", "source", "text").limit(40).collect()
+    for r in sample_rows:
         url = f"http://www.{r['source']}.example/doc/{r['doc_id']}"
         recs.append(_warc_rec(url, r["text"]))
         recs.append(_warc_rec(f"{url}?utm_source=feed&fbclid=x", r["text"]))
@@ -114,13 +123,21 @@ def main() -> None:
     Path(warc_path).write_text("".join(recs), newline="")
     web = warc_responses_as_documents(spark, warc_path)
     n_raw = web.count()
+    # strip markup down to visible text (map-only regexp chain); every
+    # wrapped doc must come back as its exact original text
+    from flink_rtcef_spark.operators.web import html_to_text
+
+    web = web.withColumn("text", html_to_text("text"))
+    originals = {r["text"] for r in sample_rows}
+    n_recovered = web.filter(F.col("text").isin(list(originals))).count()
+    assert n_recovered == n_raw, (n_recovered, n_raw)
     web = dedup_by_canonical_url(web, url_col="url")
     n_urldedup = web.count()
     web = filter_domains(web, ["src0.example"], mode="block", url_col="url")
     n_domains = web.count()
     print(
-        f"  {'warc ingest gate':<28} {n_raw:>6} -> {n_urldedup} url-deduped"
-        f" -> {n_domains} after domain block"
+        f"  {'warc ingest gate':<28} {n_raw:>6} html-extracted -> "
+        f"{n_urldedup} url-deduped -> {n_domains} after domain block"
     )
     edges = host_graph_edges(spark, args.sf_dir).withColumn(
         "w", (F.abs(F.hash("src", "dst")) % 5 + 1).cast("double")

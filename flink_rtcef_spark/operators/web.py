@@ -88,3 +88,54 @@ def filter_domains(
     tagged = df.withColumn("__dom", url_domain(url_col))
     how = "left_anti" if mode == "block" else "left_semi"
     return tagged.join(F.broadcast(domains), "__dom", how).drop("__dom")
+
+
+#: entities worth decoding without a full table — the ones that carry
+#: text semantics; anything rarer stays literal (harmless to n-gram /
+#: quality stages)
+_ENTITIES: tuple[tuple[str, str], ...] = (
+    ("&nbsp;", " "),
+    ("&amp;", "&"),
+    ("&lt;", "<"),
+    ("&gt;", ">"),
+    ("&quot;", '"'),
+    ("&#39;", "'"),
+    ("&apos;", "'"),
+)
+
+
+def html_to_text(html_col: str | Column) -> Column:
+    """Visible text from raw HTML — the step between WARC payloads and
+    every text operator downstream (quality, langid, dedup).
+
+    Pure Column regexp chain (JVM codegen, streaming-safe, no Python):
+    1. drop <script>/<style>/<!-- --> blocks wholesale (their content
+       is not text);
+    2. turn block-level closers/br into newlines so paragraph structure
+       survives for the line-based ops (boilerplate cut, paragraph
+       dedup);
+    3. strip remaining tags;
+    4. decode the common entities;
+    5. collapse runs of spaces/tabs and 3+ newlines.
+
+    This is the classic 95% extractor (trafilatura-grade main-content
+    scoring is out of scope and belongs behind the multimodal decode
+    seam); `warc_records.payload` → `html_to_text` → `documents` schema
+    is the intended chain, driven in the curation example.
+    """
+    c = F.col(html_col) if isinstance(html_col, str) else html_col
+    # (?is): case-insensitive + dotall so blocks span lines
+    c = F.regexp_replace(c, r"(?is)<(script|style)\b[^>]*>.*?</\1>", " ")
+    c = F.regexp_replace(c, r"(?s)<!--.*?-->", " ")
+    c = F.regexp_replace(
+        c, r"(?i)</(p|div|h[1-6]|li|tr|table|blockquote|section|article)>", "\n"
+    )
+    c = F.regexp_replace(c, r"(?i)<br\s*/?>", "\n")
+    c = F.regexp_replace(c, r"(?s)<[^>]+>", " ")
+    for ent, rep in _ENTITIES:
+        c = F.regexp_replace(c, ent, rep)
+    c = F.regexp_replace(c, r"[ \t\r]+", " ")
+    c = F.regexp_replace(c, r" ?\n ?", "\n")
+    c = F.regexp_replace(c, r"\n{3,}", "\n\n")
+    # SQL trim() strips only spaces; newlines need the regex form
+    return F.regexp_replace(c, r"^\s+|\s+$", "")
