@@ -891,3 +891,56 @@ def pq_fit_distributed(
     pq.k = len(init_rows)
     pq.codebooks = books
     return pq
+
+
+# ---------------------------------------------------------------------------
+# Index persistence: train once, probe from any later job
+# ---------------------------------------------------------------------------
+
+#: bumped when the on-disk layout of any index class changes
+INDEX_FORMAT_VERSION = 1
+
+
+def save_index(index, path: str) -> None:
+    """Persist a trained ANN index (RandomHyperplaneLSH / IVFIndex /
+    ProductQuantizer / IVFADCIndex) to ``path``.
+
+    The artifact is the driver-side model only — numpy arrays + params,
+    a few MB at most (the ENCODED VECTORS live in DataFrames the caller
+    writes as parquet; this is the same model-vs-data split the CLI
+    uses for CEP/forecast artifacts, ``cli.py``).  Pickled with a
+    format-version + class-name envelope so a stale artifact fails
+    loudly instead of probing garbage."""
+    import pickle
+
+    with open(path, "wb") as f:
+        pickle.dump(
+            {
+                "format_version": INDEX_FORMAT_VERSION,
+                "index_class": type(index).__name__,
+                "index": index,
+            },
+            f,
+        )
+
+
+def load_index(path: str, expect: type | None = None):
+    """Load an index written by :func:`save_index`; ``expect`` narrows
+    the accepted class (TypeError on mismatch)."""
+    import pickle
+
+    with open(path, "rb") as f:
+        env = pickle.load(f)
+    if not isinstance(env, dict) or "index" not in env:
+        raise TypeError(f"{path} is not a saved ANN index")
+    if env.get("format_version") != INDEX_FORMAT_VERSION:
+        raise TypeError(
+            f"index format {env.get('format_version')} != "
+            f"{INDEX_FORMAT_VERSION} (retrain or migrate)"
+        )
+    idx = env["index"]
+    if expect is not None and not isinstance(idx, expect):
+        raise TypeError(
+            f"expected {expect.__name__}, found {env.get('index_class')}"
+        )
+    return idx
