@@ -119,7 +119,7 @@ def hll_registers(
     accumulation yields identical registers)."""
     group_cols = group_cols or []
     v = F.col(value_col).cast("string")
-    out = df.select(
+    out = df.filter(v.isNotNull()).select(
         *group_cols,
         (portable_hash64(v) % HLL_M).alias("bucket"),
         hll_rho(v).alias("rho"),
@@ -155,7 +155,10 @@ def hll_estimate(
         "long"
     )
     agg = registers.groupBy(*group_cols).agg(
-        F.sum(term).alias("observed_sum"),
+        # COALESCE: an ungrouped aggregate over ZERO registers (empty
+        # input) yields one row with NULL sum / 0 count; the formula
+        # then degrades to linear counting with V = m -> estimate 0
+        F.coalesce(F.sum(term), F.lit(0)).alias("observed_sum"),
         F.count(F.lit(1)).alias("n_buckets"),
     )
     total = F.col("observed_sum") + (F.lit(HLL_M) - F.col("n_buckets")) * F.lit(
@@ -196,10 +199,10 @@ def hll_distinct_sql(
     WITH regs AS (
       SELECT {gsel}{h} % {HLL_M} AS bucket,
              MAX({hll_rho_sql(v)}) AS rho
-      FROM {table} {gby_reg}
+      FROM {table} WHERE {v} IS NOT NULL {gby_reg}
     ), agg AS (
       SELECT {gsel}
-             CAST(SUM(CAST({cap} AS BIGINT) // (CAST(1 AS BIGINT) << rho))
+             CAST(COALESCE(SUM(CAST({cap} AS BIGINT) // (CAST(1 AS BIGINT) << rho)), 0)
                   AS BIGINT) AS observed_sum,
              COUNT(*) AS n_buckets
       FROM regs {gby_est}
@@ -245,7 +248,8 @@ def cms_build(
     w = F.col(weight_col).cast("long") if weight_col else F.lit(1).cast("long")
     cols = F.array(*[_cms_col(v, r, width, seed) for r in range(depth)])
     return (
-        df.select(F.posexplode(cols).alias("r", "c"), w.alias("w"))
+        df.filter(v.isNotNull())
+        .select(F.posexplode(cols).alias("r", "c"), w.alias("w"))
         .groupBy("r", "c")
         .agg(F.sum("w").alias("cnt"))
     )
@@ -314,6 +318,7 @@ def cms_sql(
     return f"""
     WITH hashed AS (
       SELECT {hashes}, CAST(1 AS BIGINT) AS w FROM ({source_sql})
+      WHERE {v} IS NOT NULL
     ), cells AS ({unions}),
     sketch AS (
       SELECT r, c, CAST(SUM(w) AS BIGINT) AS cnt FROM cells GROUP BY r, c

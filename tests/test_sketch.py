@@ -160,3 +160,23 @@ def test_cms_weighted(spark):
         ).collect()
     }
     assert got["a"] >= 12 and got["b"] >= 1
+
+
+def test_hll_nulls_ignored_and_empty_is_zero(spark):
+    """COUNT DISTINCT semantics: NULL values don't count, and the
+    estimate over an empty frame is exactly 0."""
+    df = spark.createDataFrame(
+        [("a",), (None,), ("b",), (None,)], "v string"
+    )
+    with_nulls = hll_distinct(df, "v").first()["hll_distinct"]
+    without = hll_distinct(df.filter("v IS NOT NULL"), "v").first()["hll_distinct"]
+    assert with_nulls == without
+    empty = hll_distinct(df.filter("v IS NULL AND v IS NOT NULL"), "v").first()
+    assert empty["hll_distinct"] == 0.0
+
+
+def test_cms_nulls_ignored(spark):
+    df = spark.createDataFrame([("a",), (None,), ("a",)], "v string")
+    sk = cms_build(df, "v")
+    sk2 = cms_build(df.filter("v IS NOT NULL"), "v")
+    assert sk.exceptAll(sk2).count() == 0 and sk2.exceptAll(sk).count() == 0
