@@ -326,3 +326,64 @@ def cms_sql(
     SELECT p.*, CAST(LEAST({probe_min}) AS BIGINT) AS cms_count
     FROM ({probe_sql}) p {probe_joins}
     """
+
+
+def approx_heavy_hitters(
+    df: DataFrame,
+    value_col: str,
+    min_share: float = 0.001,
+    candidate_rate: float = 0.05,
+    depth: int = 4,
+    width: int = 1024,
+    seed: int = 0,
+) -> DataFrame:
+    """Values whose frequency is >= ``min_share`` of all rows, found
+    WITHOUT a distinct-value shuffle — the two-bounded-pass pattern for
+    heavy hitters over trillions of tokens:
+
+    pass 1: build the d×w Count-Min sketch (combinable SUM, bounded);
+    pass 2: probe a deterministic hash-coin row sample for candidates
+            (a value with freq >= min_share·N lands in a rate-r sample
+            with prob 1-(1-r)^(min_share·N) — ~1 for any corpus where
+            min_share·N·r >> 1; e.g. share 0.1 % of 1e12 tokens at
+            r=0.05 ⇒ 5e7 expected hits), dedups only the o(sample)
+            candidate set, and keeps candidates whose CMS estimate
+            clears the bar.
+
+    CMS never under-counts, so no TRUE heavy hitter that reaches the
+    candidate set is dropped (possible over-admission of near-misses is
+    the usual CMS one-sided error).  Returns (value, cms_count,
+    share).  Deterministic in (data, seed) — partitioning-invariant.
+    """
+    from flink_rtcef_spark.operators.sampling import hash_fraction
+
+    v = F.col(value_col)
+    sketch = cms_build(df, value_col, depth=depth, width=width, seed=seed).persist()
+    # every value increments exactly one counter per sketch row, so row
+    # 0's counters sum to N — no separate full-scan count job; the
+    # driver aggregate is over the o(d·w) sketch
+    total = (
+        sketch.filter(F.col("r") == 0).agg(F.sum("cnt")).first()[0] or 0
+    )
+    if total == 0:
+        return df.select(
+            v.alias(value_col),
+            F.lit(0).cast("long").alias("cms_count"),
+            F.lit(0.0).alias("share"),
+        ).limit(0)
+    candidates = (
+        df.filter(v.isNotNull())
+        .filter(hash_fraction(v.cast("string"), seed + 1) < candidate_rate)
+        .select(value_col)
+        .distinct()
+    )
+    est = cms_lookup(sketch, candidates, value_col,
+                     depth=depth, width=width, seed=seed)
+    return (
+        est.filter(F.col("cms_count") >= min_share * total)
+        .select(
+            value_col,
+            "cms_count",
+            F.round(F.col("cms_count") / F.lit(float(total)), 6).alias("share"),
+        )
+    )

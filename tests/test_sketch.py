@@ -180,3 +180,38 @@ def test_cms_nulls_ignored(spark):
     sk = cms_build(df, "v")
     sk2 = cms_build(df.filter("v IS NOT NULL"), "v")
     assert sk.exceptAll(sk2).count() == 0 and sk2.exceptAll(sk).count() == 0
+
+
+def test_approx_heavy_hitters_finds_all_true_hitters(spark):
+    """Every value above the share bar is returned (CMS one-sided
+    error: over-admission possible, omission of a sampled true hitter
+    impossible), shares are right, and light values stay out unless
+    CMS collisions push them over."""
+    from flink_rtcef_spark.operators.sketch import approx_heavy_hitters
+
+    rows = (
+        [("hot",)] * 500
+        + [("warm",)] * 120
+        + [(f"cold{i % 200}",) for i in range(380)]
+    )
+    df = spark.createDataFrame(rows, "v string")
+    got = {
+        r["v"]: (r["cms_count"], r["share"])
+        for r in approx_heavy_hitters(
+            df, "v", min_share=0.05, candidate_rate=1.0
+        ).collect()
+    }
+    assert "hot" in got and "warm" in got
+    assert got["hot"][0] >= 500 and got["warm"][0] >= 120
+    assert got["hot"][1] >= 0.5
+    # cold values are each 2/1000 = 0.002 << 0.05: none admitted unless
+    # a collision inflates them past 50 counts (width 1024 over ~202
+    # distincts makes that essentially impossible)
+    assert all(k in ("hot", "warm") for k in got)
+
+
+def test_approx_heavy_hitters_empty_input(spark):
+    from flink_rtcef_spark.operators.sketch import approx_heavy_hitters
+
+    df = spark.createDataFrame([], "v string")
+    assert approx_heavy_hitters(df, "v").count() == 0
