@@ -354,6 +354,10 @@ def approx_heavy_hitters(
     candidate set is dropped (possible over-admission of near-misses is
     the usual CMS one-sided error).  Returns (value, cms_count,
     share).  Deterministic in (data, seed) — partitioning-invariant.
+
+    The sketch is persisted (o(d·w) rows) so the corpus is scanned once
+    for it, not twice; it stays cached while the returned plan is live
+    (`spark.catalog.clearCache()` reclaims it).
     """
     from flink_rtcef_spark.operators.sampling import hash_fraction
 
