@@ -424,3 +424,47 @@ def test_leakage_safe_split_never_straddles(spark, n_docs, raw_pairs, seed):
     assert assigned.count() == n_docs
     assert assigned.filter("split IS NULL OR cluster IS NULL").count() == 0
     assert split_leakage(assigned, prs).count() == 0
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.dictionaries(
+        st.sampled_from(["s0", "s1", "s2"]),
+        st.floats(min_value=0.0, max_value=4.0, allow_nan=False),
+        min_size=1,
+        max_size=3,
+    ),
+    st.integers(min_value=0, max_value=5),
+)
+def test_epoch_upsample_copies_bracket_weight(spark, weights, seed):
+    """For ANY weight map: every doc appears floor(w) or ceil(w) times,
+    epochs are 0..n-1, and the assignment is partitioning-invariant."""
+    import math
+
+    import pyspark.sql.functions as F
+
+    from flink_rtcef_spark.operators.sampling import epoch_upsample
+
+    df = spark.createDataFrame(
+        [(i, f"s{i % 3}") for i in range(60)], "doc_id long, source string"
+    )
+    up = epoch_upsample(df, weights, "source", "doc_id", seed=seed)
+    per = {
+        (r["doc_id"]): r["count"]
+        for r in up.groupBy("doc_id").count().collect()
+    }
+    for i in range(60):
+        w = weights.get(f"s{i % 3}", 1.0)
+        n = per.get(i, 0)
+        assert math.floor(w) <= n <= math.ceil(w), (i, w, n)
+    # epochs are exactly 0..n-1 per doc
+    bad = (
+        up.groupBy("doc_id")
+        .agg(F.max("epoch").alias("mx"), F.count("*").alias("n"))
+        .filter("mx <> n - 1")
+        .count()
+    )
+    assert bad == 0
+    # partitioning-invariant
+    up2 = epoch_upsample(df.repartition(13), weights, "source", "doc_id", seed=seed)
+    assert up.exceptAll(up2).count() == 0 and up2.exceptAll(up).count() == 0
