@@ -177,3 +177,60 @@ def range_join_binned(
         if c not in keys
     ]
     return joined.select(*[lb[c] for c in left.columns], *right_out)
+
+
+def interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_lo: str,
+    left_hi: str,
+    right_lo: str,
+    right_hi: str,
+    bin_width: int,
+    on: str | list[str] | None = None,
+) -> DataFrame:
+    """Join every pair of OVERLAPPING intervals (``left_lo <= right_hi
+    AND right_lo <= left_hi``), optionally within equal ``on`` keys —
+    the interval×interval complement of :func:`range_join_binned`.
+
+    Without an equi key Catalyst would run this as a
+    BroadcastNestedLoopJoin (all-pairs — the 100 TB killer).  Instead
+    BOTH sides replicate to the fixed-width bins they cover and
+    equi-join on the bin id.  An overlapping pair shares every bin of
+    its intersection; to count it EXACTLY ONCE with no distinct pass,
+    only the bin containing the intersection's START
+    (``floor(greatest(lo_a, lo_b) / bin_width)``) emits the pair —
+    every other shared bin drops it with a cheap filter.  Replication
+    is span/bin_width + 1 per row: choose ``bin_width`` near the
+    typical span.
+
+    Numeric bounds only (timestamps: ``unix_millis`` first); intervals
+    are closed on both ends, matching the SQL BETWEEN-style oracle.
+    """
+    keys = [] if on is None else ([on] if isinstance(on, str) else list(on))
+    bw = F.lit(bin_width)
+    lb = left.withColumn(
+        "__bin",
+        F.explode(
+            F.sequence(F.floor(F.col(left_lo) / bw), F.floor(F.col(left_hi) / bw))
+        ),
+    )
+    rb = right.withColumn(
+        "__bin",
+        F.explode(
+            F.sequence(F.floor(F.col(right_lo) / bw), F.floor(F.col(right_hi) / bw))
+        ),
+    )
+    cond = [lb["__bin"] == rb["__bin"]]
+    cond += [lb[k] == rb[k] for k in keys]
+    overlaps = (lb[left_lo] <= rb[right_hi]) & (rb[right_lo] <= lb[left_hi])
+    once = lb["__bin"] == F.floor(
+        F.greatest(lb[left_lo], rb[right_lo]) / bw
+    )
+    joined = lb.join(rb, cond, "inner").filter(overlaps & once)
+    right_out = [
+        rb[c].alias(c if c not in left.columns else c + "_right")
+        for c in right.columns
+        if c not in keys
+    ]
+    return joined.select(*[lb[c] for c in left.columns], *right_out)

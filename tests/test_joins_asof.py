@@ -199,3 +199,90 @@ def test_asof_plan_single_exchange(spark):
     )._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange hashpartitioning") == 1, plan
     assert "Join" not in plan, plan
+
+
+# ------------------------------------------------------ overlap join --
+def _interval_fixture(spark, n=400, seed=5):
+    import random
+
+    rnd = random.Random(seed)
+    a, b = [], []
+    for i in range(n):
+        lo = rnd.randint(0, 5000)
+        a.append((i, f"k{i % 3}", lo, lo + rnd.randint(0, 300)))
+        lo = rnd.randint(0, 5000)
+        b.append((1000 + i, f"k{i % 3}", lo, lo + rnd.randint(0, 300)))
+    la = spark.createDataFrame(a, "a_id long, key string, a_lo long, a_hi long")
+    rb = spark.createDataFrame(b, "b_id long, key string, b_lo long, b_hi long")
+    return la, rb
+
+
+def test_interval_overlap_join_matches_duckdb(spark):
+    """Binned overlap join == the all-pairs SQL predicate, each pair
+    exactly once (the canonical-bin trick replaces a distinct pass)."""
+    import duckdb
+
+    from flink_rtcef_spark.operators.joins import interval_overlap_join
+
+    la, rb = _interval_fixture(spark)
+    got = {
+        (r["a_id"], r["b_id"])
+        for r in interval_overlap_join(
+            la, rb, "a_lo", "a_hi", "b_lo", "b_hi", bin_width=256, on="key"
+        ).collect()
+    }
+    con = duckdb.connect()
+    con.register("la", la.toPandas())
+    con.register("rb", rb.toPandas())
+    want = set(
+        map(
+            tuple,
+            con.execute(
+                "SELECT a_id, b_id FROM la JOIN rb USING (key) "
+                "WHERE a_lo <= b_hi AND b_lo <= a_hi"
+            ).fetchall(),
+        )
+    )
+    assert got == want and len(want) > 100
+    # exactly once: the join emits no duplicate pairs
+    n_rows = interval_overlap_join(
+        la, rb, "a_lo", "a_hi", "b_lo", "b_hi", bin_width=256, on="key"
+    ).count()
+    assert n_rows == len(got)
+
+
+def test_interval_overlap_join_bin_width_invariant(spark):
+    from flink_rtcef_spark.operators.joins import interval_overlap_join
+
+    la, rb = _interval_fixture(spark, n=120, seed=9)
+    results = []
+    for bw in (64, 500, 10000):
+        results.append(
+            {
+                (r["a_id"], r["b_id"])
+                for r in interval_overlap_join(
+                    la, rb, "a_lo", "a_hi", "b_lo", "b_hi", bin_width=bw
+                ).collect()
+            }
+        )
+    assert results[0] == results[1] == results[2]
+
+
+def test_interval_overlap_join_no_nested_loop(spark, tmp_path):
+    """The plan is an equi-join on the bin id — no BNLJ/cartesian."""
+    from flink_rtcef_spark.operators.joins import interval_overlap_join
+
+    la, rb = _interval_fixture(spark, n=50)
+    la.write.parquet(str(tmp_path / "la"))
+    rb.write.parquet(str(tmp_path / "rb"))
+    la2, rb2 = spark.read.parquet(str(tmp_path / "la")), spark.read.parquet(
+        str(tmp_path / "rb")
+    )
+    out = interval_overlap_join(
+        la2, rb2, "a_lo", "a_hi", "b_lo", "b_hi", bin_width=256, on="key"
+    )
+    plan = out._sc._jvm.PythonSQLUtils.explainString(
+        out._jdf.queryExecution(), "formatted"
+    )
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
