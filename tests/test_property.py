@@ -468,3 +468,62 @@ def test_epoch_upsample_copies_bracket_weight(spark, weights, seed):
     # partitioning-invariant
     up2 = epoch_upsample(df.repartition(13), weights, "source", "doc_id", seed=seed)
     assert up.exceptAll(up2).count() == 0 and up2.exceptAll(up).count() == 0
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 2), st.integers(0, 50000)),
+        min_size=1,
+        max_size=60,
+        unique=True,
+    ),
+    st.integers(min_value=1, max_value=120),
+)
+def test_session_window_equals_lag_gap_on_random_events(spark, events, gap_s):
+    """Native session_window == the LAG-gap SQL formulation for ANY
+    event set and gap (same session count, membership, and spans)."""
+    import datetime as dt
+
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window as W
+
+    from flink_rtcef_spark.streaming.sessions import sessionized
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (f"k{k}", i, base + dt.timedelta(seconds=s))
+        for i, (k, s) in enumerate(events)
+    ]
+    df = spark.createDataFrame(rows, "user_id string, event_id long, ts timestamp")
+
+    got = (
+        sessionized(df, gap=f"{gap_s} seconds", watermark=None)
+        .select("user_id", "n_events", "first_ts", "last_ts")
+        .collect()
+    )
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    cum = w.rowsBetween(W.unboundedPreceding, W.currentRow)
+    want = (
+        df.withColumn(
+            "new_session",
+            F.when(
+                F.unix_millis("ts") - F.unix_millis(F.lag("ts").over(w))
+                > gap_s * 1000,
+                1,
+            ).otherwise(0),
+        )
+        .withColumn("session_id", F.sum("new_session").over(cum))
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.min("ts").alias("first_ts"),
+            F.max("ts").alias("last_ts"),
+        )
+        .select("user_id", "n_events", "first_ts", "last_ts")
+        .collect()
+    )
+    key = lambda r: (r["user_id"], r["first_ts"])
+    assert sorted(map(tuple, got), key=lambda t: (t[0], t[2])) == sorted(
+        map(tuple, want), key=lambda t: (t[0], t[2])
+    )
