@@ -391,3 +391,104 @@ def approx_heavy_hitters(
             F.round(F.col("cms_count") / F.lit(float(total)), 6).alias("share"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# KMV / theta sketch (Bar-Yossef et al. 2002; Beyer et al. SIGMOD 2007):
+# set algebra over corpora — overlap, union, Jaccard — from k-row digests
+# ---------------------------------------------------------------------------
+
+#: default sketch size: relative error ~ 1/sqrt(k) ~ 3 %
+KMV_K = 1024
+_KMV_SPACE = float(1 << 60)
+
+
+def kmv_sketch(df: DataFrame, value_col: str, k: int = KMV_K) -> DataFrame:
+    """The k smallest DISTINCT 60-bit hashes of ``value_col`` — a k-row
+    digest supporting union/intersection/Jaccard estimates between
+    corpora (the question HLL alone cannot answer).
+
+    The result is a well-defined deterministic object (the k minima of
+    the hashed value SET), so any correct evaluation strategy returns
+    identical rows and the DuckDB twin (``SELECT DISTINCT … ORDER BY h
+    LIMIT k``) hash-matches.  Scale path: when the HLL estimate says
+    the domain is ≫ k, a ``hash < threshold`` prefilter (threshold =
+    4k/estimate of the hash space) cuts the distinct-shuffle to O(k)
+    rows before the global top-k; the guard re-runs unfiltered in the
+    (HLL-underestimate) corner where fewer than k survive, preserving
+    the exact same k minima.  ``orderBy(h).limit(k)`` itself is
+    TakeOrdered — per-partition heaps, no global sort.
+    """
+    if k < 16:
+        raise ValueError(f"k must be >= 16, got {k}")
+    v = F.col(value_col).cast("string")
+    hashed = df.filter(v.isNotNull()).select(portable_hash64(v).alias("h"))
+
+    est_row = hll_distinct(df, value_col).first()
+    est = float(est_row["hll_distinct"]) if est_row else 0.0
+    if est > 50 * k:
+        thresh = int(_KMV_SPACE * (4.0 * k) / est)
+        pre = hashed.filter(F.col("h") < thresh).distinct().orderBy("h").limit(k)
+        got = pre.count()
+        if got >= k:
+            return pre
+        # HLL under-estimated the domain: fall through to the exact path
+    return hashed.distinct().orderBy("h").limit(k)
+
+
+def kmv_sketch_sql(table: str, value_expr: str, k: int = KMV_K) -> str:
+    """DuckDB twin of :func:`kmv_sketch` (no prefilter needed there —
+    the object is strategy-independent)."""
+    v = f"CAST({value_expr} AS VARCHAR)"
+    h = f"CAST(('0x' || substr(md5({v}), 1, 15)) AS BIGINT)"
+    return (
+        f"SELECT DISTINCT {h} AS h FROM {table} "
+        f"WHERE {v} IS NOT NULL ORDER BY h LIMIT {k}"
+    )
+
+
+def _kmv_rows(sketch: DataFrame) -> list[int]:
+    return sorted(r["h"] for r in sketch.collect())
+
+
+def kmv_merge(a: DataFrame, b: DataFrame, k: int = KMV_K) -> DataFrame:
+    """Sketch of the UNION from two sketches: the k smallest of the
+    merged minima (exactly ``kmv_sketch(A ∪ B)`` — the k smallest of a
+    union all lie within each side's k smallest)."""
+    return a.unionByName(b).distinct().orderBy("h").limit(k)
+
+
+def kmv_distinct_estimate(sketch: DataFrame, k: int = KMV_K) -> float:
+    """(k-1)/theta with theta = the k-th minimum as a fraction of the
+    hash space; exact count when the domain has < k values."""
+    rows = _kmv_rows(sketch)
+    if len(rows) < k:
+        return float(len(rows))
+    theta = rows[k - 1] / _KMV_SPACE
+    return (k - 1) / theta
+
+
+def kmv_overlap_estimates(
+    a: DataFrame, b: DataFrame, k: int = KMV_K
+) -> dict[str, float]:
+    """Union / intersection / Jaccard estimates between two corpora
+    from their k-row digests (driver-side over 2k BIGINTs).
+
+    Standard KMV set algebra: take the union's k minima; the fraction
+    of them present in BOTH input sketches estimates the Jaccard
+    similarity, and intersection = Jaccard × union."""
+    ra, rb = set(_kmv_rows(a)), set(_kmv_rows(b))
+    merged = sorted(ra | rb)[:k]
+    if not merged:
+        return {"union": 0.0, "intersection": 0.0, "jaccard": 0.0}
+    if len(merged) < k:
+        union_est = float(len(merged))
+    else:
+        union_est = (k - 1) / (merged[k - 1] / _KMV_SPACE)
+    in_both = sum(1 for h in merged if h in ra and h in rb)
+    jaccard = in_both / len(merged)
+    return {
+        "union": union_est,
+        "intersection": jaccard * union_est,
+        "jaccard": jaccard,
+    }

@@ -215,3 +215,89 @@ def test_approx_heavy_hitters_empty_input(spark):
 
     df = spark.createDataFrame([], "v string")
     assert approx_heavy_hitters(df, "v").count() == 0
+
+
+# -------------------------------------------------------- KMV / theta --
+def test_kmv_matches_duckdb_and_estimates(spark, docs):
+    from flink_rtcef_spark.operators.sketch import (
+        kmv_distinct_estimate,
+        kmv_sketch,
+        kmv_sketch_sql,
+    )
+
+    sk = kmv_sketch(docs, "text", k=64)
+    got = [r["h"] for r in sk.orderBy("h").collect()]
+    want = [
+        r[0]
+        for r in duckdb.connect()
+        .execute(
+            kmv_sketch_sql(
+                f"read_parquet('{SF_ORACLE}/documents.parquet')", "text", k=64
+            )
+        )
+        .fetchall()
+    ]
+    assert got == sorted(want)
+    exact = docs.select("text").distinct().count()
+    assert kmv_distinct_estimate(sk, k=64) == pytest.approx(exact, rel=0.4)
+
+
+def test_kmv_prefilter_path_equals_exact_object(spark):
+    """With a large domain the HLL-guided prefilter engages; the result
+    must be the IDENTICAL k minima the unfiltered path computes."""
+    from flink_rtcef_spark.operators.sketch import kmv_sketch
+
+    df = spark.range(200000).select(F.col("id").cast("string").alias("v"))
+    sk = kmv_sketch(df, "v", k=128)
+    rows = [r["h"] for r in sk.orderBy("h").collect()]
+    # unfiltered reference object
+    from flink_rtcef_spark.functions.scalar import portable_hash64
+
+    ref = [
+        r["h"]
+        for r in df.select(portable_hash64(F.col("v")).alias("h"))
+        .distinct()
+        .orderBy("h")
+        .limit(128)
+        .collect()
+    ]
+    assert rows == ref and len(rows) == 128
+
+
+def test_kmv_merge_equals_union_sketch(spark):
+    from flink_rtcef_spark.operators.sketch import kmv_merge, kmv_sketch
+
+    a = spark.range(0, 3000).select(F.col("id").cast("string").alias("v"))
+    b = spark.range(2000, 6000).select(F.col("id").cast("string").alias("v"))
+    sa, sb = kmv_sketch(a, "v", k=256), kmv_sketch(b, "v", k=256)
+    whole = kmv_sketch(a.union(b), "v", k=256)
+    merged = kmv_merge(sa, sb, k=256)
+    assert [r["h"] for r in merged.orderBy("h").collect()] == [
+        r["h"] for r in whole.orderBy("h").collect()
+    ]
+
+
+def test_kmv_overlap_estimates_accuracy(spark):
+    """Known overlap: |A|=6000, |B|=6000, |A∩B|=2000 -> Jaccard 0.2."""
+    from flink_rtcef_spark.operators.sketch import kmv_overlap_estimates, kmv_sketch
+
+    a = spark.range(0, 6000).select(F.col("id").cast("string").alias("v"))
+    b = spark.range(4000, 10000).select(F.col("id").cast("string").alias("v"))
+    est = kmv_overlap_estimates(
+        kmv_sketch(a, "v", k=512), kmv_sketch(b, "v", k=512), k=512
+    )
+    assert est["union"] == pytest.approx(10000, rel=0.15)
+    assert est["intersection"] == pytest.approx(2000, rel=0.35)
+    assert est["jaccard"] == pytest.approx(0.2, abs=0.06)
+
+
+def test_kmv_small_domain_exact(spark):
+    from flink_rtcef_spark.operators.sketch import (
+        kmv_distinct_estimate,
+        kmv_sketch,
+    )
+
+    df = spark.createDataFrame([(str(i % 20),) for i in range(500)], "v string")
+    sk = kmv_sketch(df, "v", k=64)
+    assert sk.count() == 20
+    assert kmv_distinct_estimate(sk, k=64) == 20.0
