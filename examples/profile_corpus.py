@@ -74,6 +74,21 @@ def main() -> None:
           f"{'OK' if diff == 0 else f'MISMATCH ({diff})'}")
     assert diff == 0
 
+    # 3b. corpus overlap via KMV digests: two ingest batches sharing
+    # sources — union / intersection / Jaccard from two k-row sketches
+    from flink_rtcef_spark.operators.sketch import kmv_overlap_estimates, kmv_sketch
+
+    batch_a = docs.filter("doc_id % 3 != 0")
+    batch_b = docs.filter("doc_id % 3 != 1")  # ~1/3 of docs shared
+    est = kmv_overlap_estimates(
+        kmv_sketch(batch_a, "text", k=256), kmv_sketch(batch_b, "text", k=256),
+        k=256,
+    )
+    print(
+        f"# kmv overlap A~B: union~{est['union']:.0f} "
+        f"intersection~{est['intersection']:.0f} jaccard~{est['jaccard']:.2f}"
+    )
+
     # 4. token-length quantiles (KLL)
     with_tokens = docs.withColumn(
         "n_tokens", F.size(F.split(F.lower("text"), "\\s+"))
