@@ -208,3 +208,24 @@ def test_hash_split_plan_is_map_only(spark):
     assert not re.findall(r"\(\d+\) \w*Exchange", plan)
     assert "Python" not in plan
     assert "codegen id" in plan  # rides in a WholeStageCodegen span
+
+
+def test_kmv_prefilter_cuts_rows_before_exchange(spark):
+    """Large domain -> the hash < threshold prefilter must appear in
+    the scan-side stage (before the distinct Exchange), so the shuffle
+    carries O(k) rows, and the top-k must be TakeOrdered (no global
+    sort)."""
+    import pyspark.sql.functions as F
+
+    from flink_rtcef_spark.operators.sketch import kmv_sketch
+
+    df = spark.range(200000).select(F.col("id").cast("string").alias("v"))
+    plan = _explain(kmv_sketch(df, "v", k=128))
+    import re as _re
+
+    m = _re.search(r"Filter \[?.*?\(h#\d+L? < (\d+)\)", plan) or _re.search(
+        r"\(conv.*?< (\d+)\)", plan, _re.S
+    )
+    assert m, plan  # the threshold literal made it into a Filter
+    assert int(m.group(1)) < (1 << 60) // 100  # threshold ~ 4k/est, tiny
+    assert "TakeOrderedAndProject" in plan
