@@ -59,3 +59,25 @@ def test_grouping_sets_matches_duckdb(spark):
     """).df()
     problems = compare("grouping_sets", got, want)
     assert not problems, problems
+
+
+def test_exact_percentiles_match_duckdb(spark):
+    """Spark `percentile` (exact, interpolated) == DuckDB
+    `quantile_cont` per group — the exact-stats complement of the KLL
+    approx path in operators/profile.py."""
+    ev = load_table(spark, SF_SMOKE, "events")
+    got = (
+        ev.groupBy("event_type")
+        .agg(
+            F.round(F.expr("percentile(value, 0.5)"), 6).alias("p50"),
+            F.round(F.expr("percentile(value, 0.95)"), 6).alias("p95"),
+        )
+        .toPandas()
+    )
+    want = _duck().execute("""
+        SELECT event_type,
+               ROUND(quantile_cont(value, 0.5), 6) AS p50,
+               ROUND(quantile_cont(value, 0.95), 6) AS p95
+        FROM events GROUP BY event_type
+    """).df()
+    assert not compare("percentiles", got, want)
