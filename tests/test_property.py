@@ -527,3 +527,44 @@ def test_session_window_equals_lag_gap_on_random_events(spark, events, gap_s):
     assert sorted(map(tuple, got), key=lambda t: (t[0], t[2])) == sorted(
         map(tuple, want), key=lambda t: (t[0], t[2])
     )
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 1000), st.integers(0, 400)),
+        min_size=1,
+        max_size=25,
+    ),
+    st.lists(
+        st.tuples(st.integers(0, 1000), st.integers(0, 400)),
+        min_size=1,
+        max_size=25,
+    ),
+    st.sampled_from([7, 64, 333, 5000]),
+)
+def test_interval_overlap_join_equals_bruteforce(spark, ia, ib, bw):
+    """Binned overlap join == the quadratic definition for ANY interval
+    sets and bin width, each overlapping pair exactly once."""
+    from flink_rtcef_spark.operators.joins import interval_overlap_join
+
+    la = spark.createDataFrame(
+        [(i, lo, lo + span) for i, (lo, span) in enumerate(ia)],
+        "a_id long, a_lo long, a_hi long",
+    )
+    rb = spark.createDataFrame(
+        [(i, lo, lo + span) for i, (lo, span) in enumerate(ib)],
+        "b_id long, b_lo long, b_hi long",
+    )
+    rows = interval_overlap_join(
+        la, rb, "a_lo", "a_hi", "b_lo", "b_hi", bin_width=bw
+    ).collect()
+    got = [(r["a_id"], r["b_id"]) for r in rows]
+    want = {
+        (i, j)
+        for i, (alo, aspan) in enumerate(ia)
+        for j, (blo, bspan) in enumerate(ib)
+        if alo <= blo + bspan and blo <= alo + aspan
+    }
+    assert set(got) == want
+    assert len(got) == len(want)  # exactly once, no duplicate emission
