@@ -229,3 +229,22 @@ def test_kmv_prefilter_cuts_rows_before_exchange(spark):
     assert m, plan  # the threshold literal made it into a Filter
     assert int(m.group(1)) < (1 << 60) // 100  # threshold ~ 4k/est, tiny
     assert "TakeOrderedAndProject" in plan
+
+
+def test_no_nested_loop_joins_sneak_into_registry(spark):
+    """Every driver query's physical plan is free of
+    BroadcastNestedLoopJoin, except the three known single-row
+    constant broadcasts (query vector / corpus stats) where the build
+    side is 1 row by construction.  A new name appearing here means an
+    all-pairs plan regressed into the registry."""
+    allowed = {"cosine_topk", "unigram_perplexity", "bm25_topk"}
+    offenders = {}
+    for name, fn in q.QUERIES.items():
+        df = fn(spark, SF_ORACLE)
+        plan = df._sc._jvm.PythonSQLUtils.explainString(
+            df._jdf.queryExecution(), "formatted"
+        )
+        n = len(re.findall(r"\(\d+\) BroadcastNestedLoopJoin", plan))
+        if n:
+            offenders[name] = n
+    assert set(offenders) <= allowed, offenders
