@@ -56,10 +56,17 @@ def main() -> None:
         print(f"  {r['lang']:<6} hll={r['hll_distinct']:<10} exact={r['exact']}")
 
     # 2. heavy-hitter tokens (>= 1% of all tokens), no distinct shuffle
+    # — the candidate coin needs a ROW id (doc, position) so a heavy
+    # token gets one independent chance per occurrence
     words = docs.select(
-        F.explode(F.split(F.lower("text"), "\\s+")).alias("w")
-    ).filter(F.length("w") > 0)
-    hh = approx_heavy_hitters(words, "w", min_share=0.01, candidate_rate=0.2)
+        "doc_id",
+        F.posexplode(F.split(F.lower("text"), "\\s+")).alias("pos", "w"),
+    ).filter(F.length("w") > 0).withColumn(
+        "tok_id", F.col("doc_id") * 100000 + F.col("pos")
+    )
+    hh = approx_heavy_hitters(
+        words, "w", min_share=0.01, candidate_rate=0.2, id_col="tok_id"
+    )
     top = hh.orderBy(F.desc("share")).limit(5).collect()
     print("# heavy tokens (cms): "
           + ", ".join(f"{r['w']} ({r['share']:.3f})" for r in top))

@@ -185,7 +185,13 @@ def epoch_upsample(
         w = F.when(F.col(group_col) == g, F.lit(float(wg))).otherwise(w)
     full = F.floor(w).cast("int")
     frac = w - F.floor(w)
-    coin = hash_fraction(F.col(id_col), seed)
+    # NULL ids must not vanish: a NULL-keyed coin is NULL, which would
+    # NULL __n and silently drop the row even at weight >= 1.  Coalesce
+    # to a fixed sentinel so NULL-id rows share one (deterministic)
+    # fractional coin; their floor(w) copies are unaffected.
+    coin = hash_fraction(
+        F.coalesce(F.col(id_col).cast("string"), F.lit("\x01null")), seed
+    )
     n_copies = (full + (coin < frac).cast("int")).alias("__n")
     return (
         df.withColumn("__n", n_copies)
@@ -215,7 +221,8 @@ def epoch_upsample_sql(
     for g, wg in sorted(weights.items()):
         w = f"CASE WHEN s.{group_col} = '{g}' THEN {float(wg)!r} ELSE {w} END"
     coin = (
-        f"(CAST(('0x' || substr(md5(CAST(s.{id_col} AS VARCHAR) || '#{seed}'), 1, 15)) "
+        f"(CAST(('0x' || substr(md5(COALESCE(CAST(s.{id_col} AS VARCHAR), "
+        f"chr(1) || 'null') || '#{seed}'), 1, 15)) "
         f"AS BIGINT) / {float(1 << 60)!r})"
     )
     n = (

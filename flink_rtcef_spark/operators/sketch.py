@@ -273,15 +273,17 @@ def cms_lookup(
     """Point-frequency estimates for ``probes``: est = MIN over the d
     rows of the counter each hash lands in (never under the true count;
     over by at most eps·N w.h.p.).  The probe side explodes d rows,
-    joins the tiny sketch (broadcast), and MINs back per value."""
+    joins the tiny sketch (broadcast), and MINs back per probe row —
+    extra probe columns are preserved (same contract as the
+    :func:`cms_sql` twin's ``SELECT p.*``)."""
     v = F.col(value_col).cast("string")
     cols = F.array(*[_cms_col(v, r, width, seed) for r in range(depth)])
     exploded = probes.select(
-        F.col(value_col), F.posexplode(cols).alias("r", "c")
+        *probes.columns, F.posexplode(cols).alias("r", "c")
     )
     return (
         exploded.join(F.broadcast(sketch), ["r", "c"], "left")
-        .groupBy(value_col)
+        .groupBy(*probes.columns)
         .agg(F.min(F.coalesce("cnt", F.lit(0))).alias("cms_count"))
     )
 
@@ -333,6 +335,7 @@ def approx_heavy_hitters(
     value_col: str,
     min_share: float = 0.001,
     candidate_rate: float = 0.05,
+    id_col: str | None = None,
     depth: int = 4,
     width: int = 1024,
     seed: int = 0,
@@ -342,54 +345,66 @@ def approx_heavy_hitters(
     heavy hitters over trillions of tokens:
 
     pass 1: build the d×w Count-Min sketch (combinable SUM, bounded);
-    pass 2: probe a deterministic hash-coin row sample for candidates
-            (a value with freq >= min_share·N lands in a rate-r sample
-            with prob 1-(1-r)^(min_share·N) — ~1 for any corpus where
-            min_share·N·r >> 1; e.g. share 0.1 % of 1e12 tokens at
-            r=0.05 ⇒ 5e7 expected hits), dedups only the o(sample)
-            candidate set, and keeps candidates whose CMS estimate
-            clears the bar.
+    pass 2: probe a sampled candidate set, dedup only the o(sample)
+            candidates, keep those whose CMS estimate clears the bar.
+
+    ``id_col`` matters for the recall math: the candidate coin must be
+    PER ROW (hash of the row id), so a value with freq >= min_share·N
+    reaches the candidate set with prob 1-(1-r)^(min_share·N) — ~1
+    whenever min_share·N·r >> 1 (share 0.1 % of 1e12 tokens at r=0.05
+    ⇒ 5e7 independent chances).  Keying the coin on the VALUE would
+    collapse all of a value's occurrences into ONE Bernoulli(r) trial
+    and silently miss heavy hitters with prob 1-r.  When ``id_col`` is
+    None there is no row identity to key on, so the candidate set
+    falls back to the exact distinct values — always correct, but it
+    pays the distinct shuffle the sampled path exists to avoid; pass a
+    row id for the scale path.
 
     CMS never under-counts, so no TRUE heavy hitter that reaches the
     candidate set is dropped (possible over-admission of near-misses is
     the usual CMS one-sided error).  Returns (value, cms_count,
     share).  Deterministic in (data, seed) — partitioning-invariant.
 
-    The sketch is persisted (o(d·w) rows) so the corpus is scanned once
-    for it, not twice; it stays cached while the returned plan is live
-    (`spark.catalog.clearCache()` reclaims it).
+    The d×w sketch is collected once (bounded driver payload) and
+    re-parallelized for the probe join, so the corpus is scanned
+    exactly once and nothing stays pinned in the executor cache.
     """
     from flink_rtcef_spark.operators.sampling import hash_fraction
 
+    spark = df.sparkSession
     v = F.col(value_col)
-    sketch = cms_build(df, value_col, depth=depth, width=width, seed=seed).persist()
+    sketch_rows = cms_build(
+        df, value_col, depth=depth, width=width, seed=seed
+    ).collect()
     # every value increments exactly one counter per sketch row, so row
-    # 0's counters sum to N — no separate full-scan count job; the
-    # driver aggregate is over the o(d·w) sketch
-    total = (
-        sketch.filter(F.col("r") == 0).agg(F.sum("cnt")).first()[0] or 0
-    )
+    # 0's counters sum to N — no separate full-scan count job
+    total = sum(r["cnt"] for r in sketch_rows if r["r"] == 0)
     if total == 0:
         return df.select(
             v.alias(value_col),
             F.lit(0).cast("long").alias("cms_count"),
             F.lit(0.0).alias("share"),
         ).limit(0)
-    candidates = (
-        df.filter(v.isNotNull())
-        .filter(hash_fraction(v.cast("string"), seed + 1) < candidate_rate)
-        .select(value_col)
-        .distinct()
-    )
+    sketch = spark.createDataFrame(sketch_rows, "r int, c long, cnt long")
+    candidates = df.filter(v.isNotNull())
+    if id_col is not None:
+        row_key = F.concat(
+            F.col(id_col).cast("string"), F.lit("|"), v.cast("string")
+        )
+        candidates = candidates.filter(
+            hash_fraction(row_key, seed + 1) < candidate_rate
+        )
+    candidates = candidates.select(value_col).distinct()
     est = cms_lookup(sketch, candidates, value_col,
                      depth=depth, width=width, seed=seed)
     return (
-        est.filter(F.col("cms_count") >= min_share * total)
-        .select(
+        est.select(
             value_col,
             "cms_count",
             F.round(F.col("cms_count") / F.lit(float(total)), 6).alias("share"),
         )
+        .filter(F.col("cms_count") >= min_share * total)
+        .select(value_col, "cms_count", "share")
     )
 
 
@@ -427,13 +442,24 @@ def kmv_sketch(df: DataFrame, value_col: str, k: int = KMV_K) -> DataFrame:
     est_row = hll_distinct(df, value_col).first()
     est = float(est_row["hll_distinct"]) if est_row else 0.0
     if est > 50 * k:
-        thresh = int(_KMV_SPACE * (4.0 * k) / est)
-        pre = hashed.filter(F.col("h") < thresh).distinct().orderBy("h").limit(k)
-        got = pre.count()
-        if got >= k:
-            return pre
+        # collect the <=k survivors at the decision point so the
+        # filtered scan runs ONCE (a lazily returned plan would re-run
+        # it on the caller's first action)
+        rows = _kmv_prefiltered(hashed, est, k).collect()
+        if len(rows) >= k:
+            return df.sparkSession.createDataFrame(rows, "h long")
         # HLL under-estimated the domain: fall through to the exact path
     return hashed.distinct().orderBy("h").limit(k)
+
+
+def _kmv_prefiltered(hashed: DataFrame, est: float, k: int) -> DataFrame:
+    """The scale-path plan: hash < 4k/est prefilter BEFORE the distinct
+    Exchange, then TakeOrdered — kept separate so its shape is plan-
+    testable (tests/test_plans.py)."""
+    thresh = int(_KMV_SPACE * (4.0 * k) / est)
+    return (
+        hashed.filter(F.col("h") < thresh).distinct().orderBy("h").limit(k)
+    )
 
 
 def kmv_sketch_sql(table: str, value_expr: str, k: int = KMV_K) -> str:

@@ -92,15 +92,18 @@ def filter_domains(
 
 #: entities worth decoding without a full table — the ones that carry
 #: text semantics; anything rarer stays literal (harmless to n-gram /
-#: quality stages)
+#: quality stages).  ``&amp;`` MUST decode LAST: decoding it first
+#: would turn the escaped reference ``&amp;lt;`` into ``&lt;`` and a
+#: later pass would double-decode it to ``<`` (standard decoders share
+#: this ordering rule).
 _ENTITIES: tuple[tuple[str, str], ...] = (
     ("&nbsp;", " "),
-    ("&amp;", "&"),
     ("&lt;", "<"),
     ("&gt;", ">"),
     ("&quot;", '"'),
     ("&#39;", "'"),
     ("&apos;", "'"),
+    ("&amp;", "&"),
 )
 
 

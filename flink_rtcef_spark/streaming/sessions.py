@@ -11,9 +11,12 @@ session exactly when the event-time watermark passes its close — so
 state is bounded by (active keys × open sessions), not stream length.
 
 Semantics are identical to the batch gap rule: events of one key merge
-into one session iff consecutive gaps are < ``gap``; a session's span
-is [first_ts, last_ts].  ``test_streaming_sessions.py`` pins the
-equivalence against the lag-gap formulation on the same data.
+into one session iff consecutive gaps are <= ``gap`` (an event exactly
+``gap`` after its predecessor still merges — verified against Spark's
+session_window and mirrored by the lag-gap oracle's ``> gap`` split
+rule); a session's span is [first_ts, last_ts].
+``test_streaming_sessions.py`` and the hypothesis equivalence test in
+``test_property.py`` pin this, including the boundary.
 
 Reference note: Flink's equivalent is EventTimeSessionWindows; the
 reference pipelines use tumbling windows only (SURVEY §2.A14), so this

@@ -23,6 +23,9 @@ CASES = [
     "no markup at all",
     "<p>spaced     out\t\ttabs</p>\n\n\n\n<p>far below</p>",
     "<a href='http://x.example/?q=1&amp;r=2'>link text</a> tail",
+    # escaped entity reference: visible text is '&lt;' (one decode,
+    # never two) — regression for the &amp;-last ordering rule
+    "<p>write &amp;lt; for a literal less-than</p>",
 ]
 
 
@@ -63,6 +66,7 @@ def test_semantics(spark):
     assert out[7] == "no markup at all"
     assert "  " not in out[8] and "\n\n\n" not in out[8]
     assert out[9] == "link text tail"
+    assert out[10] == "write &lt; for a literal less-than"
 
 
 def test_plan_is_jvm_only(spark, tmp_path):

@@ -217,10 +217,12 @@ def test_kmv_prefilter_cuts_rows_before_exchange(spark):
     sort)."""
     import pyspark.sql.functions as F
 
-    from flink_rtcef_spark.operators.sketch import kmv_sketch
+    from flink_rtcef_spark.functions.scalar import portable_hash64
+    from flink_rtcef_spark.operators.sketch import _kmv_prefiltered
 
     df = spark.range(200000).select(F.col("id").cast("string").alias("v"))
-    plan = _explain(kmv_sketch(df, "v", k=128))
+    hashed = df.select(portable_hash64(F.col("v")).alias("h"))
+    plan = _explain(_kmv_prefiltered(hashed, est=200000.0, k=128))
     import re as _re
 
     m = _re.search(r"Filter \[?.*?\(h#\d+L? < (\d+)\)", plan) or _re.search(

@@ -301,3 +301,21 @@ def test_kmv_small_domain_exact(spark):
     sk = kmv_sketch(df, "v", k=64)
     assert sk.count() == 20
     assert kmv_distinct_estimate(sk, k=64) == 20.0
+
+
+def test_approx_heavy_hitters_row_keyed_sampling_recall(spark):
+    """With a per-row id, a heavy value is found even at a small
+    candidate rate (many independent chances); the regression this
+    pins: a VALUE-keyed coin would miss it with prob 1-rate."""
+    from flink_rtcef_spark.operators.sketch import approx_heavy_hitters
+
+    rows = [(i, "hot" if i % 2 == 0 else f"cold{i}") for i in range(2000)]
+    df = spark.createDataFrame(rows, "row_id long, v string")
+    got = {
+        r["v"]
+        for r in approx_heavy_hitters(
+            df, "v", min_share=0.2, candidate_rate=0.05, id_col="row_id"
+        ).collect()
+    }
+    # 1000 occurrences x rate 0.05 -> P(miss) = 0.95^1000 ~ 5e-23
+    assert got == {"hot"}

@@ -304,3 +304,20 @@ def test_epoch_upsample_rejects_negative_weight(spark):
     df = spark.createDataFrame([(1, "s")], "doc_id long, source string")
     with _pytest.raises(ValueError):
         epoch_upsample(df, {"s": -1.0}, "source", "doc_id")
+
+
+def test_epoch_upsample_null_ids_keep_integer_copies(spark):
+    """NULL ids must not vanish: floor(w) copies still emit (the
+    fractional coin is shared across NULL-id rows, deterministic)."""
+    from flink_rtcef_spark.operators.sampling import epoch_upsample
+
+    df = spark.createDataFrame(
+        [(1, "s"), (None, "s"), (None, "t")],
+        "doc_id long, source string",
+    )
+    up = epoch_upsample(df, {"s": 2.0, "t": 1.0}, "source", "doc_id")
+    by = {
+        (r["doc_id"], r["source"]): r["count"]
+        for r in up.groupBy("doc_id", "source").count().collect()
+    }
+    assert by[(1, "s")] == 2 and by[(None, "s")] == 2 and by[(None, "t")] == 1
