@@ -91,7 +91,7 @@ def test_streaming_safe(spark, tmp_path):
         .writeStream.format("memory").queryName("html_stream")
         .outputMode("append").trigger(availableNow=True).start()
     )
-    q.awaitTermination(60)
+    assert q.awaitTermination(600), 'stream did not drain'
     got = {r["i"]: r["t"] for r in spark.sql("SELECT * FROM html_stream").collect()}
     want = {r["i"]: r["t"] for r in df.select("i", html_to_text("html").alias("t")).collect()}
     assert got == want

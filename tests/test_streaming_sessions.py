@@ -92,7 +92,7 @@ def test_streaming_sessions_equal_batch(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(600), 'stream did not drain'
     got = (
         spark.sql("SELECT * FROM sess_stream")
         .toPandas()

@@ -42,7 +42,7 @@ def _run_complete(sdf, name):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(600), 'stream did not drain'
     return name
 
 
