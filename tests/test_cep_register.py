@@ -381,7 +381,7 @@ def test_streaming_register_equals_batch(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(600), "stream did not drain"
     got = spark.sql("select * from stream_reg_dets").toPandas()
 
     batch = RegisterCEP(cp, ts_col="timestamp", id_col="id").detections(
@@ -470,7 +470,7 @@ def test_streaming_register_checkpoint_restart(spark, tmp_path):
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(120)
+        assert q.awaitTermination(600), "stream did not drain"
 
     for c, chunk in enumerate(chunks[:2]):
         spark.createDataFrame(chunk).coalesce(1).write.mode("overwrite").parquet(str(src / f"c{c}"))

@@ -101,7 +101,7 @@ def test_streaming_watermark_tumbling_window(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(90)
+    assert q.awaitTermination(600), "stream did not drain"
     out = spark.sql(
         "select window.start as ws, event_type, n, s from winagg order by ws, event_type"
     ).toPandas()

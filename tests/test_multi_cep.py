@@ -111,7 +111,7 @@ def test_streaming_multi_equals_batch(spark, tmp_path):
         out.writeStream.format("memory").queryName("smulti")
         .outputMode("append").trigger(availableNow=True).start()
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(600), "stream did not drain"
     got = (
         spark.sql("select * from smulti")
         .toPandas()
@@ -173,7 +173,7 @@ def test_streaming_multi_checkpoint_restart(spark, tmp_path):
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(120)
+        assert q.awaitTermination(600), "stream did not drain"
 
     for c, chunk in enumerate(chunks[:2]):
         spark.createDataFrame(chunk).coalesce(1).write.mode("overwrite").parquet(str(src / f"c{c}"))

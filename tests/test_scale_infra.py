@@ -100,7 +100,7 @@ def test_streaming_exact_dedup_drops_cross_batch_duplicates(spark, tmp_path):
         .option("checkpointLocation", str(tmp_path / "ckpt"))
         .start()
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(600), "stream did not drain"
     got = spark.sql("select * from dedup_stream").toPandas()
 
     assert len(got) == 10  # one survivor per distinct text

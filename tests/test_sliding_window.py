@@ -79,7 +79,7 @@ def test_sliding_window_streams_equal_batch(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(180)
+    assert q.awaitTermination(600), "stream did not drain"
     got = (
         spark.sql("SELECT * FROM slide_stream")
         .toPandas()

@@ -62,7 +62,7 @@ def test_streaming_equals_batch(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(600), "stream did not drain"
     got = spark.sql("select * from stream_dets").toPandas()
 
     batch_df = spark.createDataFrame(pdf)
@@ -242,7 +242,7 @@ def test_tws_streaming_equals_batch(spark, tmp_path):
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(120)
+        assert q.awaitTermination(600), "stream did not drain"
         got = spark.sql("select * from tws_dets").toPandas()
 
         batch_df = spark.createDataFrame(pdf)
@@ -285,7 +285,7 @@ def _run_file_stream(spark, tmp_path, chunks, builder, name):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(600), "stream did not drain"
     return spark.sql(f"select * from {name}").toPandas()
 
 

@@ -46,7 +46,7 @@ def _run_to_memory(sdf, name):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(600), "stream did not drain"
     return name
 
 

@@ -48,7 +48,7 @@ def test_streaming_forecasts_equal_batch(spark, tmp_path):
         out.writeStream.format("memory").queryName("sfc")
         .outputMode("append").trigger(availableNow=True).start()
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(600), "stream did not drain"
     got = spark.sql("select * from sfc").toPandas()
 
     fcep = ForecastCEP(
@@ -110,7 +110,7 @@ def test_streaming_forecast_ttl_expires_run_state(spark, tmp_path):
         out.writeStream.format("memory").queryName("sfc_ttl")
         .outputMode("append").trigger(availableNow=True).start()
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(600), "stream did not drain"
     got = spark.sql("select * from sfc_ttl where key = 'u1'").toPandas()
     dets = got[got.is_detection].sort_values("event_id")
     # both A;B matches detected...

@@ -61,7 +61,7 @@ def test_loop_on_structured_streaming(spark, tmp_path):
     q = loop.run_streaming(
         stream, checkpoint_dir=str(tmp_path / "ckpt"), trigger={"availableNow": True}
     )
-    q.awaitTermination(180)
+    assert q.awaitTermination(600), "stream did not drain"
     # one report per microbatch; metrics carry plausible values
     assert len(loop.metrics) == 4
     assert all(-1.0 <= p.batch_mcc <= 1.0 for p in loop.metrics)
