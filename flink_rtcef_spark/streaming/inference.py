@@ -543,6 +543,15 @@ def streaming_detections(
 
 
 def _timeout_conf(state_ttl_ms: int, ttl_clock: str):
+    """ttl_clock="processing" caveat: under trigger(availableNow=True)
+    a pending ProcessingTimeTimeout keeps the query alive after the
+    input is exhausted, spinning ~1 EMPTY microbatch per second of pure
+    overhead until the wall timer fires — so the drain takes about as
+    long as the TTL itself (measured: no-data batch 158 at t=150s with
+    a 10-minute TTL).  Use the event clock (the default, and the Flink
+    parity semantics — ERFEngine.scala:213-216) with availableNow
+    replays; reserve the processing clock for continuously-triggered
+    production streams where the query never waits to terminate."""
     if state_ttl_ms <= 0:
         return GroupStateTimeout.NoTimeout
     if ttl_clock == "event":
