@@ -41,8 +41,11 @@ Scale design (100 TB):
 - ``hll_registers``: groupBy (group, bucket) MAX — partial-agg
   combinable, ≤256 rows of state per group survive the shuffle.
 - ``hll_estimate``: groupBy (group) SUM over ≤256 rows — trivial.
-- ``cms_build``: posexplode of d in-row hashes + groupBy SUM — one
-  map-side-combinable agg; sketch size d×w rows regardless of input.
+- ``cms_build``: ONE md5 per input value (Kirsch-Mitzenmacher double
+  hashing derives the d cells from its 30-bit halves — md5 count is
+  the dominant per-token cost, measured 3x at the x10 point), then a
+  constant-sequence explode + groupBy SUM — one map-side-combinable
+  agg; sketch size d×w rows regardless of input.
 - ``cms_lookup``: join probes against the sketch on (row, col) — the
   sketch side is tiny, Spark broadcasts it.
 """
@@ -225,10 +228,31 @@ def hll_distinct_sql(
 # ---------------------------------------------------------------------------
 
 
-def _cms_col(value: Column, row: int, width: int, seed: int) -> Column:
-    return (
-        portable_hash64(F.concat(value, F.lit(f"#cms{row}#{seed}"))) % width
-    )
+def _cms_hash(value: Column, seed: int) -> Column:
+    """The ONE 60-bit md5-derived hash a CMS row consumes; the d
+    per-row cells derive from it by Kirsch-Mitzenmacher double hashing
+    (:func:`_cms_cell`).  md5 is the per-token cost that dominates
+    sketch builds over token streams (measured at the x10 point: one
+    md5 per (value, row) pair put cms_build at ~10 s for ~10 M tokens;
+    one md5 per VALUE cuts the build ~3x), and the derivation stays
+    bit-reproducible in DuckDB (same integer arithmetic on the same
+    digest half)."""
+    return portable_hash64(F.concat(value, F.lit(f"#cms#{seed}")))
+
+
+def _cms_cell(h: Column, r: Column, width: int) -> Column:
+    """Cell index for CMS row ``r``: (h_lo + r*h_hi) mod width, where
+    h_lo/h_hi are the low/high 30 bits of the 60-bit hash (Kirsch &
+    Mitzenmacher, ESA 2006: pairwise-derived row hashes preserve the
+    CMS guarantees).  Max value h_lo + 3*h_hi < 2^32 — no overflow in
+    either engine.  IMPORTANT plan shape: ``h`` must be a materialized
+    attribute (computed once per input row BEFORE the row explode) —
+    inlining the md5 into a per-row array makes codegen re-evaluate
+    the digest per element (measured 2x slower than even the
+    md5-per-row original)."""
+    lo = h % F.lit(1 << 30)
+    hi = F.shiftright(h, 30)
+    return (lo + r * hi) % F.lit(width)
 
 
 def cms_build(
@@ -246,10 +270,19 @@ def cms_build(
     (see :func:`cms_merge`)."""
     v = F.col(value_col).cast("string")
     w = F.col(weight_col).cast("long") if weight_col else F.lit(1).cast("long")
-    cols = F.array(*[_cms_col(v, r, width, seed) for r in range(depth)])
     return (
         df.filter(v.isNotNull())
-        .select(F.posexplode(cols).alias("r", "c"), w.alias("w"))
+        # one md5 per input row, materialized BEFORE the explode...
+        .select(_cms_hash(v, seed).alias("_h"), w.alias("w"))
+        # ...then a constant sequence generates the d rows, and the
+        # cell derives from the carried hash attribute (no digest
+        # re-evaluation per row copy — see _cms_cell)
+        .select(
+            F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("r"),
+            F.col("_h"),
+            F.col("w"),
+        )
+        .select("r", _cms_cell(F.col("_h"), F.col("r"), width).alias("c"), "w")
         .groupBy("r", "c")
         .agg(F.sum("w").alias("cnt"))
     )
@@ -277,9 +310,18 @@ def cms_lookup(
     extra probe columns are preserved (same contract as the
     :func:`cms_sql` twin's ``SELECT p.*``)."""
     v = F.col(value_col).cast("string")
-    cols = F.array(*[_cms_col(v, r, width, seed) for r in range(depth)])
-    exploded = probes.select(
-        *probes.columns, F.posexplode(cols).alias("r", "c")
+    exploded = (
+        probes.select(*probes.columns, _cms_hash(v, seed).alias("_h"))
+        .select(
+            *probes.columns,
+            F.col("_h"),
+            F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("r"),
+        )
+        .select(
+            *probes.columns,
+            "r",
+            _cms_cell(F.col("_h"), F.col("r"), width).alias("c"),
+        )
     )
     return (
         exploded.join(F.broadcast(sketch), ["r", "c"], "left")
@@ -302,25 +344,32 @@ def cms_sql(
     v = f"CAST({value_col} AS VARCHAR)"
     v_probe = f"CAST(p.{value_col} AS VARCHAR)"
 
-    def col(r: int, val: str) -> str:
+    def h(val: str) -> str:
+        # the one 60-bit hash per value (twin of _cms_hash)
         return (
-            f"CAST(('0x' || substr(md5({val} || '#cms{r}#{seed}'), 1, 15)) "
-            f"AS BIGINT) % {width}"
+            f"CAST(('0x' || substr(md5({val} || '#cms#{seed}'), 1, 15)) "
+            "AS BIGINT)"
         )
 
-    hashes = ", ".join(f"{col(r, v)} AS c{r}" for r in range(depth))
+    def col(r: int, hexpr: str) -> str:
+        # Kirsch-Mitzenmacher twin of _cms_cell: (h_lo + r*h_hi) % w
+        # over the low/high 30 bits of the 60-bit hash
+        return f"(({hexpr} % 1073741824 + {r} * ({hexpr} // 1073741824)) % {width})"
+
+    hashes = ", ".join(f"{col(r, 'h')} AS c{r}" for r in range(depth))
     unions = " UNION ALL ".join(
         f"SELECT {r} AS r, c{r} AS c, w FROM hashed" for r in range(depth)
     )
     probe_min = ", ".join(f"COALESCE(s{r}.cnt, 0)" for r in range(depth))
     probe_joins = " ".join(
-        f"LEFT JOIN sketch s{r} ON s{r}.r = {r} AND s{r}.c = {col(r, v_probe)}"
+        f"LEFT JOIN sketch s{r} ON s{r}.r = {r} AND s{r}.c = {col(r, h(v_probe))}"
         for r in range(depth)
     )
     return f"""
-    WITH hashed AS (
-      SELECT {hashes}, CAST(1 AS BIGINT) AS w FROM ({source_sql})
-      WHERE {v} IS NOT NULL
+    WITH src_h AS (
+      SELECT {h(v)} AS h FROM ({source_sql}) WHERE {v} IS NOT NULL
+    ), hashed AS (
+      SELECT {hashes}, CAST(1 AS BIGINT) AS w FROM src_h
     ), cells AS ({unions}),
     sketch AS (
       SELECT r, c, CAST(SUM(w) AS BIGINT) AS cnt FROM cells GROUP BY r, c
@@ -328,6 +377,50 @@ def cms_sql(
     SELECT p.*, CAST(LEAST({probe_min}) AS BIGINT) AS cms_count
     FROM ({probe_sql}) p {probe_joins}
     """
+
+
+def _misra_gries_candidates(df: DataFrame, value_col: str, k: int) -> DataFrame:
+    """Per-partition Misra-Gries top-k summary (Misra & Gries 1982;
+    mergeable per Agarwal et al., Mergeable Summaries, PODS 2012):
+    each partition emits AT MOST k candidate values, so the shuffle
+    after this stage carries <= k x n_partitions rows no matter how
+    large the value domain is — unlike distinct(), whose map-side
+    combine still ships every per-partition distinct value.
+
+    Retention guarantee (the one heavy-hitter recall rests on): the
+    batched decrement subtracts the (k+1)-th largest counter from all
+    >= k+1 counters at once, removing >= (k+1)*c mass per unit c of
+    per-counter decrement, so cumulative decrement <= N_p/(k+1); any
+    value with partition count > N_p/(k+1) ends with a positive
+    counter and is emitted.  By pigeonhole, a value with GLOBAL count
+    > N/(k+1) exceeds N_p/(k+1) in at least one partition for ANY
+    layout, so it always reaches the candidate union.
+
+    Python is irreducible here (per-partition bounded state is exactly
+    what SQL aggregation cannot cap), but the cost is vectorized:
+    value_counts per Arrow batch + an np.partition prune, never
+    per-row Python.
+    """
+    import numpy as np
+    import pandas as pd
+
+    out_schema = df.select(value_col).schema
+
+    def summarize(batches):
+        counts: pd.Series | None = None
+        for pdf in batches:
+            vc = pdf[value_col].value_counts()
+            counts = vc if counts is None else counts.add(vc, fill_value=0)
+            if len(counts) > k:
+                arr = counts.to_numpy()
+                # (k+1)-th largest counter: strictly-greater survivors <= k
+                cstar = np.partition(arr, len(arr) - k - 1)[len(arr) - k - 1]
+                counts = counts - cstar
+                counts = counts[counts > 0]
+        if counts is not None and len(counts):
+            yield pd.DataFrame({value_col: counts.index})
+
+    return df.select(value_col).mapInPandas(summarize, out_schema)
 
 
 def approx_heavy_hitters(
@@ -345,8 +438,12 @@ def approx_heavy_hitters(
     heavy hitters over trillions of tokens:
 
     pass 1: build the d×w Count-Min sketch (combinable SUM, bounded);
-    pass 2: probe a sampled candidate set, dedup only the o(sample)
-            candidates, keep those whose CMS estimate clears the bar.
+    pass 2: probe a candidate set — the sampled rows are summarized by
+            a per-partition Misra-Gries top-k (<= k rows per partition
+            leave each executor, k = 4/min_share), so the candidate
+            shuffle is O(k x partitions) regardless of how many
+            distinct values the corpus holds — keep candidates whose
+            CMS estimate clears the bar.
 
     ``id_col`` matters for the recall math: the candidate coin must be
     PER ROW (hash of the row id), so a value with freq >= min_share·N
@@ -363,14 +460,18 @@ def approx_heavy_hitters(
     CMS never under-counts, so no TRUE heavy hitter that reaches the
     candidate set is dropped (possible over-admission of near-misses is
     the usual CMS one-sided error).  Returns (value, cms_count,
-    share).  Deterministic in (data, seed) — partitioning-invariant.
+    share).  Every true heavy hitter (and its cms_count/share) is
+    deterministic in (data, seed) under ANY partition layout: the MG
+    pigeonhole guarantee retains all values with sampled count above
+    N_s/(k+1) ~ min_share*N_s/4 regardless of layout, and the CMS
+    estimates are layout-invariant sums.  Only collision-admitted
+    near-misses far below the bar can differ with layout (they need a
+    CMS overcount >= 4x their true sampled share to surface at all).
 
     The d×w sketch is collected once (bounded driver payload) and
     re-parallelized for the probe join, so the corpus is scanned
     exactly once and nothing stays pinned in the executor cache.
     """
-    from flink_rtcef_spark.operators.sampling import hash_fraction
-
     spark = df.sparkSession
     v = F.col(value_col)
     sketch_rows = cms_build(
@@ -388,12 +489,23 @@ def approx_heavy_hitters(
     sketch = spark.createDataFrame(sketch_rows, "r int, c long, cnt long")
     candidates = df.filter(v.isNotNull())
     if id_col is not None:
-        row_key = F.concat(
-            F.col(id_col).cast("string"), F.lit("|"), v.cast("string")
-        )
-        candidates = candidates.filter(
-            hash_fraction(row_key, seed + 1) < candidate_rate
-        )
+        # the coin only needs per-ROW independence + determinism in
+        # (data, seed) — not the cross-engine md5 of hash_fraction
+        # (nothing oracles the candidate set itself), so use the JVM's
+        # xxhash64: ~10x cheaper per row than an md5-hex-conv chain,
+        # and this runs over EVERY input row
+        coin = F.pmod(
+            F.xxhash64(F.col(id_col), v.cast("string"), F.lit(seed + 1)),
+            F.lit(1 << 30),
+        ) / F.lit(float(1 << 30))
+        candidates = candidates.filter(coin < candidate_rate)
+        # Misra-Gries per partition caps the candidate stage at k rows
+        # per partition BEFORE any shuffle (r3's distinct() here shipped
+        # every per-partition distinct sampled value — x10 factor 6.6).
+        # k = 4/min_share puts the MG retention threshold N_s/(k+1) a
+        # 4x margin under a boundary hitter's expected sampled count.
+        k = max(64, int(4.0 / min_share) + 1)
+        candidates = _misra_gries_candidates(candidates, value_col, k)
     candidates = candidates.select(value_col).distinct()
     est = cms_lookup(sketch, candidates, value_col,
                      depth=depth, width=width, seed=seed)
