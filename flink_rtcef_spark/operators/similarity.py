@@ -9,10 +9,11 @@ Scale paths:
   query's bucket (+ optional multi-probe neighbors).  Bucketing is a
   pure column expression; the bucketed table can be written
   partitioned-by-bucket so queries prune partitions at the scan.
-- IVFIndex: numpy k-means (driver, on a sample) -> assign each vector
-  to its nearest centroid (broadcast centroids, map-side argmin) ->
-  probe the closest n_probe cells.  The classic IVF trade: recall vs
-  scanned fraction.
+- IVFIndex: k-means centroids (corpora over the sample bound train via
+  the DISTRIBUTED Lloyd loop by default; the driver-sample trainer is
+  a small-corpus opt-in) -> assign each vector to its nearest centroid
+  (broadcast centroids, map-side argmin) -> probe the closest n_probe
+  cells.  The classic IVF trade: recall vs scanned fraction.
 """
 
 from __future__ import annotations
@@ -190,13 +191,39 @@ class IVFIndex:
         self.seed = seed
         self.centroids: np.ndarray | None = None
 
-    def fit(self, df: DataFrame, vec_col: str = "embedding", sample: int = 10000) -> "IVFIndex":
-        vecs = np.array(
-            [
-                np.asarray(r[0], dtype=float)
-                for r in df.select(vec_col).limit(sample).collect()
-            ]
-        )
+    def fit(
+        self,
+        df: DataFrame,
+        vec_col: str = "embedding",
+        sample: int = 10000,
+        id_col: str = "vec_id",
+        driver_sample: bool = False,
+    ) -> "IVFIndex":
+        """Train centroids.  Corpora larger than ``sample`` rows route
+        to the DISTRIBUTED Lloyd trainer by default (the corpus never
+        reaches the driver — same router pattern as
+        ``embedding_near_dup_auto``); the driver-sample path is an
+        explicit small-corpus opt-in via ``driver_sample=True``.  The
+        size check is a bounded limit(sample+1) probe that doubles as
+        the training collect when the corpus fits."""
+        rows = df.select(vec_col).limit(sample + 1).collect()
+        if len(rows) > sample and not driver_sample:
+            if id_col not in df.columns:
+                raise ValueError(
+                    f"IVFIndex.fit: corpus exceeds sample={sample} rows, so "
+                    "training routes to the distributed Lloyd trainer, which "
+                    f"needs an id column ('{id_col}' not in {df.columns}). "
+                    "Pass id_col=, or driver_sample=True to explicitly train "
+                    "on a driver-side sample."
+                )
+            fitted = kmeans_fit_distributed(
+                df, k=self.n_cells, n_iter=self.n_iter,
+                vec_col=vec_col, id_col=id_col,
+            )
+            self.centroids = fitted.centroids
+            self.n_cells = fitted.n_cells
+            return self
+        vecs = np.array([np.asarray(r[0], dtype=float) for r in rows])
         rng = np.random.RandomState(self.seed)
         centroids = vecs[rng.choice(len(vecs), size=min(self.n_cells, len(vecs)), replace=False)]
         for _ in range(self.n_iter):
@@ -302,10 +329,36 @@ class ProductQuantizer:
         self.seed = seed
         self.codebooks: np.ndarray | None = None  # [m, k, d/m]
 
-    def fit(self, df: DataFrame, vec_col: str = "embedding", sample: int = 10000) -> "ProductQuantizer":
-        vecs = np.array(
-            [np.asarray(r[0], dtype=float) for r in df.select(vec_col).limit(sample).collect()]
-        )
+    def fit(
+        self,
+        df: DataFrame,
+        vec_col: str = "embedding",
+        sample: int = 10000,
+        id_col: str = "vec_id",
+        driver_sample: bool = False,
+    ) -> "ProductQuantizer":
+        """Train codebooks.  Corpora larger than ``sample`` rows route
+        to the distributed per-subspace Lloyd trainer by default
+        (:func:`pq_fit_distributed`); pass ``driver_sample=True`` to
+        opt in to the driver-side sample trainer."""
+        rows = df.select(vec_col).limit(sample + 1).collect()
+        if len(rows) > sample and not driver_sample:
+            if id_col not in df.columns:
+                raise ValueError(
+                    f"ProductQuantizer.fit: corpus exceeds sample={sample} "
+                    "rows, so training routes to pq_fit_distributed, which "
+                    f"needs an id column ('{id_col}' not in {df.columns}). "
+                    "Pass id_col=, or driver_sample=True to explicitly train "
+                    "on a driver-side sample."
+                )
+            fitted = pq_fit_distributed(
+                df, m=self.m, k=self.k, n_iter=self.n_iter,
+                vec_col=vec_col, id_col=id_col,
+            )
+            self.codebooks = fitted.codebooks
+            self.k = fitted.k
+            return self
+        vecs = np.array([np.asarray(r[0], dtype=float) for r in rows])
         vecs = vecs / np.maximum(np.linalg.norm(vecs, axis=1, keepdims=True), 1e-300)
         d = vecs.shape[1]
         if d % self.m:
@@ -436,10 +489,15 @@ class IVFPQIndex:
         self.pq = ProductQuantizer(m=m, k=k, n_iter=n_iter, seed=seed + 4)
 
     def fit(
-        self, df: DataFrame, vec_col: str = "embedding", sample: int = 10000
+        self,
+        df: DataFrame,
+        vec_col: str = "embedding",
+        sample: int = 10000,
+        id_col: str = "vec_id",
+        driver_sample: bool = False,
     ) -> "IVFPQIndex":
-        self.ivf.fit(df, vec_col, sample)
-        self.pq.fit(df, vec_col, sample)
+        self.ivf.fit(df, vec_col, sample, id_col=id_col, driver_sample=driver_sample)
+        self.pq.fit(df, vec_col, sample, id_col=id_col, driver_sample=driver_sample)
         return self
 
     def encode(
