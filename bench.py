@@ -614,7 +614,7 @@ def streaming_throughput(spark, sf_dir: str) -> dict:
                 .trigger(availableNow=True)
                 .start()
             )
-            q.awaitTermination(300)
+            assert q.awaitTermination(600), "stream did not drain"
             shutil.rmtree(f"{workdir}/ckpt", ignore_errors=True)
 
         run()  # warm-up (plan + state store init)

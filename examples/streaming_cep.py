@@ -71,7 +71,7 @@ def run_stream(spark, src_glob: str, out_dir: str, ckpt_dir: str, compiled) -> N
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    assert q.awaitTermination(600), "stream did not drain"
 
 
 def main() -> None:

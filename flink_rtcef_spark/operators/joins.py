@@ -151,6 +151,10 @@ def range_join_binned(
     Numeric point/bound columns only (timestamps: convert with
     ``unix_millis`` first).
     """
+    if bin_width <= 0:
+        # floor(col/0) is NULL in Spark, which would silently drop
+        # every row instead of erroring
+        raise ValueError(f"bin_width must be > 0, got {bin_width}")
     keys = [] if on is None else ([on] if isinstance(on, str) else list(on))
     bw = F.lit(bin_width)
     lb = left.withColumn("__bin", F.floor(F.col(left_point) / bw))
@@ -207,6 +211,10 @@ def interval_overlap_join(
     Numeric bounds only (timestamps: ``unix_millis`` first); intervals
     are closed on both ends, matching the SQL BETWEEN-style oracle.
     """
+    if bin_width <= 0:
+        # floor(col/0) is NULL -> sequence/explode silently drops every
+        # row instead of erroring
+        raise ValueError(f"bin_width must be > 0, got {bin_width}")
     keys = [] if on is None else ([on] if isinstance(on, str) else list(on))
     bw = F.lit(bin_width)
     lb = left.withColumn(

@@ -219,7 +219,9 @@ def epoch_upsample_sql(
     bounded range table sized to the max weight."""
     w = repr(float(default_weight))
     for g, wg in sorted(weights.items()):
-        w = f"CASE WHEN s.{group_col} = '{g}' THEN {float(wg)!r} ELSE {w} END"
+        # group names become SQL string literals: escape embedded quotes
+        g_lit = str(g).replace("'", "''")
+        w = f"CASE WHEN s.{group_col} = '{g_lit}' THEN {float(wg)!r} ELSE {w} END"
     coin = (
         f"(CAST(('0x' || substr(md5(COALESCE(CAST(s.{id_col} AS VARCHAR), "
         f"chr(1) || 'null') || '#{seed}'), 1, 15)) "

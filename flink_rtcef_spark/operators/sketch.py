@@ -23,6 +23,15 @@ assert" cop-out:
   round UP in IEEE double and mis-bucket the register.
 - Count-Min is all-integer.
 
+Float-tail caveat (HLL only): everything up to the per-group
+(observed_register_sum, n_buckets) pair is INTEGER-exact across
+engines; the final estimate then applies ln/round, whose bit-for-bit
+Spark-vs-DuckDB agreement (JVM StrictMath vs libm, HALF_UP vs ROUND)
+holds on this platform but is not guaranteed across libm versions.  If
+the hash gate ever breaks on a new platform, gate on the integer pair
+and tolerance-check only the final float (the estimate error is ~4 %
+by construction; a last-ulp ln difference is noise).
+
 Relation to operators/profile.py: profile.py wraps Spark's BUILT-IN
 Datasketches aggregates (``hll_sketch_agg`` / KLL) — the fastest
 JVM-native path for interactive profiling, but its estimates are not
@@ -310,23 +319,31 @@ def cms_lookup(
     extra probe columns are preserved (same contract as the
     :func:`cms_sql` twin's ``SELECT p.*``)."""
     v = F.col(value_col).cast("string")
+    # a per-probe-row id keeps duplicate probe rows distinct through
+    # the explode->min regroup, preserving row multiplicity exactly as
+    # the cms_sql twin's `SELECT p.*` does (r3 advice: grouping on the
+    # probe columns alone collapsed duplicate probe rows)
     exploded = (
-        probes.select(*probes.columns, _cms_hash(v, seed).alias("_h"))
+        probes.withColumn("_pid", F.monotonically_increasing_id())
+        .select(*probes.columns, "_pid", _cms_hash(v, seed).alias("_h"))
         .select(
             *probes.columns,
+            "_pid",
             F.col("_h"),
             F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("r"),
         )
         .select(
             *probes.columns,
+            "_pid",
             "r",
             _cms_cell(F.col("_h"), F.col("r"), width).alias("c"),
         )
     )
     return (
         exploded.join(F.broadcast(sketch), ["r", "c"], "left")
-        .groupBy(*probes.columns)
+        .groupBy("_pid", *probes.columns)
         .agg(F.min(F.coalesce("cnt", F.lit(0))).alias("cms_count"))
+        .drop("_pid")
     )
 
 

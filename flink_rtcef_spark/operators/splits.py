@@ -174,5 +174,13 @@ def split_sql_case(
     cum = 0.0
     for name, w in items[:-1]:
         cum += w
-        branches.append(f"WHEN {coin} < {cum!r} THEN '{name}'")
-    return "CASE " + " ".join(branches) + f" ELSE '{items[-1][0]}' END"
+        # split names become SQL string literals: escape embedded quotes
+        branches.append(f"WHEN {coin} < {cum!r} THEN '{_sql_str(name)}'")
+    return (
+        "CASE " + " ".join(branches) + f" ELSE '{_sql_str(items[-1][0])}' END"
+    )
+
+
+def _sql_str(name: str) -> str:
+    """Escape a value for embedding in a single-quoted SQL literal."""
+    return str(name).replace("'", "''")

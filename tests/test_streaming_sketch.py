@@ -72,13 +72,18 @@ def test_streaming_hll_registers_equal_batch(spark, tmp_path):
 
 def test_streaming_cms_equals_batch(spark, tmp_path):
     stream, batch = _fixture(spark, tmp_path)
-    from flink_rtcef_spark.operators.sketch import _cms_col
+    from flink_rtcef_spark.operators.sketch import _cms_cell, _cms_hash
 
     v = F.col("v").cast("string")
-    cols = F.array(*[_cms_col(v, r, 1024, 0) for r in range(4)])
     sketched = (
-        stream.select(F.posexplode(cols).alias("r", "c"),
+        stream.select(_cms_hash(v, 0).alias("_h"),
                       F.lit(1).cast("long").alias("w"))
+        .select(
+            F.explode(F.sequence(F.lit(0), F.lit(3))).alias("r"),
+            F.col("_h"),
+            F.col("w"),
+        )
+        .select("r", _cms_cell(F.col("_h"), F.col("r"), 1024).alias("c"), "w")
         .groupBy("r", "c")
         .agg(F.sum("w").alias("cnt"))
     )
