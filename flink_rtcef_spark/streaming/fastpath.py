@@ -1,0 +1,593 @@
+"""High-throughput streaming CEP: foreachBatch + state-as-DataFrame.
+
+Why this exists.  The ``applyInPandasWithState`` path
+(streaming/inference.py) pays a measured ~1 s/microbatch of pure
+machinery on local[32] — profiled with a NO-OP stateful function it
+still costs ~1 s/batch (per-group Arrow round trips + state-store
+commit across 32 partitions), so no kernel optimization can recover
+it.  The batch operator (operators/cep.py BatchCEP, fused) is ~20x
+faster because it advances ALL keys in ONE mapInPandas pass per
+partition.  This module runs that same fused kernel per microbatch
+under ``foreachBatch``, carrying run state as a co-partitioned
+DataFrame instead of per-key GroupState rows.
+
+Flink parity.  The reference engine's run state is the per-key
+quintuple (state, counter, min_counter, min_ts, n_matched) inside a
+KeyedProcessFunction (WayebEngine.java:102-118); Flink snapshots it on
+the checkpoint interval and recovers by rewinding the Kafka source.
+Here the quintuple lives in a versioned parquet table: batch ``b``
+reads ``state/v{b}``, advances every key in one fused pass, and writes
+``state/v{b+1}`` — idempotent under Spark's microbatch replay (a
+re-run of batch ``b`` re-reads the same ``v{b}`` and overwrites
+``v{b+1}``), which is exactly-once without any state store.
+
+Event-time semantics match the default engine path: the watermark is
+max-event-ts-minus-delay carried across batches in the state version's
+metadata; rows later than the watermark are dropped JVM-side, and
+(``state_ttl_ms`` > 0) runs whose last event is more than ttl behind
+the watermark are expired by a JVM filter before the kernel sees them
+(ERFEngine.scala:213-216 run expiry, same clock as
+streaming/inference._expired_on_event_clock).
+
+Scale design.  Per microbatch: ONE hash shuffle of (events ∪ state) on
+the key, a within-partition sort, one Arrow-batched Python pass, and a
+parquet write of o(live keys) state rows.  Nothing is proportional to
+key count on the driver; state volume per executor is bounded by TTL
+expiry.  At production scale the state table is a normal columnar
+table — re-clustering, TTL sweeps, and inspection are plain DataFrame
+operations rather than state-store internals.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from flink_rtcef_spark.operators.cep import _run_sdfa_segment
+from flink_rtcef_spark.plans.compiler import CompiledPattern, transition_tables
+from flink_rtcef_spark.streaming.inference import _with_event_time
+
+# long-form union of events and carried state; state rows sort before
+# any real event of their key (ts = _STATE_TS)
+_STATE_TS = -(1 << 62)
+
+_WIDE_SCHEMA = (
+    "key string, ts long, event_id long, symbol int, is_state boolean, "
+    "state int, counter long, min_counter long, min_ts long, n_matched int, "
+    "last_ts long"
+)
+
+# kind 0 = detection, 1 = carried state, 2 = partition max event ts
+_OUT_SCHEMA = (
+    "kind int, key string, event_id long, ts long, counter long, "
+    "min_counter long, n_matched int, state int, min_ts long, last_ts long"
+)
+_OUT_COLUMNS = [
+    "kind", "key", "event_id", "ts", "counter", "min_counter", "n_matched",
+    "state", "min_ts", "last_ts",
+]
+
+STATE_COLUMNS = [
+    "key", "state", "counter", "min_counter", "min_ts", "n_matched", "last_ts"
+]
+DETECTION_COLUMNS = [
+    "key", "detection_event_id", "detection_ts", "counter", "min_counter",
+    "n_matched",
+]
+
+
+def _make_partition_runner(compiled: CompiledPattern):
+    """One fused pass over a partition of (state ∪ event) rows sorted by
+    (key, ts, event_id): pops each key's leading state row as carry-in,
+    advances the segment with the SAME kernel as BatchCEP, and emits the
+    key's carry-out as a kind=1 row when the key closes."""
+    delta, take, finals = transition_tables(compiled.sdfa)
+    window = compiled.window
+    window_type = compiled.window_type
+    resets = compiled.reset_symbols()
+
+    def run_partition(batches):
+        open_key = None
+        carry = None          # (state, counter, min_counter, min_ts, n_matched)
+        last_ts = -1          # carried last event ts for TTL accounting
+        part_max_ts = -1
+        out: list[tuple] = []
+
+        def close_key():
+            if open_key is not None:
+                s, c, mc, mts, nm = carry
+                out.append(
+                    (1, open_key, None, None, int(c), int(mc), int(nm),
+                     int(s), int(mts), int(last_ts))
+                )
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            keys = pdf["key"].to_numpy()
+            is_state = pdf["is_state"].to_numpy()
+            n = len(keys)
+            start = 0
+            while start < n:
+                end = start
+                k = keys[start]
+                while end < n and keys[end] == k:
+                    end += 1
+                if k != open_key:
+                    close_key()
+                    open_key, carry, last_ts = k, (0, 0, -1, -1, 0), -1
+                seg = slice(start, end)
+                st_mask = is_state[seg]
+                if st_mask.any():
+                    # the state row sorts first within the key
+                    row = pdf.iloc[start]
+                    carry = (
+                        int(row["state"]), int(row["counter"]),
+                        int(row["min_counter"]), int(row["min_ts"]),
+                        int(row["n_matched"]),
+                    )
+                    last_ts = int(row["last_ts"])
+                    start += int(st_mask.sum())
+                    seg = slice(start, end)
+                if start < end:
+                    syms = pdf["symbol"].to_numpy()[seg].astype(np.int64)
+                    tss = pdf["ts"].to_numpy()[seg].astype(np.int64)
+                    ids = pdf["event_id"].to_numpy()[seg].astype(np.int64)
+                    rows, carry = _run_sdfa_segment(
+                        syms, tss, ids, delta, take, finals, window,
+                        window_type, resets, carry,
+                    )
+                    last_ts = max(last_ts, int(tss[-1]))
+                    part_max_ts = max(part_max_ts, int(tss[-1]))
+                    out.extend(
+                        (0, k, int(eid), int(ets), int(c), int(mc), int(nm),
+                         None, None, None)
+                        for (eid, ets, c, mc, nm) in rows
+                    )
+                start = end
+        close_key()
+        if part_max_ts >= 0:
+            out.append((2, None, None, int(part_max_ts), None, None, None,
+                        None, None, None))
+        yield pd.DataFrame(out, columns=_OUT_COLUMNS)
+
+    return run_partition
+
+
+def _state_path(state_dir: str, version: int) -> str:
+    return os.path.join(state_dir, f"v{version}")
+
+
+def _read_meta(state_dir: str, version: int) -> dict:
+    p = os.path.join(_state_path(state_dir, version), "meta.json")
+    if os.path.exists(p):
+        with open(p) as f:
+            return json.load(f)
+    return {"watermark_ms": None}
+
+
+def _write_meta(state_dir: str, version: int, meta: dict) -> None:
+    p = _state_path(state_dir, version)
+    os.makedirs(p, exist_ok=True)
+    with open(os.path.join(p, "meta.json"), "w") as f:
+        json.dump(meta, f)
+
+
+_OUT_PA_SCHEMA = pa.schema(
+    [
+        ("kind", pa.int32()),
+        ("key", pa.string()),
+        ("event_id", pa.int64()),
+        ("ts", pa.int64()),
+        ("counter", pa.int64()),
+        ("min_counter", pa.int64()),
+        ("n_matched", pa.int32()),
+        ("state", pa.int32()),
+        ("min_ts", pa.int64()),
+        ("last_ts", pa.int64()),
+    ]
+)
+
+
+def _driver_batch(
+    runner,
+    events_pdf: pd.DataFrame,
+    state_dir: str,
+    batch_id: int,
+    wm: int | None,
+    state_ttl_ms: int,
+) -> pd.DataFrame:
+    """Advance one SMALL microbatch entirely on the driver: no Spark job.
+
+    A distributed plan has a ~0.35 s floor per microbatch on this
+    workload (measured: task scheduling + shuffle + commit — independent
+    of row count), which caps sustained small-batch throughput.  When
+    the batch fits in driver memory the same fused kernel
+    (_make_partition_runner → _run_sdfa_segment, identical semantics)
+    runs over one pandas frame in ~10 ms, and the state version is
+    written with pyarrow directly.  The versioned-state protocol — read
+    ``v{b}``, write ``v{b+1}``, idempotent replay — is byte-identical to
+    the distributed engines', so a query can cross the routing threshold
+    mid-stream (batch b driver-side, batch b+1 distributed) without any
+    state migration.  This is the microbatch analogue of AQE's
+    local-shuffle-reader: pick the non-distributed physical strategy
+    when the stats say distribution costs more than it buys."""
+    prev_pq = os.path.join(_state_path(state_dir, batch_id), "state")
+    frames = []
+    if os.path.exists(prev_pq):
+        import pyarrow.dataset as pads
+
+        st = (
+            pads.dataset(prev_pq, format="parquet")
+            .to_table(filter=pads.field("kind") == 1)
+            .to_pandas()
+        )
+        if len(st):
+            if state_ttl_ms > 0 and wm is not None:
+                st = st[~(int(wm) > st["last_ts"] + state_ttl_ms)]
+            st = st.assign(
+                ts=np.int64(_STATE_TS),
+                event_id=np.int64(0),
+                symbol=np.int32(0),
+                is_state=True,
+            )
+            frames.append(
+                st[
+                    ["key", "ts", "event_id", "symbol", "is_state", "state",
+                     "counter", "min_counter", "min_ts", "n_matched", "last_ts"]
+                ]
+            )
+    ev = events_pdf
+    if wm is not None:
+        ev = ev[ev["ts"] >= int(wm)]
+    if len(ev):
+        ev = ev.assign(
+            is_state=False, state=None, counter=None, min_counter=None,
+            min_ts=None, n_matched=None, last_ts=None,
+        )
+        frames.append(
+            ev[
+                ["key", "ts", "event_id", "symbol", "is_state", "state",
+                 "counter", "min_counter", "min_ts", "n_matched", "last_ts"]
+            ]
+        )
+    if frames:
+        wide = pd.concat(frames, ignore_index=True)
+        wide = wide.sort_values(
+            ["key", "ts", "event_id"], kind="stable"
+        ).reset_index(drop=True)
+        out = next(runner([wide]))
+    else:
+        out = pd.DataFrame(columns=_OUT_COLUMNS)
+
+    nxt_pq = os.path.join(_state_path(state_dir, batch_id + 1), "state")
+    shutil.rmtree(nxt_pq, ignore_errors=True)
+    os.makedirs(nxt_pq, exist_ok=True)
+    tbl = pa.Table.from_pandas(
+        out, schema=_OUT_PA_SCHEMA, preserve_index=False
+    )
+    pq.write_table(tbl, os.path.join(nxt_pq, "part-00000.parquet"))
+    return out
+
+
+class _SqlEngineExprs:
+    """Column expression trees for the JVM microbatch plan, built ONCE
+    per query (not per batch): the fold lambda alone is a multi-KB SQL
+    string whose re-parse cost (~100 ms/batch, measured) would otherwise
+    land on every microbatch's critical path.  Columns are stateless
+    expression trees, safe to reuse across DataFrames."""
+
+    def __init__(self, compiled: CompiledPattern):
+        from flink_rtcef_spark.plans.sql_kernel import fold_column
+
+        self.ev_x = F.struct(
+            F.col("ts"), F.col("event_id"), F.col("symbol"),
+            F.lit(False).alias("is_state"),
+            F.lit(None).cast("int").alias("st"),
+            F.lit(None).cast("long").alias("sc"),
+            F.lit(None).cast("long").alias("smc"),
+            F.lit(None).cast("long").alias("smts"),
+            F.lit(None).cast("int").alias("snm"),
+            F.lit(None).cast("long").alias("slts"),
+        ).alias("x")
+        self.st_x = F.struct(
+            F.lit(_STATE_TS).alias("ts"),
+            F.lit(0).cast("long").alias("event_id"),
+            F.lit(0).cast("int").alias("symbol"),
+            F.lit(True).alias("is_state"),
+            F.col("state").alias("st"),
+            F.col("counter").alias("sc"),
+            F.col("min_counter").alias("smc"),
+            F.col("min_ts").alias("smts"),
+            F.col("n_matched").alias("snm"),
+            F.col("last_ts").alias("slts"),
+        ).alias("x")
+        self.fold = fold_column(compiled, stateful_x=True).alias("r")
+        self.rows = F.expr(
+            "array_append("
+            "  transform(r.dets, d -> named_struct("
+            "    'kind', 0, 'key', key, 'event_id', d.event_id, 'ts', d.ts, "
+            "    'counter', d.counter, 'min_counter', d.min_counter, "
+            "    'n_matched', d.n_matched, 'state', CAST(NULL AS int), "
+            "    'min_ts', CAST(NULL AS bigint), "
+            "    'last_ts', CAST(NULL AS bigint))), "
+            "  named_struct("
+            "    'kind', 1, 'key', key, 'event_id', CAST(NULL AS bigint), "
+            "    'ts', CAST(NULL AS bigint), 'counter', r.c, "
+            "    'min_counter', r.mc, 'n_matched', r.nm, 'state', r.s, "
+            "    'min_ts', r.mts, 'last_ts', r.lt))"
+        )
+
+
+def _jvm_batch_plan(
+    compiled: CompiledPattern,
+    events: DataFrame,
+    carried: DataFrame | None,
+    exprs: _SqlEngineExprs | None = None,
+) -> DataFrame:
+    """The microbatch as a 100% JVM plan with ONE shuffle
+    (plans/sql_kernel.py): carried-state rows union in as pseudo-events
+    whose ts (-2^62) sorts them first within their key, so the
+    aggregate-fold's stateful_x branch loads them as the resume
+    accumulator — no state join, no second Exchange.  One explode emits
+    each key's detections (kind=0) and carry-out (kind=1) from the same
+    pass; state-only keys survive via their pseudo-event.  No Python
+    boundary anywhere in the batch."""
+    e = exprs or _SqlEngineExprs(compiled)
+    ev = events.select("key", e.ev_x)
+    unioned = ev
+    if carried is not None:
+        unioned = ev.unionByName(carried.select("key", e.st_x))
+
+    folded = (
+        unioned.groupBy("key")
+        .agg(F.sort_array(F.collect_list("x")).alias("evs"))
+        .select("key", e.fold)
+    )
+    return folded.select(F.explode(e.rows).alias("o")).select("o.*")
+
+
+def _detections_view(df: DataFrame) -> DataFrame:
+    return df.filter(F.col("kind") == 0).select(
+        F.col("key"),
+        F.col("event_id").alias("detection_event_id"),
+        F.col("ts").alias("detection_ts"),
+        "counter", "min_counter", "n_matched",
+    )
+
+
+def make_foreach_batch_detections(
+    compiled: CompiledPattern,
+    state_dir: str,
+    sink=None,
+    watermark_delay_ms: int = 60_000,
+    state_ttl_ms: int = 0,
+    keep_versions: int = 2,
+    num_partitions: int | None = None,
+    engine: str = "auto",
+    driver_max_rows: int = 200_000,
+):
+    """Build the ``foreachBatch`` function.
+
+    ``engine="auto"`` (default) routes each microbatch by size: a
+    bounded ``limit(driver_max_rows + 1)`` collect probes the batch —
+    if it fits, the probe IS the batch and the fused kernel advances it
+    driver-side with zero Spark jobs (see _driver_batch: a distributed
+    microbatch has a measured ~0.35 s job floor regardless of row
+    count); otherwise the probe is discarded and the batch runs as the
+    distributed JVM plan.  ``engine="sql"`` always uses the JVM
+    aggregate-fold kernel (plans/sql_kernel.py) — the whole microbatch
+    is one Python-free Catalyst plan.  ``engine="arrow"`` uses the
+    fused mapInPandas kernel instead — pick it when a single key's
+    per-batch event array would strain executor memory, since the SQL
+    path materializes one key's batch as one array.  ``engine="driver"``
+    forces the driver path (testing).  All engines speak the same
+    versioned-state protocol, so the auto route can flip per batch with
+    no state migration.
+
+    ONE Spark action per microbatch: the fused kernel's full output —
+    detections, carried state, and a per-partition max-event-ts marker
+    — is written to ``state/v{batch_id+1}`` in a single job.  The
+    watermark is then recovered driver-side from the tiny kind=2 rows
+    (column-pruned, predicate-pushed local parquet read — no job), and
+    ``sink(detections_df, batch_id)``, if given, receives a LAZY view
+    over the written file, so a sink that only counts or copies pays
+    one cheap scan and a no-op sink pays nothing.  Version files are
+    transient (GC'd after ``keep_versions`` batches): a sink that wants
+    a durable detection history must write it onward — the standard
+    foreachBatch delivery contract.
+
+    The input batch must already be symbolized to (key string,
+    ts long-millis, event_id long, symbol int) — use
+    :func:`symbolize_stream`."""
+    runner = _make_partition_runner(compiled)
+    exprs = _SqlEngineExprs(compiled) if engine in ("sql", "auto") else None
+
+    def _finish_batch(spark, batch_id: int, wm) -> None:
+        """Common tail once ``state/v{batch_id+1}`` exists: recover the
+        watermark from the tiny kind=1 rows (column-pruned,
+        predicate-pushed local parquet read — no Spark job), deliver
+        the sink view, GC stale versions."""
+        nxt_pq = os.path.join(_state_path(state_dir, batch_id + 1), "state")
+        import pyarrow.dataset as pads
+
+        marker = pads.dataset(nxt_pq, format="parquet").to_table(
+            filter=pads.field("kind") == 1, columns=["last_ts"]
+        )
+        new_wm = wm
+        if marker.num_rows:
+            import pyarrow.compute as pc
+
+            mx = pc.max(marker.column("last_ts")).as_py()
+            if mx is not None and mx >= 0:
+                cand = mx - watermark_delay_ms
+                new_wm = cand if wm is None else max(int(wm), cand)
+        _write_meta(state_dir, batch_id + 1, {"watermark_ms": new_wm})
+
+        if sink is not None:
+            sink(
+                _detections_view(
+                    spark.read.schema(_OUT_SCHEMA).parquet(nxt_pq)
+                ),
+                batch_id,
+            )
+        # GC old versions; keep the current input version so a replay of
+        # THIS batch after a crash still finds its input state
+        stale = batch_id - keep_versions
+        if stale >= 0:
+            shutil.rmtree(_state_path(state_dir, stale), ignore_errors=True)
+
+    def foreach_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        meta = _read_meta(state_dir, batch_id)
+        wm = meta.get("watermark_ms")
+        prev_pq = os.path.join(_state_path(state_dir, batch_id), "state")
+        have_state = os.path.exists(prev_pq)
+
+        events_pdf = None
+        if engine == "driver":
+            events_pdf = batch_df.select(
+                "key", "ts", "event_id", "symbol"
+            ).toPandas()
+        elif engine == "auto":
+            probe = batch_df.select(
+                "key", "ts", "event_id", "symbol"
+            ).limit(driver_max_rows + 1).toPandas()
+            if len(probe) <= driver_max_rows:
+                events_pdf = probe
+        if events_pdf is not None:
+            events_pdf["key"] = events_pdf["key"].astype(str)
+            _driver_batch(
+                runner, events_pdf, state_dir, batch_id, wm, state_ttl_ms
+            )
+            _finish_batch(spark, batch_id, wm)
+            return
+
+        events = batch_df.select("key", "ts", "event_id", "symbol")
+        if wm is not None:
+            # rows later than the watermark are dropped, as in the
+            # engine path (withWatermark + state op) and the reference's
+            # bounded out-of-orderness (InferenceJob.java:134-137)
+            events = events.filter(F.col("ts") >= F.lit(int(wm)))
+
+        carried = None
+        if have_state:
+            # explicit schema: skips the driver-side footer read that
+            # schema inference costs on every microbatch
+            carried = (
+                spark.read.schema(_OUT_SCHEMA).parquet(prev_pq)
+                .filter(F.col("kind") == 1)
+            )
+            if state_ttl_ms > 0 and wm is not None:
+                # run expiry on the event clock (ERFEngine.scala:213-216):
+                # a run whose last event is > ttl behind the watermark is
+                # dead before this batch's rows are processed
+                carried = carried.filter(
+                    ~(F.lit(int(wm)) > F.col("last_ts") + F.lit(state_ttl_ms))
+                )
+
+        if engine in ("sql", "auto"):
+            out = _jvm_batch_plan(compiled, events, carried, exprs)
+        else:
+            wide_events = events.select(
+                "key", "ts", "event_id", "symbol",
+                F.lit(False).alias("is_state"),
+                F.lit(None).cast("int").alias("state"),
+                F.lit(None).cast("long").alias("counter"),
+                F.lit(None).cast("long").alias("min_counter"),
+                F.lit(None).cast("long").alias("min_ts"),
+                F.lit(None).cast("int").alias("n_matched"),
+                F.lit(None).cast("long").alias("last_ts"),
+            )
+            unioned = wide_events
+            if carried is not None:
+                unioned = wide_events.unionByName(
+                    carried.select(
+                        "key",
+                        F.lit(_STATE_TS).alias("ts"),
+                        F.lit(0).cast("long").alias("event_id"),
+                        F.lit(None).cast("int").alias("symbol"),
+                        F.lit(True).alias("is_state"),
+                        "state", "counter", "min_counter", "min_ts",
+                        "n_matched", "last_ts",
+                    )
+                )
+            parts = ["key"] if num_partitions is None else [num_partitions, "key"]
+            out = (
+                unioned.repartition(*parts)
+                .sortWithinPartitions("key", "ts", "event_id")
+                .mapInPandas(runner, schema=_OUT_SCHEMA)
+            )
+        nxt = _state_path(state_dir, batch_id + 1)
+        nxt_pq = os.path.join(nxt, "state")
+        out.write.mode("overwrite").parquet(nxt_pq)
+        # watermark = max carried last_ts (monotone: every key that ever
+        # saw an event carries its max event ts; the outer max() with
+        # the previous wm guards against expiry regressions).
+        _finish_batch(spark, batch_id, wm)
+
+    return foreach_batch
+
+
+def symbolize_stream(
+    stream_df: DataFrame,
+    compiled: CompiledPattern,
+    key_col: str | None = None,
+    ts_col: str = "timestamp",
+    id_col: str = "id",
+) -> DataFrame:
+    """Streaming-side projection to (key, ts millis, event_id, symbol):
+    symbolization stays a JVM CASE column (identical to BatchCEP), so
+    foreachBatch receives 4 narrow columns."""
+    key = key_col or compiled.partition_by
+    with_event_time, et_col = _with_event_time(stream_df, ts_col)
+    return with_event_time.select(
+        F.col(key).cast("string").alias("key"),
+        F.unix_millis(F.col(et_col)).alias("ts"),
+        F.col(id_col).alias("event_id"),
+        compiled.symbol_column().alias("symbol"),
+    )
+
+
+def start_fastpath_detections(
+    stream_df: DataFrame,
+    compiled: CompiledPattern,
+    state_dir: str,
+    checkpoint_dir: str,
+    sink=None,
+    key_col: str | None = None,
+    ts_col: str = "timestamp",
+    id_col: str = "id",
+    watermark_delay_ms: int = 60_000,
+    state_ttl_ms: int = 0,
+    trigger: dict | None = None,
+    num_partitions: int | None = None,
+    engine: str = "auto",
+    driver_max_rows: int = 200_000,
+):
+    """Wire the fast path end-to-end and start it.  ``sink(df,
+    batch_id)`` gets each batch's detections.  Returns the
+    StreamingQuery."""
+    sym = symbolize_stream(stream_df, compiled, key_col, ts_col, id_col)
+    fb = make_foreach_batch_detections(
+        compiled, state_dir, sink,
+        watermark_delay_ms=watermark_delay_ms, state_ttl_ms=state_ttl_ms,
+        num_partitions=num_partitions, engine=engine,
+        driver_max_rows=driver_max_rows,
+    )
+    writer = (
+        sym.writeStream.foreachBatch(fb)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+    )
+    writer = writer.trigger(**(trigger or {"availableNow": True}))
+    return writer.start()

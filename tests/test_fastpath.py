@@ -1,0 +1,202 @@
+"""foreachBatch fast-path streaming CEP (streaming/fastpath.py).
+
+The applyInPandasWithState engine path pays ~1 s/microbatch of pure
+per-group machinery (profiled with a no-op stateful fn — see
+streaming/fastpath.py docstring); this path carries run state as a
+versioned DataFrame and advances all keys in one pass per batch.
+Gates here:
+
+- stream == batch detections (ttl=0, both engines)
+- SQL (Catalyst aggregate-fold) engine == Arrow engine under TTL
+- event-clock run expiry: stale partial match dies, ttl=0 control keeps it
+  (reference run expiry, ERFEngine.scala:213-216)
+- crash/restart resume over the same checkpoint + state dir is exactly-once
+"""
+
+from __future__ import annotations
+
+import random
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from flink_rtcef_spark.operators.cep import BatchCEP
+from flink_rtcef_spark.plans.compiler import compile_pattern
+from flink_rtcef_spark.streaming.fastpath import start_fastpath_detections
+
+PAT = ";(IsEventTypePredicate(A),IsEventTypePredicate(B)){partitionBy:k}"
+DECLS = "~(IsEventTypePredicate(A),IsEventTypePredicate(B))"
+
+DET_COLS = [
+    "key", "detection_event_id", "detection_ts", "counter", "min_counter",
+    "n_matched",
+]
+
+
+def _rows(n=400, seed=13):
+    rng = random.Random(seed)
+    return [
+        (rng.choice(("k1", "k2", "k3")), i + 1, i, rng.choice("AABBC"))
+        for i in range(n)
+    ]
+
+
+def _write_chunks(spark, path, rows, n_chunks):
+    per = (len(rows) + n_chunks - 1) // n_chunks
+    for c in range(n_chunks):
+        chunk = rows[c * per:(c + 1) * per]
+        if not chunk:
+            continue
+        spark.createDataFrame(
+            chunk, "k string, ts long, id long, event_type string"
+        ).coalesce(1).write.mode("overwrite").parquet(f"{path}/c{c}")
+
+
+def _run(spark, src, tmp, name, ttl_ms=0, engine="sql", max_files=1):
+    collected = []
+
+    def sink(df, bid):
+        collected.append(df.toPandas())
+
+    stream = (
+        spark.readStream.schema("k string, ts long, id long, event_type string")
+        .option("maxFilesPerTrigger", max_files)
+        .parquet(f"{src}/c*")
+    )
+    q = start_fastpath_detections(
+        stream, compile_pattern(PAT, DECLS),
+        state_dir=f"{tmp}/{name}_state", checkpoint_dir=f"{tmp}/{name}_ckpt",
+        sink=sink, key_col="k", ts_col="ts", id_col="id",
+        watermark_delay_ms=5_000, state_ttl_ms=ttl_ms, engine=engine,
+    )
+    assert q.awaitTermination(600), "stream did not drain"
+    out = (
+        pd.concat(collected, ignore_index=True)
+        if collected else pd.DataFrame(columns=DET_COLS)
+    )
+    return out[DET_COLS].sort_values(DET_COLS).reset_index(drop=True)
+
+
+@pytest.mark.parametrize("engine", ["sql", "arrow", "driver", "auto"])
+def test_fastpath_stream_equals_batch(spark, tmp_path, engine):
+    rows = _rows()
+    src = str(tmp_path / "src")
+    _write_chunks(spark, src, rows, 4)
+    got = _run(spark, src, str(tmp_path), f"eq_{engine}", engine=engine)
+    # stream ts is epoch millis; numeric batch keeps raw seconds
+    got["detection_ts"] //= 1000
+
+    df = spark.createDataFrame(rows, "k string, ts long, id long, event_type string")
+    cep = BatchCEP(compile_pattern(PAT, DECLS), key_col="k", ts_col="ts", id_col="id")
+    want = cep.detections(df).toPandas()[DET_COLS]
+    want = want.sort_values(DET_COLS).reset_index(drop=True)
+    assert len(want) > 0
+    pd.testing.assert_frame_equal(
+        got.astype("int64", errors="ignore").assign(key=got["key"]),
+        want.astype("int64", errors="ignore").assign(key=want["key"]),
+    )
+
+
+def test_fastpath_sql_equals_arrow_with_ttl(spark, tmp_path):
+    rows = _rows(seed=29)
+    src = str(tmp_path / "src")
+    _write_chunks(spark, src, rows, 4)
+    a = _run(spark, src, str(tmp_path), "ttl_sql", ttl_ms=30_000, engine="sql")
+    b = _run(spark, src, str(tmp_path), "ttl_arr", ttl_ms=30_000, engine="arrow")
+    assert len(a) > 0
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_fastpath_event_clock_ttl_expires_partial_match(spark, tmp_path):
+    # key kx: A at t=10s, then B at t=200s.  Interleave a dense live key
+    # so the watermark advances past 10s + ttl before the late B arrives.
+    rows = [("kx", 10, 0, "A")]
+    rows += [("live", 10 + i, 100 + i, "C") for i in range(1, 120)]
+    chunk2 = [("kx", 200, 500, "B")]
+    src = str(tmp_path / "src")
+    _write_chunks(spark, src, rows, 1)
+    # second chunk in its own file AFTER the first
+    spark.createDataFrame(
+        chunk2, "k string, ts long, id long, event_type string"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{src}/c1")
+
+    # ttl 60s on the event clock: watermark after chunk 1 is 129-5=124s,
+    # kx's run (last event 10s) is > 60s stale -> expired before B
+    got = _run(spark, src, str(tmp_path), "exp", ttl_ms=60_000)
+    assert got[got["key"] == "kx"].empty
+
+    # control: no TTL -> the late B completes the match
+    got0 = _run(spark, src, str(tmp_path), "noexp", ttl_ms=0)
+    assert len(got0[got0["key"] == "kx"]) == 1
+
+
+def test_fastpath_auto_engine_flips_mid_stream(spark, tmp_path):
+    """auto routing must be able to cross the driver/distributed
+    threshold between batches with no state migration: chunk sizes
+    straddle driver_max_rows, so batch 0 runs driver-side and batch 1
+    runs the distributed JVM plan over the state batch 0 wrote."""
+    rows = _rows(n=300, seed=41)
+    src = str(tmp_path / "src")
+    # uneven chunks: 40 rows (below threshold), 260 rows (above)
+    _write_chunks(spark, src, rows[:40], 1)
+    spark.createDataFrame(
+        rows[40:], "k string, ts long, id long, event_type string"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{src}/c1")
+
+    collected = []
+
+    def sink(df, bid):
+        collected.append(df.toPandas())
+
+    stream = (
+        spark.readStream.schema("k string, ts long, id long, event_type string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/c*")
+    )
+    q = start_fastpath_detections(
+        stream, compile_pattern(PAT, DECLS),
+        state_dir=f"{tmp_path}/flip_state", checkpoint_dir=f"{tmp_path}/flip_ckpt",
+        sink=sink, key_col="k", ts_col="ts", id_col="id",
+        watermark_delay_ms=5_000, engine="auto", driver_max_rows=100,
+    )
+    assert q.awaitTermination(600), "stream did not drain"
+    got = (
+        pd.concat(collected, ignore_index=True)[DET_COLS]
+        .sort_values(DET_COLS).reset_index(drop=True)
+    )
+    got["detection_ts"] //= 1000
+
+    df = spark.createDataFrame(rows, "k string, ts long, id long, event_type string")
+    cep = BatchCEP(compile_pattern(PAT, DECLS), key_col="k", ts_col="ts", id_col="id")
+    want = cep.detections(df).toPandas()[DET_COLS]
+    want = want.sort_values(DET_COLS).reset_index(drop=True)
+    assert len(want) > 0
+    assert got.astype(str).equals(want.astype(str))
+
+
+def test_fastpath_restart_resumes_exactly_once(spark, tmp_path):
+    rows = _rows(seed=31)
+    src = str(tmp_path / "src")
+    half = len(rows) // 2
+    _write_chunks(spark, src, rows[:half], 2)
+
+    first = _run(spark, src, str(tmp_path), "resume")
+    # new data lands, stream restarts over the SAME checkpoint + state dir
+    per = (half + 1) // 2
+    for c, lo in enumerate(range(half, len(rows), per)):
+        spark.createDataFrame(
+            rows[lo:lo + per], "k string, ts long, id long, event_type string"
+        ).coalesce(1).write.mode("overwrite").parquet(f"{src}/c{c + 2}")
+    second = _run(spark, src, str(tmp_path), "resume")
+
+    got = pd.concat([first, second], ignore_index=True)
+    got = got.sort_values(DET_COLS).reset_index(drop=True)
+    got["detection_ts"] //= 1000
+
+    df = spark.createDataFrame(rows, "k string, ts long, id long, event_type string")
+    cep = BatchCEP(compile_pattern(PAT, DECLS), key_col="k", ts_col="ts", id_col="id")
+    want = cep.detections(df).toPandas()[DET_COLS]
+    want = want.sort_values(DET_COLS).reset_index(drop=True)
+    assert len(want) > 0
+    assert got.astype(str).equals(want.astype(str))

@@ -64,8 +64,15 @@ def main() -> None:
     src = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     dst = sys.argv[2] if len(sys.argv) > 2 else "/tmp/sf1_scaled"
     copies = int(sys.argv[3]) if len(sys.argv) > 3 else 10
+    # optional 4th arg: comma-separated table subset (e.g. the x100
+    # point only needs events+documents — scaling lineitem x100 would
+    # burn tens of GB for paths whose x10 factor already pinned linear)
+    tables = (
+        sys.argv[4].split(",") if len(sys.argv) > 4
+        else list(DIMS) + list(KEY_SHIFTS)
+    )
     spark = get_spark("make_scaled_sf")
-    for t in list(DIMS) + list(KEY_SHIFTS):
+    for t in tables:
         n = scale_table(spark, src, dst, t, copies)
         print(f"  {t:<10} -> {n} rows")
     print(f"# scaled dataset at {dst} (x{copies} of {src})")
