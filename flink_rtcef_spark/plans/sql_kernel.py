@@ -19,6 +19,17 @@ exactly like the loop kernels.
 Semantics are bit-identical to ``_run_sdfa_segment`` including window
 rewinds, RESET symbols, and match accounting — pinned by
 tests/test_sql_kernel.py against the loop kernel on randomized inputs.
+
+Measured negative result (r4): for BATCH detection the fused Arrow
+kernel stays faster — sf0.1 0.772 s vs 0.804 s, x10 (1M events)
+1.145 s vs 1.454 s, identical outputs (warm medians of 3, local[32]).
+Catalyst evaluates higher-order-function lambdas interpreted (no
+codegen for ``aggregate``), so the per-event fold pays interpreter
+dispatch that the vectorized numpy kernel amortizes.  ``cep_sdfa_detect``
+therefore keeps the Arrow kernel; this module remains the engine behind
+the streaming fast path's ``engine="sql"`` (where "no Python workers in
+the microbatch plan" buys predictable per-batch latency) and an
+explicit Python-free batch alternative via :func:`detections_sql`.
 """
 
 from __future__ import annotations

@@ -406,6 +406,16 @@ def make_foreach_batch_detections(
     a durable detection history must write it onward — the standard
     foreachBatch delivery contract.
 
+    Measured engine crossover (sf0.1 events, local[32], warm medians):
+    8 microbatches of 12.5 k rows — driver 3.33 s, sql 4.50 s, arrow
+    5.89 s; 1 microbatch of 100 k rows — sql 0.84 s, arrow 0.92 s; at
+    batch scale (1 M rows, no streaming machinery) the fused Arrow
+    kernel wins instead (1.15 s vs 1.45 s — aggregate() lambdas are
+    interpreted, see plans/sql_kernel.py).  Hence auto routes
+    small→driver and large→sql: in the microbatch regime the SQL
+    plan's zero Python-worker round trips dominate, and by the time
+    the Arrow kernel would win the workload is a batch job.
+
     The input batch must already be symbolized to (key string,
     ts long-millis, event_id long, symbol int) — use
     :func:`symbolize_stream`."""
