@@ -136,10 +136,25 @@ def lsh_candidate_pairs(
     id_col: str = "doc_id",
     n_hashes: int = 8,
     bands: int = 4,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Band the signature into ``bands`` groups; docs sharing any band
     hash are candidates.  The self-join runs per band on the band-hash
-    key — shuffle size is the banded signature table, not the corpus."""
+    key — shuffle size is the banded signature table, not the corpus.
+
+    ``max_bucket`` is the mega-bucket skew guard (the pair-side analogue
+    of jaccard_verify's ``max_df``): a band bucket of b docs emits
+    b(b-1)/2 pairs, so one boilerplate bucket of 1M docs alone produces
+    5·10^11 pairs and stalls the join.  Buckets LARGER than the cap are
+    star-expanded instead — every member pairs with the bucket's min id
+    (b-1 pairs, linear) — which preserves CONNECTIVITY through the
+    bucket (any two members stay linked via the hub for the
+    connected-components closure) but not direct pair coverage:
+    verification then scores member↔hub edges only, so a member whose
+    similarity to the hub falls below threshold can drop out of a
+    cluster it would have joined through a different member.  Standard
+    large-corpus trade; None (default) keeps exact quadratic expansion.
+    """
     if n_hashes % bands != 0:
         raise ValueError(
             f"n_hashes ({n_hashes}) must be divisible by bands ({bands}); "
@@ -147,8 +162,30 @@ def lsh_candidate_pairs(
             "and change recall"
         )
     bands_df = lsh_band_keys(sig_df, id_col, n_hashes, bands)
+    if max_bucket is not None:
+        if max_bucket < 2:
+            raise ValueError(f"max_bucket must be >= 2, got {max_bucket}")
+        from pyspark.sql import Window as W
+
+        w = W.partitionBy("band", "bh")
+        bands_df = bands_df.withColumn(
+            "__bsz", F.count("*").over(w)
+        ).withColumn("__bmin", F.min(id_col).over(w))
+        big = (
+            bands_df.filter(
+                (F.col("__bsz") > max_bucket)
+                & (F.col(id_col) != F.col("__bmin"))
+            )
+            .select(
+                F.col("__bmin").alias("id_a"), F.col(id_col).alias("id_b")
+            )
+            .distinct()
+        )
+        bands_df = bands_df.filter(F.col("__bsz") <= max_bucket).select(
+            id_col, "band", "bh"
+        )
     a, b_ = bands_df.alias("a"), bands_df.alias("b")
-    return (
+    pairs = (
         a.join(
             b_,
             (F.col("a.band") == F.col("b.band"))
@@ -160,6 +197,9 @@ def lsh_candidate_pairs(
         )
         .distinct()
     )
+    if max_bucket is not None:
+        pairs = pairs.unionByName(big).distinct()
+    return pairs
 
 
 def jaccard_verify(

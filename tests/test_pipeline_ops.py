@@ -396,6 +396,48 @@ def test_lsh_rejects_indivisible_bands(spark, doc_df):
         lsh_candidate_pairs(sigs, n_hashes=8, bands=3)
 
 
+def test_lsh_max_bucket_star_expands_mega_buckets(spark):
+    """A bucket of b identical docs quadratically emits b(b-1)/2 pairs;
+    with max_bucket it must emit b-1 star pairs to the min id instead,
+    preserving connectivity (one component) with linear pair count.
+    Buckets under the cap must be untouched (exact equality with the
+    unguarded pairs)."""
+    from flink_rtcef_spark.operators.dedup import connected_components
+
+    # 30 copies of one text (mega bucket) + 2 copies of another (small)
+    rows = [(i, "alpha beta gamma delta epsilon zeta eta theta") for i in range(30)]
+    rows += [(100, "one two three four five six seven eight"),
+             (101, "one two three four five six seven eight")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    sigs = minhash_signatures(df, n_hashes=8, shingle_n=3)
+
+    exact = lsh_candidate_pairs(sigs, n_hashes=8, bands=4).toPandas()
+    star = lsh_candidate_pairs(
+        sigs, n_hashes=8, bands=4, max_bucket=10
+    ).toPandas()
+
+    # mega cluster: quadratic 435 pairs exact, 29 star pairs to min id 0
+    mega_exact = exact[(exact.id_a < 100) & (exact.id_b < 100)]
+    mega_star = star[(star.id_a < 100) & (star.id_b < 100)]
+    assert len(mega_exact) == 435
+    assert len(mega_star) == 29
+    assert set(mega_star.id_a) == {0}
+    # small bucket unaffected: identical pair set
+    small_exact = set(map(tuple, exact[exact.id_a >= 100].values))
+    small_star = set(map(tuple, star[star.id_a >= 100].values))
+    assert small_exact == small_star == {(100, 101)}
+    # connectivity preserved: all 30 mega docs in one component
+    cc = connected_components(
+        spark.createDataFrame(
+            star[["id_a", "id_b"]], "id_a long, id_b long"
+        )
+    ).toPandas()
+    assert set(cc[cc.component == 0].id) == set(range(30))
+
+    with pytest.raises(ValueError, match="max_bucket"):
+        lsh_candidate_pairs(sigs, n_hashes=8, bands=4, max_bucket=1)
+
+
 def test_jaccard_verify_pairs_first_matches_full_scan(spark, doc_df):
     """The pairs-first plan must produce exactly the full-scan scores
     restricted to the candidate set (identical n_common semantics)."""

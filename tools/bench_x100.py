@@ -54,6 +54,9 @@ def main() -> None:
 
     out: dict = {"sf_dir": sf_dir}
 
+    def note(k):
+        print(f"# {k} = {out[k]}", flush=True)
+
     # -- batch CEP: same pattern + harness as the cep_sdfa_detect
     # headline row (uncached parquet read each run, like the registry)
     pat = (
@@ -70,8 +73,11 @@ def main() -> None:
     cep = BatchCEP(compiled, ts_col="ts", id_col="event_id")
     dt = _median3(lambda: cep.detections(ev).count())
     out["cep_events"] = n_events
+    note("cep_events")
     out["cep_sec"] = round(dt, 3)
+    note("cep_sec")
     out["cep_events_per_sec"] = round(n_events / dt)
+    note("cep_events_per_sec")
 
     # -- minhash -> LSH -> Jaccard -> connected-components chain
     # (near_dedup_transitive = the full production composition), plus
@@ -82,16 +88,21 @@ def main() -> None:
         lambda: minhash_signatures(docs, "text", "doc_id", 8, 3).count()
     )
     out["minhash_sec"] = round(dt, 3)
+    note("minhash_sec")
     dt = _median3(
         lambda: lsh_candidate_pairs(
             minhash_signatures(docs, "text", "doc_id", 8, 3), "doc_id", 8, 4
         ).count()
     )
     out["lsh_pairs_sec"] = round(dt, 3)
+    note("lsh_pairs_sec")
     dt = _median3(lambda: near_dedup_transitive(docs).count())
     out["dedup_docs"] = n_docs
+    note("dedup_docs")
     out["dedup_chain_sec"] = round(dt, 3)
+    note("dedup_chain_sec")
     out["dedup_chain_docs_per_sec"] = round(n_docs / dt)
+    note("dedup_chain_docs_per_sec")
 
     # -- ExactSubstr (cached input, matching bench.py's asof_fixture
     # harness so factors compare against the BENCH_SF1 row)
@@ -100,7 +111,9 @@ def main() -> None:
     dt = _median3(lambda: remove_duplicate_substrings(cdocs, k=20).count())
     cdocs.unpersist()
     out["exactsubstr_sec"] = round(dt, 3)
+    note("exactsubstr_sec")
     out["exactsubstr_docs_per_sec"] = round(n_docs / dt)
+    note("exactsubstr_docs_per_sec")
 
     print(json.dumps(out))
 

@@ -49,11 +49,32 @@ def scale_table(spark, src: str, dst: str, table: str, copies: int) -> int:
     for col, base in shifts.items():
         out = out.withColumn(col, F.col(col) + F.col("__c") * F.lit(base))
     if table == "documents":
-        # tag each copy's text so near-dup clusters keep their original
-        # size instead of inflating x copies (which would quadratically
-        # inflate candidate pairs and measure a different workload)
+        # Remap each copy's VOCABULARY (prefix every token with the copy
+        # id) so near-dup clusters keep their ORIGINAL size instead of
+        # inflating x copies (which would quadratically inflate
+        # candidate pairs and measure a different workload).  Weaker
+        # perturbations measurably fail: the r3 appended tag (1 token of
+        # ~40) left cross-copy shingle Jaccard at ~0.9 — at x100 every
+        # doc formed a ~100-copy clique and the dedup chain OOMed on
+        # ~25M candidate pairs; even a tag every 5 words leaves Jaccard
+        # ~0.33, where minhash BANDS still collide at ~37% per pair
+        # (measured: 3729 of 3751 candidates were cross-copy) even
+        # though verification rejects them.  A per-copy token prefix
+        # makes cross-copy Jaccard exactly 0 — zero spurious candidates
+        # — while within-copy similarity structure is preserved exactly
+        # (both sides of any original near-dup pair get the identical
+        # transformation).
         out = out.withColumn(
-            "text", F.concat_ws(" ", "text", F.col("__c").cast("string"))
+            "text",
+            F.array_join(
+                F.transform(
+                    F.split(F.col("text"), " "),
+                    lambda w: F.concat(
+                        F.lit("c"), F.col("__c").cast("string"), F.lit("_"), w
+                    ),
+                ),
+                " ",
+            ),
         )
     out = out.drop("__c")
     out.write.mode("overwrite").parquet(f"{dst}/{table}.parquet")
