@@ -573,7 +573,11 @@ def streaming_throughput(spark, sf_dir: str) -> dict:
     from pyspark.sql import functions as F
 
     from flink_rtcef_spark.plans.compiler import compile_pattern
+    from flink_rtcef_spark.plans.nsra import compile_register_pattern
     from flink_rtcef_spark.streaming.fastpath import start_fastpath_detections
+    from flink_rtcef_spark.streaming.fastpath_register import (
+        start_fastpath_register,
+    )
     from flink_rtcef_spark.streaming.inference import streaming_detections
 
     base = (
@@ -583,6 +587,7 @@ def streaming_throughput(spark, sf_dir: str) -> dict:
             (F.unix_millis(F.col("ts").cast("timestamp")) / 1000).cast("long").alias("tsec"),
             F.col("event_id").alias("id"),
             "event_type",
+            "value",
         )
     )
     n = base.count()
@@ -607,7 +612,8 @@ def streaming_throughput(spark, sf_dir: str) -> dict:
         def run(files_per_trigger: int = 1) -> None:
             stream = (
                 spark.readStream.schema(
-                    "k string, tsec long, id long, event_type string"
+                    "k string, tsec long, id long, event_type string, "
+                    "value double"
                 )
                 .option("maxFilesPerTrigger", files_per_trigger)
                 .parquet(f"{workdir}/src/c*")
@@ -629,7 +635,8 @@ def streaming_throughput(spark, sf_dir: str) -> dict:
         def run_fastpath(files_per_trigger: int = 1) -> None:
             stream = (
                 spark.readStream.schema(
-                    "k string, tsec long, id long, event_type string"
+                    "k string, tsec long, id long, event_type string, "
+                    "value double"
                 )
                 .option("maxFilesPerTrigger", files_per_trigger)
                 .parquet(f"{workdir}/src/c*")
@@ -645,6 +652,36 @@ def streaming_throughput(spark, sf_dir: str) -> dict:
             shutil.rmtree(f"{workdir}/fp_ckpt", ignore_errors=True)
             shutil.rmtree(f"{workdir}/fp_state", ignore_errors=True)
 
+        # register (SREMO/NSRA) pattern through its own fast path: the
+        # pickled config-set state as a versioned parquet column
+        reg = compile_register_pattern(
+            ';(IsEventTypePredicate(view)["x"],'
+            '^(IsEventTypePredicate(purchase),GTAttr(value,"x")))'
+            "{partitionBy:k}{window:4}"
+        )
+
+        def run_register(files_per_trigger: int = 1) -> None:
+            stream = (
+                spark.readStream.schema(
+                    "k string, tsec long, id long, event_type string, "
+                    "value double"
+                )
+                .option("maxFilesPerTrigger", files_per_trigger)
+                .parquet(f"{workdir}/src/c*")
+            )
+            q = start_fastpath_register(
+                stream, reg,
+                state_dir=f"{workdir}/rg_state",
+                checkpoint_dir=f"{workdir}/rg_ckpt",
+                key_col="k", ts_col="tsec", id_col="id",
+                watermark_delay_ms=60_000, state_ttl_ms=3_600_000,
+            )
+            assert q.awaitTermination(600), "stream did not drain"
+            shutil.rmtree(f"{workdir}/rg_ckpt", ignore_errors=True)
+            shutil.rmtree(f"{workdir}/rg_state", ignore_errors=True)
+
+        run_register()  # warm-up
+        rg = _median3(run_register)
         run_fastpath()  # warm-up (plan + python workers)
         fp = _median3(run_fastpath)
         fp1 = _median3(lambda: run_fastpath(8))
@@ -667,6 +704,8 @@ def streaming_throughput(spark, sf_dir: str) -> dict:
             "streaming_cep_state_engine_events_per_sec": round(n / dt),
             "streaming_cep_state_engine_1batch_sec": round(dt1, 3),
             "streaming_cep_state_engine_1batch_events_per_sec": round(n / dt1),
+            "streaming_register_cep_sec": round(rg, 3),
+            "streaming_register_cep_events_per_sec": round(n / rg),
         }
     finally:
         shutil.rmtree(workdir, ignore_errors=True)
