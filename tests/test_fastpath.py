@@ -175,6 +175,45 @@ def test_fastpath_auto_engine_flips_mid_stream(spark, tmp_path):
     assert got.astype(str).equals(want.astype(str))
 
 
+def test_fastpath_driver_engine_runs_no_spark_jobs(spark, tmp_path):
+    """The driver route's whole point is removing the ~0.35 s/batch
+    distributed-job floor: besides the batch's own source collect, the
+    advance + state write + watermark recovery must submit ZERO Spark
+    jobs.  Guard it with the status tracker so a regression (a stray
+    count()/read job creeping into _driver_batch or _finish_batch)
+    fails loudly instead of silently tripling microbatch latency."""
+    from flink_rtcef_spark.streaming.fastpath import (
+        make_foreach_batch_detections,
+    )
+
+    compiled = compile_pattern(PAT, DECLS)
+    fb = make_foreach_batch_detections(
+        compiled, str(tmp_path / "state"), sink=None, engine="driver"
+    )
+    rows = _rows(n=200, seed=7)
+    batch = spark.createDataFrame(
+        [(k, ts, i, et) for (k, ts, i, et) in rows],
+        "k string, ts long, id long, event_type string",
+    ).select(
+        F.col("k").alias("key"), F.col("ts"), F.col("id").alias("event_id"),
+        compiled.symbol_column().alias("symbol"),
+    )
+    tracker = spark.sparkContext.statusTracker()
+    fb(batch, 0)  # batch 0: includes the toPandas() source collect
+    pdf = batch.toPandas()  # pre-collect so we can call the inner path
+    before = set(tracker.getJobIdsForGroup(None) or [])
+    from flink_rtcef_spark.streaming.fastpath import (
+        _driver_batch,
+        _make_partition_runner,
+    )
+    runner = _make_partition_runner(compiled)
+    _driver_batch(runner, pdf, str(tmp_path / "state"), 1, None, 0)
+    after = set(tracker.getJobIdsForGroup(None) or [])
+    assert before == after, (
+        f"driver-route advance submitted Spark jobs: {sorted(after - before)}"
+    )
+
+
 def test_fastpath_restart_resumes_exactly_once(spark, tmp_path):
     rows = _rows(seed=31)
     src = str(tmp_path / "src")
