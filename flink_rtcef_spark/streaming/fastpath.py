@@ -66,7 +66,7 @@ _WIDE_SCHEMA = (
     "last_ts long"
 )
 
-# kind 0 = detection, 1 = carried state, 2 = partition max event ts
+# kind 0 = detection, 1 = carried state
 _OUT_SCHEMA = (
     "kind int, key string, event_id long, ts long, counter long, "
     "min_counter long, n_matched int, state int, min_ts long, last_ts long"
@@ -99,7 +99,6 @@ def _make_partition_runner(compiled: CompiledPattern):
         open_key = None
         carry = None          # (state, counter, min_counter, min_ts, n_matched)
         last_ts = -1          # carried last event ts for TTL accounting
-        part_max_ts = -1
         out: list[tuple] = []
 
         def close_key():
@@ -147,7 +146,6 @@ def _make_partition_runner(compiled: CompiledPattern):
                         window_type, resets, carry,
                     )
                     last_ts = max(last_ts, int(tss[-1]))
-                    part_max_ts = max(part_max_ts, int(tss[-1]))
                     out.extend(
                         (0, k, int(eid), int(ets), int(c), int(mc), int(nm),
                          None, None, None)
@@ -155,9 +153,6 @@ def _make_partition_runner(compiled: CompiledPattern):
                     )
                 start = end
         close_key()
-        if part_max_ts >= 0:
-            out.append((2, None, None, int(part_max_ts), None, None, None,
-                        None, None, None))
         yield pd.DataFrame(out, columns=_OUT_COLUMNS)
 
     return run_partition
@@ -395,9 +390,9 @@ def make_foreach_batch_detections(
     no state migration.
 
     ONE Spark action per microbatch: the fused kernel's full output —
-    detections, carried state, and a per-partition max-event-ts marker
-    — is written to ``state/v{batch_id+1}`` in a single job.  The
-    watermark is then recovered driver-side from the tiny kind=2 rows
+    detections and carried state — is written to ``state/v{batch_id+1}``
+    in a single job.  The watermark is then recovered driver-side from
+    the kind=1 rows' ``last_ts``
     (column-pruned, predicate-pushed local parquet read — no job), and
     ``sink(detections_df, batch_id)``, if given, receives a LAZY view
     over the written file, so a sink that only counts or copies pays
@@ -418,7 +413,17 @@ def make_foreach_batch_detections(
 
     The input batch must already be symbolized to (key string,
     ts long-millis, event_id long, symbol int) — use
-    :func:`symbolize_stream`."""
+    :func:`symbolize_stream`.  Rows with a NULL key are dropped before
+    any engine runs (all routes agree): a keyed run over a null key is
+    undefined — the reference's keyBy raises on null keys
+    (InferenceJob.java keyBy(mmsi)) — and per-engine null handling
+    would otherwise diverge (pandas groupby vs JVM groupBy null
+    groups)."""
+    if keep_versions < 1:
+        # keep_versions=0 would GC v{batch_id} — the batch's OWN input
+        # version — so a crash-replay of that batch would silently run
+        # with no carried state, breaking the exactly-once guarantee
+        raise ValueError(f"keep_versions must be >= 1, got {keep_versions}")
     runner = _make_partition_runner(compiled)
     exprs = _SqlEngineExprs(compiled) if engine in ("sql", "auto") else None
 
@@ -458,6 +463,7 @@ def make_foreach_batch_detections(
 
     def foreach_batch(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
+        batch_df = batch_df.filter(F.col("key").isNotNull())
         meta = _read_meta(state_dir, batch_id)
         wm = meta.get("watermark_ms")
         prev_pq = os.path.join(_state_path(state_dir, batch_id), "state")
@@ -475,7 +481,6 @@ def make_foreach_batch_detections(
             if len(probe) <= driver_max_rows:
                 events_pdf = probe
         if events_pdf is not None:
-            events_pdf["key"] = events_pdf["key"].astype(str)
             _driver_batch(
                 runner, events_pdf, state_dir, batch_id, wm, state_ttl_ms
             )
@@ -505,7 +510,8 @@ def make_foreach_batch_detections(
                     ~(F.lit(int(wm)) > F.col("last_ts") + F.lit(state_ttl_ms))
                 )
 
-        if engine in ("sql", "auto"):
+        sql_route = engine in ("sql", "auto")
+        if sql_route:
             out = _jvm_batch_plan(compiled, events, carried, exprs)
         else:
             wide_events = events.select(
@@ -539,7 +545,20 @@ def make_foreach_batch_detections(
             )
         nxt = _state_path(state_dir, batch_id + 1)
         nxt_pq = os.path.join(nxt, "state")
-        out.write.mode("overwrite").parquet(nxt_pq)
+        if sql_route and num_partitions is not None:
+            # the SQL engine's shuffle width comes from
+            # spark.sql.shuffle.partitions (a groupBy, not an explicit
+            # repartition); honor num_partitions for this batch's write
+            # the same way the arrow engine does.  foreachBatch runs
+            # sequentially on the driver, so set-and-restore is safe.
+            prev_sp = spark.conf.get("spark.sql.shuffle.partitions")
+            spark.conf.set("spark.sql.shuffle.partitions", str(num_partitions))
+            try:
+                out.write.mode("overwrite").parquet(nxt_pq)
+            finally:
+                spark.conf.set("spark.sql.shuffle.partitions", prev_sp)
+        else:
+            out.write.mode("overwrite").parquet(nxt_pq)
         # watermark = max carried last_ts (monotone: every key that ever
         # saw an event carries its max event ts; the outer max() with
         # the previous wm guards against expiry regressions).

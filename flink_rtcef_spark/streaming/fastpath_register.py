@@ -182,7 +182,12 @@ def make_foreach_batch_register(
     ERFEngine.scala:213-216), sink receives a lazy view over the
     written detections.  Input batches must be symbolized via
     :func:`symbolize_register_stream` (key, ts millis, event_id, bits,
-    register attrs)."""
+    register attrs).  Rows with a NULL key are dropped before any
+    engine runs (same contract as the deterministic fast path)."""
+    if keep_versions < 1:
+        # keep_versions=0 would GC the batch's own input version,
+        # breaking crash-replay (see fastpath.make_foreach_batch_detections)
+        raise ValueError(f"keep_versions must be >= 1, got {keep_versions}")
     runner = _make_partition_runner(compiled)
     attrs = list(compiled.register_attrs)
     ev_cols = ["key", "ts", "event_id", "bits", *attrs]
@@ -229,7 +234,20 @@ def make_foreach_batch_register(
             if len(st):
                 if state_ttl_ms > 0 and wm is not None:
                     st = st[~(int(wm) > st["last_ts"] + state_ttl_ms)]
-                st = st.assign(ts=np.int64(_STATE_TS), is_state=True)
+                st = st.assign(
+                    ts=np.int64(_STATE_TS), is_state=True,
+                    event_id=np.int64(0),
+                )
+                # typed zero-fills for the event-only columns: a concat
+                # that introduces NaN upcasts the unified column to
+                # float64, which corrupts int64 values above 2**53
+                # (event ids, long register attrs) — the arrow/sql
+                # engines keep them long end-to-end, so the driver
+                # route must too
+                for c in ("bits", *attrs):
+                    dt = events_pdf.dtypes.get(c)
+                    if dt is not None and pd.api.types.is_integer_dtype(dt):
+                        st[c] = np.zeros(len(st), dtype=dt)
                 frames.append(st)
         ev = events_pdf
         if wm is not None:
@@ -254,6 +272,7 @@ def make_foreach_batch_register(
 
     def foreach_batch(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
+        batch_df = batch_df.filter(F.col("key").isNotNull())
         meta = _read_meta(state_dir, batch_id)
         wm = meta.get("watermark_ms")
         prev_pq = os.path.join(_state_path(state_dir, batch_id), "state")
@@ -268,7 +287,6 @@ def make_foreach_batch_register(
             if len(probe) <= driver_max_rows:
                 events_pdf = probe
         if events_pdf is not None:
-            events_pdf["key"] = events_pdf["key"].astype(str)
             _driver_batch(events_pdf, batch_id, wm)
             _finish_batch(spark, batch_id, wm)
             return

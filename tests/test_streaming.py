@@ -334,6 +334,105 @@ def test_event_time_ttl_expires_partial_match(spark, tmp_path):
     assert len(got_proc) == 1 and got_proc["key"][0] == "u1"
 
 
+def test_processing_time_ttl_expires_partial_match(spark, tmp_path):
+    """ttl_clock="processing" coverage (the wall-clock twin of the
+    event-clock test above), poll-and-stop instead of drain: under
+    availableNow a pending/fired ProcessingTimeTimeout keeps the query
+    spinning no-data batches indefinitely (measured: state version 262
+    at t=120 s with a 2 s TTL), so NO awaitTermination design works —
+    see _timeout_conf.  Here a processingTime trigger feeds files over
+    wall time: A arms a 2 s timer, the no-data batch after the deadline
+    fires hasTimedOut (state removed — observed as the first
+    numInputRows==0 progress entry after A's batch), then B arrives and
+    must NOT complete the match.  The control (state_ttl_ms=0, no
+    timer) runs the same wall profile and B completes — so the expiry
+    came from the processing-time timer, not incidental state loss."""
+    import time as _time
+
+    from flink_rtcef_spark.streaming.inference import streaming_detections
+
+    compiled = compile_pattern(PAT, DECLS)
+    cols = ["k", "timestamp", "id", "event_type"]
+    b1 = pd.DataFrame([("u1", 100, 0, "A")], columns=cols)
+    b2 = pd.DataFrame([("u1", 5100, 3, "B")], columns=cols)
+    schema = "k string, timestamp long, id long, event_type string"
+
+    def run(name, ttl_ms):
+        src = tmp_path / name
+        src.mkdir()
+        spark.createDataFrame(b1).coalesce(1).write.parquet(str(src / "c0"))
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src / "c*"))
+        )
+        out = streaming_detections(
+            stream, compiled, key_col="k", ts_col="timestamp", id_col="id",
+            watermark="0 seconds", state_ttl_ms=ttl_ms,
+            ttl_clock="processing",
+        )
+        q = (
+            out.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(processingTime="500 milliseconds")
+            .start()
+        )
+        try:
+            deadline = _time.time() + 300
+
+            def wait_for(pred, what):
+                while _time.time() < deadline:
+                    if pred():
+                        return
+                    _time.sleep(0.25)
+                raise AssertionError(
+                    f"timed out waiting for {what}; "
+                    f"progress={q.recentProgress[-3:]}"
+                )
+
+            def rows_in():
+                return sum(p["numInputRows"] for p in q.recentProgress)
+
+            wait_for(lambda: rows_in() >= 1, "A's batch")
+            if ttl_ms > 0:
+                # the timer fires in a no-data batch after the deadline;
+                # waiting for that batch (not just sleeping) removes the
+                # stall race where B and the timeout land in one batch
+                # (a group with new data never sees hasTimedOut)
+                a_batch = q.lastProgress["batchId"]
+                wait_for(
+                    lambda: any(
+                        p["batchId"] > a_batch and p["numInputRows"] == 0
+                        for p in q.recentProgress
+                    ),
+                    "the timeout's no-data batch",
+                )
+            else:
+                _time.sleep(3.0)  # same wall profile as the TTL run
+            spark.createDataFrame(b2).coalesce(1).write.parquet(
+                str(src / "c1")
+            )
+            wait_for(lambda: rows_in() >= 2, "B's batch")
+            if ttl_ms == 0:
+                wait_for(
+                    lambda: spark.sql(f"select * from {name}").count() >= 1,
+                    "the control detection",
+                )
+            else:
+                # bounded absence check: B's batch is committed (rows_in
+                # saw it), give the sink a short grace then assert empty
+                _time.sleep(2.0)
+            return spark.sql(f"select * from {name}").toPandas()
+        finally:
+            q.stop()
+
+    got = run("ttl_proc_short", 2_000)
+    assert len(got) == 0, got
+    ctrl = run("ttl_proc_ctrl", 0)
+    assert len(ctrl) == 1 and ctrl["key"][0] == "u1"
+
+
 def test_event_time_ttl_keeps_live_keys(spark, tmp_path):
     """Keys whose events keep arriving within the TTL are untouched:
     the event-clock expiry re-arms per batch and cross-batch matches
