@@ -98,6 +98,38 @@ def test_fastpath_stream_equals_batch(spark, tmp_path, engine):
     )
 
 
+@pytest.mark.parametrize("engine", ["sql", "arrow", "driver"])
+def test_fastpath_drops_null_keys(spark, tmp_path, engine):
+    """NULL-keyed rows are dropped before any engine runs (the
+    reference's keyBy raises on a null key, InferenceJob.java), and a
+    null key must never alias a real key: the driver route once
+    stringified None to "None", so a genuine key named "None" pins
+    the distinction — its own A->B match must survive while the
+    null-keyed A->B pair yields nothing."""
+    rows = _rows(n=120, seed=41)
+    extra = [("None", 130, 1002, "A"), ("None", 131, 1003, "B")]
+    nulls = [(None, 132, 1000, "A"), (None, 133, 1001, "B")]
+    src = str(tmp_path / "src")
+    _write_chunks(spark, src, rows + extra + nulls, 3)
+    got = _run(spark, src, str(tmp_path), f"nullk_{engine}", engine=engine)
+    got["detection_ts"] //= 1000
+
+    clean = rows + extra
+    df = spark.createDataFrame(
+        clean, "k string, ts long, id long, event_type string"
+    )
+    cep = BatchCEP(
+        compile_pattern(PAT, DECLS), key_col="k", ts_col="ts", id_col="id"
+    )
+    want = cep.detections(df).toPandas()[DET_COLS]
+    want = want.sort_values(DET_COLS).reset_index(drop=True)
+    assert (want["key"] == "None").sum() == 1
+    pd.testing.assert_frame_equal(
+        got.astype("int64", errors="ignore").assign(key=got["key"]),
+        want.astype("int64", errors="ignore").assign(key=want["key"]),
+    )
+
+
 def test_fastpath_sql_equals_arrow_with_ttl(spark, tmp_path):
     rows = _rows(seed=29)
     src = str(tmp_path / "src")
