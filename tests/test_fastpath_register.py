@@ -99,6 +99,29 @@ def test_fastpath_register_stream_equals_batch(spark, tmp_path, engine):
     assert got.astype(str).equals(want.astype(str))
 
 
+@pytest.mark.parametrize("engine", ["arrow", "driver"])
+def test_fastpath_register_drops_null_keys(spark, tmp_path, engine):
+    """Same null-key contract as the deterministic fast path: null-keyed
+    rows are dropped in every engine, and a real key named "None" keeps
+    matching (the driver route once stringified None into it)."""
+    rows = _rows(n=120, seed=47)
+    extra = [
+        ("None", 130, 1002, "A", 1.0),
+        ("None", 131, 1003, "B", 5.0),
+    ]
+    nulls = [
+        (None, 132, 1000, "A", 1.0),
+        (None, 133, 1001, "B", 5.0),
+    ]
+    src = str(tmp_path / "src")
+    _write_chunks(spark, src, rows + extra + nulls, 3)
+    got = _run(spark, src, str(tmp_path), f"nullk_{engine}", engine=engine)
+    got["detection_ts"] //= 1000
+    want = _batch_want(spark, rows + extra)
+    assert (want["key"] == "None").sum() == 1
+    assert got.astype(str).equals(want.astype(str))
+
+
 def test_fastpath_register_auto_flips_mid_stream(spark, tmp_path):
     """Batch 0 (small) routes driver-side, batch 1 (big) runs the
     distributed Arrow plan over the state batch 0 wrote — no state
