@@ -46,7 +46,6 @@ HEADLINE = [
     "cep_register_gtattr",  # NSRA register-pattern operator (SREMO)
     "dedup_exact",
     "minhash_signatures",
-    "simhash_16",
     "cosine_topk",
     "embedding_near_dup",
     "ann_lsh_topk",
@@ -61,6 +60,10 @@ HEADLINE = [
     "semantic_dedup",
     "domain_pagerank",
     "hll_distinct_texts",
+    # r4 additions: mergeable histogram quantiles, bloom-prefiltered
+    # decontamination (simhash_16 rotated out with its registry slot)
+    "hist_quantiles_value",
+    "decontam_bloom_hits",
 ]
 
 N_ITER = 3

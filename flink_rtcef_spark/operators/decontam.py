@@ -207,3 +207,59 @@ def fuzzy_decontaminate(
     return docs.join(
         broadcast(hits.select("doc_id").distinct()), "doc_id", "left_anti"
     )
+
+
+def contamination_hits_bloom(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    n: int = DEFAULT_N,
+    doc_id_col: str = "doc_id",
+    text_col: str = "text",
+    bench_text_col: str = "text",
+    bloom_m: int | None = None,
+    bloom_k: int = 4,
+) -> DataFrame:
+    """:func:`contamination_hits` with a Bloom-filter prefilter on the
+    corpus side — the SAME exact result (the bloom never drops a true
+    match; its false positives are removed by the exact join), reached
+    without streaming every corpus gram into the exact-membership
+    probe.
+
+    Why this matters at 100 TB: the benchmark gram set can reach tens
+    of millions of entries (~GB as a broadcast hash relation), but its
+    bloom is m/8 bytes (default sized at 16 bits/gram ≈ 1/Mn fp with
+    k=4).  Each task tests its grams against the broadcast BITSET (k
+    word lookups, no shuffle, no explode) and only the survivors — true
+    hits plus ~fp·|grams| noise — ever reach the exact join, which may
+    then even be a shuffle join if the benchmark outgrows broadcast
+    range.  Composition: operators/sketch.py bloom_build /
+    bloom_filter_members.
+    """
+    from flink_rtcef_spark.operators.sketch import (
+        bloom_build,
+        bloom_filter_members,
+    )
+
+    bench_grams = (
+        ngram_hash_sets(
+            benchmark.select(F.lit(0).alias("__b"), F.col(bench_text_col)),
+            "__b",
+            bench_text_col,
+            n,
+        )
+        .select("gram_hash")
+        .distinct()
+    )
+    if bloom_m is None:
+        # default 2^20 bits; a production caller sizes m ≈ 16 bits per
+        # distinct benchmark gram (fp ≈ 1e-6 at k=4) — a constant the
+        # pipeline owner knows without a counting pass
+        bloom_m = 1 << 20
+    bloom = bloom_build(bench_grams, "gram_hash", bloom_m, bloom_k)
+    doc_grams = ngram_hash_sets(docs, doc_id_col, text_col, n)
+    maybe = bloom_filter_members(doc_grams, "gram_hash", bloom, bloom_m, bloom_k)
+    return (
+        maybe.join(broadcast(bench_grams), "gram_hash")
+        .groupBy(doc_id_col)
+        .agg(F.count(F.lit(1)).alias("n_contaminated_grams"))
+    )

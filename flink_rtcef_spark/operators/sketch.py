@@ -63,6 +63,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from flink_rtcef_spark.functions.scalar import portable_hash64
 
@@ -647,3 +648,322 @@ def kmv_overlap_estimates(
         "intersection": jaccard * union_est,
         "jaccard": jaccard,
     }
+
+
+# ---------------------------------------------------------------------------
+# Equi-width histogram sketch -> quantile estimates
+# ---------------------------------------------------------------------------
+# The mergeable answer to "p50/p90/p99 of a numeric column per group"
+# at corpus scale: exact percentiles need a per-group sort (full
+# shuffle of the DATA); a fixed-bin histogram needs one combinable
+# groupBy whose shuffle payload is <= n_bins integer counts per group
+# regardless of input size (same scale shape as the HLL registers).
+# Two histograms over disjoint data merge by summing counts per bin.
+#
+# Fixed [lo, hi) binning (not equi-depth) is what makes the sketch
+# mergeable AND cross-engine exact: the bin of a value is a pure
+# function of the value, so Spark and DuckDB build identical integer
+# count tables, and the quantile interpolation is the same IEEE
+# expression on both sides (quantile error is bounded by one bin
+# width by construction — the ACCURACY is approximate, the SKETCH is
+# deterministic).  Out-of-range values clamp into the edge bins, which
+# preserves ranks below hi but biases estimates that land in the edge
+# bins; pick [lo, hi) from domain knowledge, not from the data (a
+# data-dependent range would need an extra pass and break merging
+# across corpora scanned at different times).
+#
+# Relation to operators/profile.py: profile.py's KLL wrapper is the
+# adaptive-range alternative (no [lo, hi) to pick) but its estimates
+# are not reproducible outside Spark; this sketch sits behind the same
+# DuckDB hash gate as the exact queries.
+
+#: default bin count — 2 KiB of BIGINT state per group in the shuffle
+HIST_BINS = 256
+
+
+def hist_sketch(
+    df: DataFrame,
+    value_col: str,
+    lo: float,
+    hi: float,
+    n_bins: int = HIST_BINS,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Sketch state: one row per (group, bin) with the value count.
+    bin = clamp(floor((v - lo) / w), 0, n_bins - 1) — a pure function
+    of the value, so this groupBy is map-side combinable and two
+    sketches merge by summing counts (:func:`hist_merge`)."""
+    if not hi > lo:
+        raise ValueError(f"hist_sketch: need hi > lo, got [{lo}, {hi})")
+    if n_bins < 1:
+        raise ValueError(f"hist_sketch: need n_bins >= 1, got {n_bins}")
+    group_cols = group_cols or []
+    w = (hi - lo) / n_bins
+    v = F.col(value_col).cast("double")
+    bin_ = F.least(
+        F.greatest(F.floor((v - F.lit(lo)) / F.lit(w)), F.lit(0)),
+        F.lit(n_bins - 1),
+    )
+    return (
+        df.filter(v.isNotNull())
+        .select(*group_cols, bin_.alias("bin"))
+        .groupBy(*group_cols, "bin")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def hist_merge(*sketches: DataFrame) -> DataFrame:
+    """Merge histograms over disjoint data: union + re-SUM per bin
+    (associative, commutative — the streaming twin accumulates
+    microbatch sketches through exactly this)."""
+    out = sketches[0]
+    for extra in sketches[1:]:
+        out = out.unionByName(extra)
+    keys = [c for c in out.columns if c != "cnt"]
+    return out.groupBy(*keys).agg(F.sum("cnt").alias("cnt"))
+
+
+def hist_quantiles(
+    sketch: DataFrame,
+    qs: list[float],
+    lo: float,
+    hi: float,
+    n_bins: int = HIST_BINS,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Quantile estimates from a histogram sketch: for each q in
+    ``qs`` (0 < q <= 1), the first bin whose cumulative count reaches
+    rank r = q * total, linearly interpolated within the bin:
+
+        est = lo + w * (bin + (r - cum_before) / cnt)
+
+    Error <= one bin width w for any in-range quantile.  Everything up
+    to (bin, cnt, cum) is integer-exact; the interpolation mirrors the
+    DuckDB twin (:func:`hist_quantiles_sql`) operation for operation,
+    so the doubles hash-match (same IEEE ops in the same order —
+    the HLL estimate plays the same trick).
+
+    Plan shape: two window functions + an explode of the constant qs
+    array + a row_number pick — all over the SKETCH (<= n_bins rows
+    per group), never the data."""
+    if any(not (0.0 < q <= 1.0) for q in qs):
+        raise ValueError(f"hist_quantiles: qs must be in (0, 1], got {qs}")
+    group_cols = group_cols or []
+    w = (hi - lo) / n_bins
+    gwin = Window.partitionBy(*[F.col(g) for g in group_cols])
+    cum_win = gwin.orderBy("bin").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    with_cum = sketch.select(
+        *group_cols,
+        "bin",
+        "cnt",
+        F.sum("cnt").over(cum_win).alias("cum"),
+        F.sum("cnt").over(gwin).alias("total"),
+    )
+    q_rows = with_cum.select(
+        "*", F.explode(F.array(*[F.lit(float(q)) for q in qs])).alias("q")
+    )
+    # rank of the q-th value (1-based, continuous-mass): the first bin
+    # with cum >= r holds it; cum_before < r is then guaranteed, so
+    # the interpolated fraction lies in (0, 1]
+    r = F.col("q") * F.col("total").cast("double")
+    picked = (
+        q_rows.withColumn("r", r)
+        .filter(F.col("cum") >= F.col("r"))
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy(*group_cols, "q").orderBy("bin")
+            ),
+        )
+        .filter(F.col("rn") == 1)
+    )
+    est = F.lit(lo) + F.lit(w) * (
+        F.col("bin")
+        + (F.col("r") - (F.col("cum") - F.col("cnt"))) / F.col("cnt")
+    )
+    return picked.select(*group_cols, "q", est.alias("quantile_est"))
+
+
+def hist_quantiles_sql(
+    table: str,
+    value_expr: str,
+    lo: float,
+    hi: float,
+    qs: list[float],
+    n_bins: int = HIST_BINS,
+    group_cols: list[str] | None = None,
+    where: str = "",
+) -> str:
+    """DuckDB twin of hist_sketch + hist_quantiles — identical binning
+    and interpolation arithmetic, so the estimates hash-match.  Every
+    float literal is CAST AS DOUBLE (DuckDB parses bare decimals as
+    DECIMAL, whose arithmetic would diverge from Spark's doubles)."""
+    group_cols = group_cols or []
+    w = (hi - lo) / n_bins
+    gsel = "".join(f"{g}, " for g in group_cols)
+    gby = "GROUP BY " + ", ".join([*group_cols, "bin"])
+    part = ", ".join(group_cols) if group_cols else ""
+    part_by = f"PARTITION BY {part} " if part else ""
+    q_list = ", ".join(f"CAST({float(q)!r} AS DOUBLE)" for q in qs)
+    v = f"CAST({value_expr} AS DOUBLE)"
+    wherec = f"AND ({where})" if where else ""
+    return f"""
+    WITH sk AS (
+      SELECT {gsel}
+             LEAST(GREATEST(CAST(floor(({v} - CAST({lo!r} AS DOUBLE))
+                                       / CAST({w!r} AS DOUBLE)) AS BIGINT),
+                            0), {n_bins - 1}) AS bin,
+             COUNT(*) AS cnt
+      FROM {table} WHERE {v} IS NOT NULL {wherec} {gby}
+    ), cums AS (
+      SELECT {gsel} bin, cnt,
+             SUM(cnt) OVER ({part_by}ORDER BY bin
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+             SUM(cnt) OVER ({part_by}) AS total
+      FROM sk
+    ), qrows AS (
+      SELECT {gsel} bin, cnt, cum,
+             q, q * CAST(total AS DOUBLE) AS r
+      FROM cums, UNNEST([{q_list}]) AS t(q)
+    ), picked AS (
+      SELECT {gsel} bin, cnt, cum, q, r,
+             ROW_NUMBER() OVER (PARTITION BY {part}{", " if part else ""}q
+                                ORDER BY bin) AS rn
+      FROM qrows WHERE cum >= r
+    )
+    SELECT {gsel} q,
+           CAST({lo!r} AS DOUBLE) + CAST({w!r} AS DOUBLE)
+             * (bin + (r - (cum - cnt)) / cnt) AS quantile_est
+    FROM picked WHERE rn = 1
+    """
+
+
+# ---------------------------------------------------------------------------
+# Bloom filter (Bloom 1970) — packed-bitset membership sketch
+# ---------------------------------------------------------------------------
+# The missing piece between "broadcast the whole small side" and "shuffle
+# the big side": a set of N values becomes m bits (m/64 BIGINT words),
+# mergeable by bitwise OR, with NO false negatives.  The canonical use
+# at 100 TB is membership PREFILTERING — e.g. decontamination, where the
+# benchmark n-gram set may be tens of millions of 8-byte hashes (~GB as
+# a broadcast hash relation) but its bloom is a few MB: every task
+# streams its corpus grams past the bitset and drops ~all of them before
+# the exact verification join ever sees a row.  Because false positives
+# are removed by that exact verify, the composed operator stays EXACT
+# (oracle: the plain join) while the expensive side shrinks by ~1/fp.
+#
+# Hash family: Kirsch-Mitzenmacher over the two independent 60-bit
+# halves of one md5 (positions (h1 + i * step) % m with step odd and m a
+# power of two, so the probe walk cycles the full space) — one digest
+# per value, same cost profile as the CMS build.
+
+#: default filter size — 2^20 bits = 16 Ki BIGINT words = 128 KiB
+BLOOM_M = 1 << 20
+#: default probe count; fp ~ (1 - e^(-k*n/m))^k
+BLOOM_K = 4
+
+
+def _bloom_probe_base(value: Column, m: int) -> tuple[Column, Column]:
+    """(h1 mod m, odd step mod-m) from the two disjoint 60-bit halves
+    of one md5 — the i-th probe position is (h1 + i*step) % m."""
+    digest = F.md5(value)
+    h1 = F.conv(F.substring(digest, 1, 15), 16, 10).cast("long") % F.lit(m)
+    h2 = F.conv(F.substring(digest, 17, 15), 16, 10).cast("long")
+    step = (h2 % F.lit(m)) * 2 + 1  # odd => full cycle on power-of-two m
+    return h1, step
+
+
+def bloom_build(
+    df: DataFrame, value_col: str, m: int = BLOOM_M, k: int = BLOOM_K
+) -> DataFrame:
+    """Build the bitset: rows (word, bits) with bits the OR of every
+    set bit in that 64-bit word — at most m/64 rows however large the
+    input, absent words are all-zero.  One md5 per value, a constant
+    k-sequence explode, one map-side-combinable BIT_OR."""
+    v = F.col(value_col).cast("string")
+    h1, step = _bloom_probe_base(v, m)
+    pos = (
+        df.filter(v.isNotNull())
+        # materialize the digest halves BEFORE the explode (same
+        # codegen hazard as _cms_cell: inlining the md5 into the
+        # per-probe expression re-evaluates it k times)
+        .select(h1.alias("_h1"), step.alias("_step"))
+        .select(
+            F.explode(F.sequence(F.lit(0), F.lit(k - 1))).alias("i"),
+            F.col("_h1"),
+            F.col("_step"),
+        )
+        .select(((F.col("_h1") + F.col("i") * F.col("_step")) % F.lit(m)).alias("pos"))
+    )
+    packed = pos.select(
+        F.shiftright(F.col("pos"), 6).alias("word"),
+        F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 64 AS INT))").alias("mask"),
+    )
+    return packed.groupBy("word").agg(F.bit_or("mask").alias("bits"))
+
+
+def bloom_merge(*sketches: DataFrame) -> DataFrame:
+    """Union of the underlying sets: OR the words (associative,
+    commutative, idempotent — bloom(A) merged twice is bloom(A))."""
+    out = sketches[0]
+    for extra in sketches[1:]:
+        out = out.unionByName(extra)
+    return out.groupBy("word").agg(F.bit_or("bits").alias("bits"))
+
+
+def bloom_filter_members(
+    probes: DataFrame,
+    value_col: str,
+    sketch: DataFrame,
+    m: int = BLOOM_M,
+    k: int = BLOOM_K,
+) -> DataFrame:
+    """Rows of ``probes`` whose value MIGHT be in the sketched set
+    (never drops a true member; keeps false positives at the filter's
+    fp rate — compose with an exact verify when exactness matters).
+
+    Plan shape: k broadcast hash joins against the <= m/64-row bitset,
+    each followed by a bit test — the probe side is never shuffled,
+    never exploded, and never grouped (an explode + groupBy(all-k)
+    alternative would triple the big side's rows AND pay a shuffle).
+    A probe whose word is absent from the sketch is definitely absent
+    (inner join drops it — that bit was never set).
+
+    The sketch is persisted before the joins: its build subtree (e.g.
+    the benchmark-gram distinct in the decontamination composition)
+    appears under each of the k BroadcastExchanges, and Spark's
+    exchange-reuse does NOT unify them (the per-probe word renames
+    defeat sameResult — verified on the formatted plan); persisting
+    computes the <= m/64-row bitset once and serves all k broadcasts
+    from cache."""
+    v = F.col(value_col).cast("string")
+    h1, step = _bloom_probe_base(v, m)
+    sketch = sketch.persist()
+    out = probes.withColumn("_h1", h1).withColumn("_step", step)
+    for i in range(k):
+        pos = (F.col("_h1") + F.lit(i) * F.col("_step")) % F.lit(m)
+        out = (
+            out.withColumn(f"_w{i}", F.shiftright(pos, 6))
+            .withColumn(
+                f"_m{i}",
+                F.expr(
+                    "shiftleft(CAST(1 AS BIGINT), "
+                    f"CAST((_h1 + {i} * _step) % {m} % 64 AS INT))"
+                ),
+            )
+            .join(
+                F.broadcast(
+                    sketch.select(
+                        F.col("word").alias(f"_w{i}"), F.col("bits").alias(f"_b{i}")
+                    )
+                ),
+                f"_w{i}",
+            )
+            .filter(
+                F.col(f"_b{i}").bitwiseAND(F.col(f"_m{i}")) == F.col(f"_m{i}")
+            )
+        )
+    drop = ["_h1", "_step"] + [c for i in range(k) for c in (f"_w{i}", f"_m{i}", f"_b{i}")]
+    return out.drop(*drop)

@@ -383,7 +383,12 @@ def _simhash_oracle() -> str:
 """
 
 
-@query("simhash_16", oracle=_simhash_oracle())
+# rotated OUT of the 50-slot driver registry in r4 (slot given to
+# hist_quantiles_value); the same Spark-vs-DuckDB hash gate lives in
+# tests/test_retired_queries.py
+_SIMHASH_SQL = _simhash_oracle()
+
+
 def simhash_16(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     flat = (
@@ -414,9 +419,9 @@ def simhash_16(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 # Document fingerprint: polynomial rolling hash over token hashes
 # (order-sensitive, unlike minhash) — cheap near-exact dedup key.
-@query(
-    "doc_fingerprint",
-    oracle=f"""
+# rotated OUT of the 50-slot driver registry in r4 (slot given to
+# decontam_bloom_hits); hash gate kept in tests/test_retired_queries.py
+_DOC_FINGERPRINT_SQL = f"""
     WITH flat AS (
       SELECT doc_id, t.i AS i,
              CAST(('0x' || substr(md5(tokens[t.i]), 1, 15)) AS BIGINT) % 1000000007 AS h
@@ -426,8 +431,9 @@ def simhash_16(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT doc_id,
            CAST(SUM(h * (((i * 31) % 1000003) + 1)) % 1000000007 AS BIGINT) AS fingerprint
     FROM flat GROUP BY doc_id
-    """,
-)
+    """
+
+
 def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select(
@@ -1583,3 +1589,48 @@ def hll_distinct_texts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("text").alias("exact_distinct")
     )
     return est.join(exact, ["lang", "source"])
+
+
+# --------------------------------------------------------------------------
+# Histogram-sketch quantiles (operators/sketch.py): p50/p90/p99 of
+# events.value per event_type from a 256-bin mergeable histogram —
+# the shuffle carries <= 256 integer counts per group at ANY input
+# size (exact percentiles would sort the data).  Binning and the
+# within-bin linear interpolation are the same integer-then-IEEE
+# arithmetic in both engines, so the estimates hash-match bit for bit.
+def _hist_oracle() -> str:
+    from flink_rtcef_spark.operators.sketch import hist_quantiles_sql
+
+    return hist_quantiles_sql(
+        "events", "value", 0.0, 512.0, [0.5, 0.9, 0.99], 256, ["event_type"]
+    )
+
+
+@query("hist_quantiles_value", oracle=_hist_oracle())
+def hist_quantiles_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_rtcef_spark.operators.sketch import hist_quantiles, hist_sketch
+
+    ev = load_table(spark, sf_dir, "events")
+    sk = hist_sketch(ev, "value", 0.0, 512.0, 256, ["event_type"])
+    return hist_quantiles(sk, [0.5, 0.9, 0.99], 0.0, 512.0, 256, ["event_type"])
+
+
+# --------------------------------------------------------------------------
+# Bloom-prefiltered decontamination (operators/decontam.py
+# contamination_hits_bloom): SAME exact answer as decontam_hits — the
+# oracle is the plain exact join — but the corpus grams stream past a
+# broadcast 4 KiB BITSET first and only survivors reach the exact
+# membership join.  bloom_m is deliberately UNDERSIZED here (2^15 bits
+# for ~20k benchmark grams) so false positives definitely occur at
+# test scale and the exact-verify stage is seen to remove them; a
+# production filter is sized ~16 bits/gram (fp ~ 1e-6).
+@query("decontam_bloom_hits", oracle=_DECONTAM_SQL)
+def decontam_bloom_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_rtcef_spark.operators.decontam import contamination_hits_bloom
+
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 5 != 0)
+    benchmark = docs.filter(F.col("doc_id") % 5 == 0)
+    return contamination_hits_bloom(
+        corpus, benchmark, n=8, bloom_m=1 << 15, bloom_k=4
+    )

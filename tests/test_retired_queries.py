@@ -118,3 +118,24 @@ def test_lag_delta_reports_oracle(spark, duck):
     from flink_rtcef_spark.queries.relational import lag_delta_reports
 
     _check(spark, duck, lag_delta_reports, LAG_DELTA_SQL, "lag_delta_reports")
+
+
+# ---- rotated out in r4 (slots given to hist_quantiles_value /
+# ---- decontam_bloom_hits) ----
+
+
+def test_simhash_16_oracle(spark, duck):
+    from flink_rtcef_spark.queries.pipeline import _SIMHASH_SQL, simhash_16
+
+    _check(spark, duck, simhash_16, _SIMHASH_SQL, "simhash_16")
+
+
+def test_doc_fingerprint_oracle(spark, duck):
+    from flink_rtcef_spark.queries.pipeline import (
+        _DOC_FINGERPRINT_SQL,
+        doc_fingerprint,
+    )
+
+    _check(
+        spark, duck, doc_fingerprint, _DOC_FINGERPRINT_SQL, "doc_fingerprint"
+    )

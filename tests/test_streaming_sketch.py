@@ -89,3 +89,61 @@ def test_streaming_cms_equals_batch(spark, tmp_path):
     )
     table = _run_complete(sketched, "cms_stream")
     _cmp(spark, table, cms_build(batch, "v"), ["r", "c"])
+
+
+def test_streaming_hist_sketch_equals_batch(spark, tmp_path):
+    """Histogram bins are a COUNT per (group, bin) — associative SUM, so
+    complete-mode streaming accumulation == the batch sketch (the merge
+    law hist_merge exercises batch-side)."""
+    stream, batch = _fixture(spark, tmp_path)
+    from flink_rtcef_spark.operators.sketch import hist_sketch
+
+    lo, hi, nb = 0.0, 700.0, 64
+    w = (hi - lo) / nb
+    v = F.col("v").cast("double")
+    bin_ = F.least(
+        F.greatest(F.floor((v - F.lit(lo)) / F.lit(w)), F.lit(0)),
+        F.lit(nb - 1),
+    )
+    sketched = (
+        stream.filter(v.isNotNull())
+        .select("grp", bin_.alias("bin"))
+        .groupBy("grp", "bin")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    table = _run_complete(sketched, "hist_stream")
+    want = hist_sketch(
+        batch.select("grp", F.col("v").cast("double").alias("v")),
+        "v", lo, hi, nb, ["grp"],
+    )
+    _cmp(spark, table, want, ["grp", "bin"])
+
+
+def test_streaming_bloom_equals_batch(spark, tmp_path):
+    """Bloom words accumulate by BIT_OR — associative, commutative,
+    idempotent — so the streamed bitset is bit-identical to the batch
+    build (and replayed input cannot corrupt it: OR-ing a bit twice is
+    a no-op, the at-least-once-safe property)."""
+    stream, batch = _fixture(spark, tmp_path)
+    from flink_rtcef_spark.operators.sketch import _bloom_probe_base, bloom_build
+
+    m, k = 1 << 14, 4
+    v = F.col("v").cast("string")
+    h1, step = _bloom_probe_base(v, m)
+    sketched = (
+        stream.filter(v.isNotNull())
+        .select(h1.alias("_h1"), step.alias("_step"))
+        .select(
+            F.explode(F.sequence(F.lit(0), F.lit(k - 1))).alias("i"),
+            "_h1", "_step",
+        )
+        .select(((F.col("_h1") + F.col("i") * F.col("_step")) % F.lit(m)).alias("pos"))
+        .select(
+            F.shiftright(F.col("pos"), 6).alias("word"),
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 64 AS INT))").alias("mask"),
+        )
+        .groupBy("word")
+        .agg(F.bit_or("mask").alias("bits"))
+    )
+    table = _run_complete(sketched, "bloom_stream")
+    _cmp(spark, table, bloom_build(batch, "v", m, k), ["word"])
