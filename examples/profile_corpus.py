@@ -96,12 +96,41 @@ def main() -> None:
         f"intersection~{est['intersection']:.0f} jaccard~{est['jaccard']:.2f}"
     )
 
-    # 4. token-length quantiles (KLL)
+    # 4. token-length quantiles, twice: KLL (JVM-native, fast,
+    # non-reproducible outside Spark) next to the auditable
+    # histogram sketch (cross-engine-exact; error <= one bin width)
     with_tokens = docs.withColumn(
         "n_tokens", F.size(F.split(F.lower("text"), "\\s+"))
     )
     q = length_quantiles(with_tokens, "n_tokens", [0.5, 0.9, 0.99]).first()
-    print(f"# token p50/p90/p99: {q[0]}/{q[1]}/{q[2]}")
+    print(f"# token p50/p90/p99 (kll): {q[0]}/{q[1]}/{q[2]}")
+    from flink_rtcef_spark.operators.sketch import hist_quantiles, hist_sketch
+
+    hsk = hist_sketch(with_tokens, "n_tokens", 0.0, 512.0, 256)
+    hq = {
+        r["q"]: r["quantile_est"]
+        for r in hist_quantiles(hsk, [0.5, 0.9, 0.99], 0.0, 512.0, 256).collect()
+    }
+    print(f"# token p50/p90/p99 (hist): "
+          f"{hq[0.5]:.1f}/{hq[0.9]:.1f}/{hq[0.99]:.1f}")
+    for est_v, kll_v in zip((hq[0.5], hq[0.9], hq[0.99]), q):
+        assert abs(est_v - kll_v) <= 4.0, (est_v, kll_v)  # 2 bins + kll err
+
+    # 4b. membership prefilter preview: how much of the corpus a
+    # benchmark bloom would drop before the exact decontam join
+    from flink_rtcef_spark.operators.decontam import ngram_hash_sets
+    from flink_rtcef_spark.operators.sketch import bloom_build, bloom_filter_members
+
+    bench_grams = (
+        ngram_hash_sets(docs.filter("doc_id % 5 = 0"), "doc_id", "text", 8)
+        .select("gram_hash").distinct()
+    )
+    corpus_grams = ngram_hash_sets(docs.filter("doc_id % 5 <> 0"), "doc_id", "text", 8)
+    bloom = bloom_build(bench_grams, "gram_hash", 1 << 15, 4)
+    n_all = corpus_grams.count()
+    n_pass = bloom_filter_members(corpus_grams, "gram_hash", bloom, 1 << 15, 4).count()
+    print(f"# bloom prefilter: {n_all} corpus grams -> {n_pass} "
+          f"({100 * n_pass / max(n_all, 1):.2f}%) reach the exact join")
 
     # 5. split preview with leakage audit over LSH near-dup pairs
     pairs = lsh_candidate_pairs(minhash_signatures(docs))
