@@ -296,13 +296,14 @@ def near_dedup(
     bands: int = 4,
     shingle_n: int = 3,
     threshold: float = 0.8,
+    seed: int = 7,
 ) -> DataFrame:
     """Full near-dedup: minhash -> LSH candidates -> Jaccard verify ->
     keep the min-id representative of each duplicate pair-set (one
     union-find round: a doc is dropped if any verified smaller-id
     duplicate exists — sufficient when duplicate groups are cliques,
     the common case for near-identical docs)."""
-    sigs = minhash_signatures(df, text_col, id_col, n_hashes, shingle_n)
+    sigs = minhash_signatures(df, text_col, id_col, n_hashes, shingle_n, seed)
     cands = lsh_candidate_pairs(sigs, id_col, n_hashes, bands)
     dupes = jaccard_verify(df, cands, text_col, id_col, shingle_n, threshold)
     losers = dupes.select(F.col("id_b").alias(id_col)).distinct()
