@@ -347,12 +347,46 @@ def main() -> None:
     # 8. partitioned write + final profile
     out = tempfile.mkdtemp(prefix="curated_")
     write_partitioned(docs, out, "lang")
-    final = corpus_profile(spark.read.parquet(out)).first()
+    curated = spark.read.parquet(out)
+    final = corpus_profile(curated).first()
     print(
         f"  final: {final['rows']} docs, "
         f"~{final['approx_distinct_texts']:.0f} distinct texts, "
         f"token p50/p99 = {final['tokens_p5']}/{final['tokens_p99']}"
     )
+
+    # 9. day-2 increment: the MATERIALIZED curated corpus becomes
+    # HISTORY (a banded MinHash index — a few hundred bytes/doc, no
+    # text), and a simulated next-day crawl (half repeats with edits,
+    # half new) is near-deduped against it with one broadcast probe —
+    # the 100 TB history is read once per increment and never shuffled.
+    # Built from the parquet output, not the in-session lineage: index
+    # construction is a new scan, it must not re-run the whole chain.
+    from flink_rtcef_spark.operators.minhash_index import (
+        incremental_near_dedup,
+        minhash_index_append,
+        minhash_index_write,
+    )
+
+    idx = tempfile.mkdtemp(prefix="mh_index_")
+    minhash_index_write(curated.select("doc_id", "text"), idx)
+    repeats = (
+        curated.orderBy("doc_id").limit(40)
+        .select((F.col("doc_id") + 1_000_000).alias("doc_id"),
+                F.concat(F.col("text"), F.lit(" crawl-dup tail")).alias("text"))
+    )
+    fresh = curated.orderBy(F.desc("doc_id")).limit(40).select(
+        (F.col("doc_id") + 2_000_000).alias("doc_id"),
+        F.concat(F.lit("entirely new day-two page "),
+                 F.reverse(F.col("text"))).alias("text"),
+    )
+    day2 = repeats.unionByName(fresh)
+    surv = incremental_near_dedup(spark, day2, idx, threshold=0.5)
+    n_day2, n_surv = day2.count(), surv.count()
+    minhash_index_append(surv, idx)
+    print(f"  {'day-2 increment vs index':<28} {n_day2:>6} -> {n_surv:>6}")
+    assert n_surv < n_day2  # the re-crawled half must be dropped
+
     print(f"# curated corpus at {out}; wall {time.time() - t0:.1f}s")
 
 

@@ -1619,11 +1619,14 @@ def hist_quantiles_value(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Bloom-prefiltered decontamination (operators/decontam.py
 # contamination_hits_bloom): SAME exact answer as decontam_hits — the
 # oracle is the plain exact join — but the corpus grams stream past a
-# broadcast 4 KiB BITSET first and only survivors reach the exact
-# membership join.  bloom_m is deliberately UNDERSIZED here (2^15 bits
-# for ~20k benchmark grams) so false positives definitely occur at
-# test scale and the exact-verify stage is seen to remove them; a
-# production filter is sized ~16 bits/gram (fp ~ 1e-6).
+# broadcast 128 KiB BITSET first and only survivors reach the exact
+# membership join.  The filter must be SIZED, not token: an undersized
+# bloom saturates (every bit set -> fp ~ 1 -> the k probe joins become
+# pure overhead; measured 5x slower than the plain join at sf0.1 with
+# 2^15 bits against ~200k benchmark grams).  2^20 bits holds ~5 bits/
+# gram at sf0.1 (fp ~ 8%); tests pin the exact-result contract under a
+# deliberately saturated filter separately
+# (test_sketch.test_bloom_prefiltered_decontam_equals_exact).
 @query("decontam_bloom_hits", oracle=_DECONTAM_SQL)
 def decontam_bloom_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     from flink_rtcef_spark.operators.decontam import contamination_hits_bloom
@@ -1632,5 +1635,5 @@ def decontam_bloom_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = docs.filter(F.col("doc_id") % 5 != 0)
     benchmark = docs.filter(F.col("doc_id") % 5 == 0)
     return contamination_hits_bloom(
-        corpus, benchmark, n=8, bloom_m=1 << 15, bloom_k=4
+        corpus, benchmark, n=8, bloom_m=1 << 20, bloom_k=4
     )
