@@ -126,9 +126,11 @@ def main() -> None:
         .select("gram_hash").distinct()
     )
     corpus_grams = ngram_hash_sets(docs.filter("doc_id % 5 <> 0"), "doc_id", "text", 8)
-    bloom = bloom_build(bench_grams, "gram_hash", 1 << 15, 4)
+    bloom = bloom_build(bench_grams, "gram_hash", 1 << 15, 4, prehashed=True)
     n_all = corpus_grams.count()
-    n_pass = bloom_filter_members(corpus_grams, "gram_hash", bloom, 1 << 15, 4).count()
+    n_pass = bloom_filter_members(
+        corpus_grams, "gram_hash", bloom, 1 << 15, 4, prehashed=True
+    ).count()
     print(f"# bloom prefilter: {n_all} corpus grams -> {n_pass} "
           f"({100 * n_pass / max(n_all, 1):.2f}%) reach the exact join")
 

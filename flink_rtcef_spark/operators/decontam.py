@@ -255,9 +255,13 @@ def contamination_hits_bloom(
         # distinct benchmark gram (fp ≈ 1e-6 at k=4) — a constant the
         # pipeline owner knows without a counting pass
         bloom_m = 1 << 20
-    bloom = bloom_build(bench_grams, "gram_hash", bloom_m, bloom_k)
+    # prehashed: gram_hash IS a well-mixed xxhash64 — the corpus side
+    # pays shifts and masks per gram, not a second digest
+    bloom = bloom_build(bench_grams, "gram_hash", bloom_m, bloom_k, prehashed=True)
     doc_grams = ngram_hash_sets(docs, doc_id_col, text_col, n)
-    maybe = bloom_filter_members(doc_grams, "gram_hash", bloom, bloom_m, bloom_k)
+    maybe = bloom_filter_members(
+        doc_grams, "gram_hash", bloom, bloom_m, bloom_k, prehashed=True
+    )
     return (
         maybe.join(broadcast(bench_grams), "gram_hash")
         .groupBy(doc_id_col)

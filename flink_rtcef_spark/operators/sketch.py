@@ -841,7 +841,8 @@ def hist_quantiles_sql(
 
 
 # ---------------------------------------------------------------------------
-# Bloom filter (Bloom 1970) — packed-bitset membership sketch
+# Blocked Bloom filter (Bloom 1970; blocking per Putze/Sanders/Singler
+# 2007) — packed-bitset membership sketch
 # ---------------------------------------------------------------------------
 # The missing piece between "broadcast the whole small side" and "shuffle
 # the big side": a set of N values becomes m bits (m/64 BIGINT words),
@@ -854,54 +855,105 @@ def hist_quantiles_sql(
 # are removed by that exact verify, the composed operator stays EXACT
 # (oracle: the plain join) while the expensive side shrinks by ~1/fp.
 #
-# Hash family: Kirsch-Mitzenmacher over the two independent 60-bit
-# halves of one md5 (positions (h1 + i * step) % m with step odd and m a
-# power of two, so the probe walk cycles the full space) — one digest
-# per value, same cost profile as the CMS build.
+# BLOCKED layout: all k bits of a value live in ONE 64-bit word (the
+# word index from one hash field, the k in-word bit offsets from
+# disjoint 6-bit fields of a second).  That choice is what makes the
+# Spark plan cheap — build is select+groupBy with NO explode, and a
+# membership probe is ONE broadcast hash join + one bit test (the
+# classic spread layout needs k joins or an explode+regroup of the BIG
+# side; a first cut that did k joins measured 4.5x the plain exact join
+# at sf0.1, the blocked rewrite ~1.5x).  The price is a slightly higher
+# fp rate than an ideal Bloom filter at the same m/n (block-occupancy
+# variance — Putze et al. measure ~1.1-1.5x for 64-bit blocks; size m
+# one power of two up to compensate).
+#
+# Hash fields: by default the two disjoint 60-bit halves of one md5
+# (same cost profile as the CMS build).  With ``prehashed=True`` the
+# value column is ALREADY a well-mixed 64-bit hash (e.g. the xxhash64
+# gram hashes of the decontamination chain) and the fields are carved
+# from its bits directly — zero additional digests, the per-row cost of
+# the 100 TB side drops to shifts and masks.  Requires m <= 2^24 so the
+# word index (log2(m/64) <= 18 bits) and k*6 offset bits fit the 64-bit
+# budget with headroom.
 
 #: default filter size — 2^20 bits = 16 Ki BIGINT words = 128 KiB
 BLOOM_M = 1 << 20
-#: default probe count; fp ~ (1 - e^(-k*n/m))^k
+#: default probe count; fp ~ (1 - e^(-k*n/m))^k + blocking penalty
 BLOOM_K = 4
 
+#: prehashed mode carves word index + k*6 offset bits from 64 bits
+_BLOOM_MAX_M_PREHASHED = 1 << 24
 
-def _bloom_probe_base(value: Column, m: int) -> tuple[Column, Column]:
-    """(h1 mod m, odd step mod-m) from the two disjoint 60-bit halves
-    of one md5 — the i-th probe position is (h1 + i*step) % m."""
-    digest = F.md5(value)
-    h1 = F.conv(F.substring(digest, 1, 15), 16, 10).cast("long") % F.lit(m)
-    h2 = F.conv(F.substring(digest, 17, 15), 16, 10).cast("long")
-    step = (h2 % F.lit(m)) * 2 + 1  # odd => full cycle on power-of-two m
-    return h1, step
+
+def _bloom_word_mask(
+    value: Column, m: int, k: int, prehashed: bool
+) -> tuple[Column, Column]:
+    """(word index, k-bit in-word mask) for one value.  The mask is a
+    single JVM expression (k shiftlefts OR-ed) over a 60-bit offset
+    field; duplicate 6-bit offsets just waste a probe bit (standard
+    blocked-bloom behavior, covered by the fp envelope)."""
+    n_words = m // 64
+    if prehashed:
+        h = value.cast("long")
+        word = F.pmod(h, F.lit(n_words))
+        # offset fields start above the word-index bits; n_words is a
+        # power of two <= 2^18, so bits 18.. are untouched by pmod
+        offs = F.shiftright(h, 18)
+    else:
+        digest = F.md5(value.cast("string"))
+        word = (
+            F.conv(F.substring(digest, 1, 15), 16, 10).cast("long")
+            % F.lit(n_words)
+        )
+        offs = F.conv(F.substring(digest, 17, 15), 16, 10).cast("long")
+    mask = None
+    for j in range(k):
+        bit = F.shiftright(offs, 6 * j).bitwiseAND(F.lit(63)).cast("int")
+        one = F.expr("CAST(1 AS BIGINT)")
+        term = F.call_function("shiftleft", one, bit)
+        mask = term if mask is None else mask.bitwiseOR(term)
+    return word, mask
+
+
+def _validate_bloom(m: int, k: int, prehashed: bool) -> None:
+    if m % 64 != 0 or m & (m - 1) != 0 or m < 64:
+        raise ValueError(f"bloom m must be a power of two >= 64, got {m}")
+    if not 1 <= k <= 10:
+        raise ValueError(f"bloom k must be in [1, 10], got {k}")
+    if prehashed:
+        if m > _BLOOM_MAX_M_PREHASHED:
+            raise ValueError(
+                f"prehashed bloom supports m <= 2^24 (word index must fit "
+                f"below the offset bits), got {m}; hash the value (md5 "
+                f"mode) for larger filters"
+            )
+        if k > 7:
+            raise ValueError(
+                f"prehashed bloom supports k <= 7 (18 word-index bits + "
+                f"6k offset bits must fit 63), got {k}"
+            )
 
 
 def bloom_build(
-    df: DataFrame, value_col: str, m: int = BLOOM_M, k: int = BLOOM_K
+    df: DataFrame,
+    value_col: str,
+    m: int = BLOOM_M,
+    k: int = BLOOM_K,
+    prehashed: bool = False,
 ) -> DataFrame:
     """Build the bitset: rows (word, bits) with bits the OR of every
     set bit in that 64-bit word — at most m/64 rows however large the
-    input, absent words are all-zero.  One md5 per value, a constant
-    k-sequence explode, one map-side-combinable BIT_OR."""
-    v = F.col(value_col).cast("string")
-    h1, step = _bloom_probe_base(v, m)
-    pos = (
+    input, absent words are all-zero.  One select + one map-side-
+    combinable BIT_OR; no explode (all k bits share the word)."""
+    _validate_bloom(m, k, prehashed)
+    v = F.col(value_col)
+    word, mask = _bloom_word_mask(v, m, k, prehashed)
+    return (
         df.filter(v.isNotNull())
-        # materialize the digest halves BEFORE the explode (same
-        # codegen hazard as _cms_cell: inlining the md5 into the
-        # per-probe expression re-evaluates it k times)
-        .select(h1.alias("_h1"), step.alias("_step"))
-        .select(
-            F.explode(F.sequence(F.lit(0), F.lit(k - 1))).alias("i"),
-            F.col("_h1"),
-            F.col("_step"),
-        )
-        .select(((F.col("_h1") + F.col("i") * F.col("_step")) % F.lit(m)).alias("pos"))
+        .select(word.alias("word"), mask.alias("mask"))
+        .groupBy("word")
+        .agg(F.bit_or("mask").alias("bits"))
     )
-    packed = pos.select(
-        F.shiftright(F.col("pos"), 6).alias("word"),
-        F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 64 AS INT))").alias("mask"),
-    )
-    return packed.groupBy("word").agg(F.bit_or("mask").alias("bits"))
 
 
 def bloom_merge(*sketches: DataFrame) -> DataFrame:
@@ -919,51 +971,29 @@ def bloom_filter_members(
     sketch: DataFrame,
     m: int = BLOOM_M,
     k: int = BLOOM_K,
+    prehashed: bool = False,
 ) -> DataFrame:
     """Rows of ``probes`` whose value MIGHT be in the sketched set
     (never drops a true member; keeps false positives at the filter's
     fp rate — compose with an exact verify when exactness matters).
 
-    Plan shape: k broadcast hash joins against the <= m/64-row bitset,
-    each followed by a bit test — the probe side is never shuffled,
-    never exploded, and never grouped (an explode + groupBy(all-k)
-    alternative would triple the big side's rows AND pay a shuffle).
-    A probe whose word is absent from the sketch is definitely absent
-    (inner join drops it — that bit was never set).
-
-    The sketch is persisted before the joins: its build subtree (e.g.
-    the benchmark-gram distinct in the decontamination composition)
-    appears under each of the k BroadcastExchanges, and Spark's
-    exchange-reuse does NOT unify them (the per-probe word renames
-    defeat sameResult — verified on the formatted plan); persisting
-    computes the <= m/64-row bitset once and serves all k broadcasts
-    from cache."""
-    v = F.col(value_col).cast("string")
-    h1, step = _bloom_probe_base(v, m)
-    sketch = sketch.persist()
-    out = probes.withColumn("_h1", h1).withColumn("_step", step)
-    for i in range(k):
-        pos = (F.col("_h1") + F.lit(i) * F.col("_step")) % F.lit(m)
-        out = (
-            out.withColumn(f"_w{i}", F.shiftright(pos, 6))
-            .withColumn(
-                f"_m{i}",
-                F.expr(
-                    "shiftleft(CAST(1 AS BIGINT), "
-                    f"CAST((_h1 + {i} * _step) % {m} % 64 AS INT))"
-                ),
-            )
-            .join(
-                F.broadcast(
-                    sketch.select(
-                        F.col("word").alias(f"_w{i}"), F.col("bits").alias(f"_b{i}")
-                    )
-                ),
-                f"_w{i}",
-            )
-            .filter(
-                F.col(f"_b{i}").bitwiseAND(F.col(f"_m{i}")) == F.col(f"_m{i}")
-            )
+    Plan shape: ONE broadcast hash join against the <= m/64-row bitset
+    + one bit test — the probe side is never shuffled, exploded, or
+    grouped.  A probe whose word is absent from the sketch is
+    definitely absent (inner join drops it — no bit of that word was
+    ever set)."""
+    _validate_bloom(m, k, prehashed)
+    v = F.col(value_col)
+    word, mask = _bloom_word_mask(v, m, k, prehashed)
+    return (
+        probes.withColumn("_w", word)
+        .withColumn("_mask", mask)
+        .join(
+            F.broadcast(
+                sketch.select(F.col("word").alias("_w"), F.col("bits").alias("_b"))
+            ),
+            "_w",
         )
-    drop = ["_h1", "_step"] + [c for i in range(k) for c in (f"_w{i}", f"_m{i}", f"_b{i}")]
-    return out.drop(*drop)
+        .filter(F.col("_b").bitwiseAND(F.col("_mask")) == F.col("_mask"))
+        .drop("_w", "_mask", "_b")
+    )

@@ -477,3 +477,28 @@ def test_bloom_prefiltered_decontam_equals_exact(spark):
     via_bloom = sorted(map(tuple, contamination_hits_bloom(
         corpus, bench, n=8, bloom_m=1 << 12, bloom_k=4).collect()))
     assert via_bloom == exact
+
+
+def test_bloom_prehashed_no_false_negatives_and_validation(spark):
+    from flink_rtcef_spark.operators.sketch import (
+        bloom_build,
+        bloom_filter_members,
+    )
+
+    vals = spark.range(5000).select(F.xxhash64("id").alias("h"))
+    members = vals.filter("pmod(h, 3) = 0")
+    m, k = 1 << 16, 4
+    sk = bloom_build(members, "h", m, k, prehashed=True)
+    got = {r.h for r in
+           bloom_filter_members(vals, "h", sk, m, k, prehashed=True).collect()}
+    true = {r.h for r in members.collect()}
+    everyone = {r.h for r in vals.collect()}
+    assert true <= got
+    fp = len(got - true) / max(1, len(everyone - true))
+    assert fp < 0.2, fp  # ~1666 members in 2^16 bits: fp ~ 1%
+    with pytest.raises(ValueError, match="2\\^24"):
+        bloom_build(members, "h", 1 << 26, 4, prehashed=True)
+    with pytest.raises(ValueError, match="k <= 7"):
+        bloom_build(members, "h", 1 << 16, 8, prehashed=True)
+    with pytest.raises(ValueError, match="power of two"):
+        bloom_build(members, "h", 1000, 4)

@@ -125,23 +125,14 @@ def test_streaming_bloom_equals_batch(spark, tmp_path):
     build (and replayed input cannot corrupt it: OR-ing a bit twice is
     a no-op, the at-least-once-safe property)."""
     stream, batch = _fixture(spark, tmp_path)
-    from flink_rtcef_spark.operators.sketch import _bloom_probe_base, bloom_build
+    from flink_rtcef_spark.operators.sketch import _bloom_word_mask, bloom_build
 
     m, k = 1 << 14, 4
-    v = F.col("v").cast("string")
-    h1, step = _bloom_probe_base(v, m)
+    v = F.col("v")
+    word, mask = _bloom_word_mask(v, m, k, prehashed=False)
     sketched = (
         stream.filter(v.isNotNull())
-        .select(h1.alias("_h1"), step.alias("_step"))
-        .select(
-            F.explode(F.sequence(F.lit(0), F.lit(k - 1))).alias("i"),
-            "_h1", "_step",
-        )
-        .select(((F.col("_h1") + F.col("i") * F.col("_step")) % F.lit(m)).alias("pos"))
-        .select(
-            F.shiftright(F.col("pos"), 6).alias("word"),
-            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 64 AS INT))").alias("mask"),
-        )
+        .select(word.alias("word"), mask.alias("mask"))
         .groupBy("word")
         .agg(F.bit_or("mask").alias("bits"))
     )
