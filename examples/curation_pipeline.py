@@ -381,7 +381,9 @@ def main() -> None:
                  F.reverse(F.col("text"))).alias("text"),
     )
     day2 = repeats.unionByName(fresh)
-    surv = incremental_near_dedup(spark, day2, idx, threshold=0.5)
+    # materialize once: count() and the append below both consume the
+    # dedup lineage (minhash + LSH self-join + index probe)
+    surv = incremental_near_dedup(spark, day2, idx, threshold=0.5).localCheckpoint()
     n_day2, n_surv = day2.count(), surv.count()
     minhash_index_append(surv, idx)
     print(f"  {'day-2 increment vs index':<28} {n_day2:>6} -> {n_surv:>6}")

@@ -54,6 +54,25 @@ def ngram_hash_sets(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFr
     )
 
 
+def _bench_gram_hashes(
+    benchmark: DataFrame, bench_text_col: str, n: int
+) -> DataFrame:
+    """Distinct normalized n-gram hashes of the benchmark side — the ONE
+    definition both the plain and bloom-prefiltered paths build from
+    (diverging copies would silently break their same-exact-result
+    contract)."""
+    return (
+        ngram_hash_sets(
+            benchmark.select(F.lit(0).alias("__b"), F.col(bench_text_col)),
+            "__b",
+            bench_text_col,
+            n,
+        )
+        .select("gram_hash")
+        .distinct()
+    )
+
+
 def contamination_hits(
     docs: DataFrame,
     benchmark: DataFrame,
@@ -65,16 +84,7 @@ def contamination_hits(
     """Per-document contamination evidence: (doc_id, n_contaminated_grams)
     for every document sharing ≥1 normalized n-gram with the benchmark.
     Clean documents are absent (anti-join against this to keep them)."""
-    bench_grams = (
-        ngram_hash_sets(
-            benchmark.select(F.lit(0).alias("__b"), F.col(bench_text_col)),
-            "__b",
-            bench_text_col,
-            n,
-        )
-        .select("gram_hash")
-        .distinct()
-    )
+    bench_grams = _bench_gram_hashes(benchmark, bench_text_col, n)
     doc_grams = ngram_hash_sets(docs, doc_id_col, text_col, n)
     return (
         doc_grams.join(broadcast(bench_grams), "gram_hash")
@@ -240,16 +250,7 @@ def contamination_hits_bloom(
         bloom_filter_members,
     )
 
-    bench_grams = (
-        ngram_hash_sets(
-            benchmark.select(F.lit(0).alias("__b"), F.col(bench_text_col)),
-            "__b",
-            bench_text_col,
-            n,
-        )
-        .select("gram_hash")
-        .distinct()
-    )
+    bench_grams = _bench_gram_hashes(benchmark, bench_text_col, n)
     if bloom_m is None:
         # default 2^20 bits; a production caller sizes m ≈ 16 bits per
         # distinct benchmark gram (fp ≈ 1e-6 at k=4) — a constant the

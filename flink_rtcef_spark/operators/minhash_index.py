@@ -121,15 +121,22 @@ def minhash_index_meta(path: str) -> dict:
     return meta
 
 
-def minhash_index_append(docs: DataFrame, path: str) -> None:
+def minhash_index_append(
+    docs: DataFrame,
+    path: str,
+    text_col: str | None = None,
+    id_col: str | None = None,
+) -> None:
     """Add documents to the index (plain parquet append — replaying an
     append only duplicates band rows, which changes no probe decision
-    because candidates are distinct-ed per (new, hist) pair)."""
+    because candidates are distinct-ed per (new, hist) pair).
+    ``text_col``/``id_col`` override the frame's column names; the
+    hashing parameters always come from the meta."""
     m = minhash_index_meta(path)
     rows = _banded_rows(
         docs,
-        m["text_col"],
-        m["id_col"],
+        text_col or m["text_col"],
+        id_col or m["id_col"],
         m["n_hashes"],
         m["shingle_n"],
         m["bands"],
@@ -143,10 +150,15 @@ def minhash_index_probe(
     new_docs: DataFrame,
     path: str,
     threshold: float = 0.5,
+    text_col: str | None = None,
+    id_col: str | None = None,
 ) -> DataFrame:
     """(new_id, hist_id, est_jaccard) for every increment document that
     shares an LSH band with an indexed document and whose
     signature-estimated Jaccard reaches ``threshold``.
+    ``text_col``/``id_col`` override the increment frame's column names
+    when they differ from the index meta's (the HASHING parameters can
+    never be overridden — they are pinned in the meta).
 
     Plan: index scan ⨝ broadcast(increment band rows) on (band, bh) —
     no shuffle of the history side, no explode of either side; the
@@ -155,10 +167,11 @@ def minhash_index_probe(
     (n_hashes, bands): the band keys are built by the same function
     from the same permutations."""
     m = minhash_index_meta(path)
-    id_col = m["id_col"]
+    text_col = text_col or m["text_col"]
+    id_col = id_col or m["id_col"]
     new_rows = _banded_rows(
         new_docs,
-        m["text_col"],
+        text_col,
         id_col,
         m["n_hashes"],
         m["shingle_n"],
@@ -189,8 +202,11 @@ def minhash_index_probe(
             F.col("doc_id").alias("hist_id"),
             est.alias("est_jaccard"),
         )
-        .distinct()
+        # filter BEFORE distinct: est is a deterministic function of the
+        # pair, so the order is result-identical, and the dedup shuffle
+        # then only carries above-threshold pairs
         .filter(F.col("est_jaccard") >= threshold)
+        .distinct()
     )
 
 
@@ -224,7 +240,9 @@ def incremental_near_dedup(
         threshold=threshold,
     )
     dup_new_ids = (
-        minhash_index_probe(spark, in_batch, path, threshold)
+        minhash_index_probe(
+            spark, in_batch, path, threshold, text_col=text_col, id_col=id_col
+        )
         .select(F.col("new_id").alias(id_col))
         .distinct()
     )

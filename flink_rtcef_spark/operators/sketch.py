@@ -704,8 +704,14 @@ def hist_sketch(
         F.greatest(F.floor((v - F.lit(lo)) / F.lit(w)), F.lit(0)),
         F.lit(n_bins - 1),
     )
+    # finite values only: -inf < v < inf excludes NULL, NaN and both
+    # infinities in BOTH engines (Spark orders NaN above +inf; DuckDB
+    # likewise), whereas floor(NaN) would bin into 0 in Spark and raise
+    # a cast error in the DuckDB twin — a cross-engine divergence the
+    # hash gate must never see
+    finite = (v > F.lit(float("-inf"))) & (v < F.lit(float("inf")))
     return (
-        df.filter(v.isNotNull())
+        df.filter(finite)
         .select(*group_cols, bin_.alias("bin"))
         .groupBy(*group_cols, "bin")
         .agg(F.count(F.lit(1)).alias("cnt"))
@@ -816,7 +822,9 @@ def hist_quantiles_sql(
                                        / CAST({w!r} AS DOUBLE)) AS BIGINT),
                             0), {n_bins - 1}) AS bin,
              COUNT(*) AS cnt
-      FROM {table} WHERE {v} IS NOT NULL {wherec} {gby}
+      FROM {table}
+      WHERE {v} > CAST('-infinity' AS DOUBLE)
+        AND {v} < CAST('infinity' AS DOUBLE) {wherec} {gby}
     ), cums AS (
       SELECT {gsel} bin, cnt,
              SUM(cnt) OVER ({part_by}ORDER BY bin
@@ -985,15 +993,22 @@ def bloom_filter_members(
     _validate_bloom(m, k, prehashed)
     v = F.col(value_col)
     word, mask = _bloom_word_mask(v, m, k, prehashed)
+    # internal column names must not collide with the caller's (a fixed
+    # "_w" would silently overwrite-and-drop a real probe column)
+    suffix = ""
+    while any(f"__bloom_{n}{suffix}" in probes.columns
+              for n in ("w", "mask", "b")):
+        suffix += "_"
+    cw, cm, cb = (f"__bloom_{n}{suffix}" for n in ("w", "mask", "b"))
     return (
-        probes.withColumn("_w", word)
-        .withColumn("_mask", mask)
+        probes.withColumn(cw, word)
+        .withColumn(cm, mask)
         .join(
             F.broadcast(
-                sketch.select(F.col("word").alias("_w"), F.col("bits").alias("_b"))
+                sketch.select(F.col("word").alias(cw), F.col("bits").alias(cb))
             ),
-            "_w",
+            cw,
         )
-        .filter(F.col("_b").bitwiseAND(F.col("_mask")) == F.col("_mask"))
-        .drop("_w", "_mask", "_b")
+        .filter(F.col(cb).bitwiseAND(F.col(cm)) == F.col(cm))
+        .drop(cw, cm, cb)
     )

@@ -114,9 +114,7 @@ def test_incremental_loop_matches_batch_on_cliques(spark, tmp_path):
 
     idx = str(tmp_path / "idx")
     b0 = docs.filter("doc_id < 100")
-    minhash_index_write(b0, idx)
-    incr_survivors = {r.doc_id for r in b0.collect()}  # first batch self-deduped below
-    # redo batch 0 through the same code path: within-batch near_dedup only
+    # batch 0 bootstraps the history: within-batch near_dedup only
     incr_survivors = {r.doc_id for r in near_dedup(b0, threshold=0.5).collect()}
     # (re-)write index from the batch-0 survivors so history == survivors
     minhash_index_write(docs.filter(
@@ -158,3 +156,34 @@ def test_meta_pins_params_and_format(spark, docs, tmp_path):
         json.dump({"format": 99}, fh)
     with pytest.raises(ValueError, match="format"):
         minhash_index_meta(idx)
+
+
+def test_probe_and_append_column_overrides(spark, tmp_path):
+    """An increment frame with different column names than the index
+    meta works through probe/append/incremental via the overrides."""
+    hist = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog again and again")],
+        "doc_id long, text string",
+    )
+    idx = str(tmp_path / "idx")
+    minhash_index_write(hist, idx)
+    new = spark.createDataFrame(
+        [(10, "the quick brown fox jumps over the lazy dog again and again"),
+         (11, "completely unrelated content about something else entirely")],
+        "id long, body string",
+    )
+    hits = minhash_index_probe(
+        spark, new, idx, 0.9, text_col="body", id_col="id"
+    ).collect()
+    assert {(r.new_id, r.hist_id) for r in hits} == {(10, 1)}
+    surv = incremental_near_dedup(
+        spark, new, idx, 0.9, text_col="body", id_col="id"
+    )
+    assert {r.id for r in surv.collect()} == {11}
+    minhash_index_append(surv, idx, text_col="body", id_col="id")
+    # the appended doc is now history; its self-pair is excluded by the
+    # doc_id != new_id guard, so the hit set is unchanged
+    again = minhash_index_probe(
+        spark, new, idx, 0.9, text_col="body", id_col="id"
+    ).collect()
+    assert {(r.new_id, r.hist_id) for r in again} == {(10, 1)}

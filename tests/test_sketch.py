@@ -372,13 +372,14 @@ def test_hist_out_of_range_clamps_and_validation(spark):
     from flink_rtcef_spark.operators.sketch import hist_quantiles, hist_sketch
 
     df = spark.createDataFrame(
-        [(-5.0,), (0.0,), (9.9,), (50.0,), (None,)], "v double"
+        [(-5.0,), (0.0,), (9.9,), (50.0,), (None,),
+         (float("nan"),), (float("inf"),), (float("-inf"),)], "v double"
     )
     sk = hist_sketch(df, "v", 0.0, 10.0, 10)
     rows = {r.bin: r.cnt for r in sk.collect()}
     assert rows[0] == 2        # -5.0 clamped down + 0.0
     assert rows[9] == 2        # 9.9 in last bin + 50.0 clamped up
-    assert sum(rows.values()) == 4  # NULL dropped
+    assert sum(rows.values()) == 4  # NULL, NaN, +/-inf all dropped
     with pytest.raises(ValueError):
         hist_sketch(df, "v", 10.0, 10.0, 4)
     with pytest.raises(ValueError):
@@ -502,3 +503,19 @@ def test_bloom_prehashed_no_false_negatives_and_validation(spark):
         bloom_build(members, "h", 1 << 16, 8, prehashed=True)
     with pytest.raises(ValueError, match="power of two"):
         bloom_build(members, "h", 1000, 4)
+
+
+def test_bloom_probe_columns_survive_name_collisions(spark):
+    from flink_rtcef_spark.operators.sketch import (
+        bloom_build,
+        bloom_filter_members,
+    )
+
+    probes = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "v long, __bloom_w string"
+    )
+    sk = bloom_build(probes.filter("v < 3"), "v", 1 << 10, 4)
+    out = bloom_filter_members(probes, "v", sk, 1 << 10, 4)
+    assert set(out.columns) == {"v", "__bloom_w"}
+    got = {(r["v"], r["__bloom_w"]) for r in out.collect()}
+    assert {(1, "a"), (2, "b")} <= got  # members kept WITH their column
