@@ -804,22 +804,26 @@ def hist_quantiles_sql(
 ) -> str:
     """DuckDB twin of hist_sketch + hist_quantiles — identical binning
     and interpolation arithmetic, so the estimates hash-match.  Every
-    float literal is CAST AS DOUBLE (DuckDB parses bare decimals as
-    DECIMAL, whose arithmetic would diverge from Spark's doubles)."""
+    float constant enters as CAST('<repr>' AS DOUBLE) — a STRING
+    literal, because DuckDB parses a bare numeric literal through
+    DECIMAL first, and DECIMAL->DOUBLE can land one ulp away from
+    Python/Spark's repr->double (found by the hypothesis fuzzer at
+    w = 100/27: 1.8518518518518519 vs ...52); the string path uses
+    correctly-rounded strtod and matches exactly."""
     group_cols = group_cols or []
     w = (hi - lo) / n_bins
     gsel = "".join(f"{g}, " for g in group_cols)
     gby = "GROUP BY " + ", ".join([*group_cols, "bin"])
     part = ", ".join(group_cols) if group_cols else ""
     part_by = f"PARTITION BY {part} " if part else ""
-    q_list = ", ".join(f"CAST({float(q)!r} AS DOUBLE)" for q in qs)
+    q_list = ", ".join(f"CAST('{float(q)!r}' AS DOUBLE)" for q in qs)
     v = f"CAST({value_expr} AS DOUBLE)"
     wherec = f"AND ({where})" if where else ""
     return f"""
     WITH sk AS (
       SELECT {gsel}
-             LEAST(GREATEST(CAST(floor(({v} - CAST({lo!r} AS DOUBLE))
-                                       / CAST({w!r} AS DOUBLE)) AS BIGINT),
+             LEAST(GREATEST(CAST(floor(({v} - CAST('{lo!r}' AS DOUBLE))
+                                       / CAST('{w!r}' AS DOUBLE)) AS BIGINT),
                             0), {n_bins - 1}) AS bin,
              COUNT(*) AS cnt
       FROM {table}
@@ -842,7 +846,7 @@ def hist_quantiles_sql(
       FROM qrows WHERE cum >= r
     )
     SELECT {gsel} q,
-           CAST({lo!r} AS DOUBLE) + CAST({w!r} AS DOUBLE)
+           CAST('{lo!r}' AS DOUBLE) + CAST('{w!r}' AS DOUBLE)
              * (bin + (r - (cum - cnt)) / cnt) AS quantile_est
     FROM picked WHERE rn = 1
     """
