@@ -115,6 +115,61 @@ def main() -> None:
     out["exactsubstr_docs_per_sec"] = round(n_docs / dt)
     note("exactsubstr_docs_per_sec")
 
+    # -- r4 additions: histogram quantiles (events), plain vs
+    # bloom-prefiltered decontamination, MinHash-index increment probe
+    from flink_rtcef_spark.operators.decontam import (
+        contamination_hits,
+        contamination_hits_bloom,
+    )
+    from flink_rtcef_spark.operators.minhash_index import (
+        minhash_index_probe,
+        minhash_index_write,
+    )
+    from flink_rtcef_spark.operators.sketch import hist_quantiles, hist_sketch
+
+    dt = _median3(
+        lambda: hist_quantiles(
+            hist_sketch(ev, "value", 0.0, 512.0, 256, ["event_type"]),
+            [0.5, 0.9, 0.99], 0.0, 512.0, 256, ["event_type"],
+        ).count()
+    )
+    out["hist_quantiles_sec"] = round(dt, 3)
+    note("hist_quantiles_sec")
+
+    from pyspark.sql import functions as F
+
+    corpus = docs.filter(F.col("doc_id") % 5 != 0)
+    benchm = docs.filter(F.col("doc_id") % 5 == 0)
+    dt = _median3(lambda: contamination_hits(corpus, benchm, n=8).count())
+    out["decontam_plain_sec"] = round(dt, 3)
+    note("decontam_plain_sec")
+    dt = _median3(
+        lambda: contamination_hits_bloom(
+            corpus, benchm, n=8, bloom_m=1 << 20, bloom_k=4
+        ).count()
+    )
+    out["decontam_bloom_sec"] = round(dt, 3)
+    note("decontam_bloom_sec")
+
+    import tempfile
+
+    hist_side = docs.filter("doc_id % 25 != 0")
+    increment = docs.filter("doc_id % 25 = 0")
+    n_inc = increment.count()
+    idx = tempfile.mkdtemp(prefix="x100_idx_")
+    t0 = time.perf_counter()
+    minhash_index_write(hist_side, idx)
+    out["index_build_sec"] = round(time.perf_counter() - t0, 3)
+    note("index_build_sec")
+    dt = _median3(
+        lambda: minhash_index_probe(spark, increment, idx, 0.5).count()
+    )
+    out["index_probe_docs"] = n_inc
+    out["index_probe_sec"] = round(dt, 3)
+    note("index_probe_sec")
+    out["index_probe_docs_per_sec"] = round(n_inc / dt)
+    note("index_probe_docs_per_sec")
+
     print(json.dumps(out))
 
 
