@@ -228,6 +228,7 @@ def contamination_hits_bloom(
     bench_text_col: str = "text",
     bloom_m: int | None = None,
     bloom_k: int = 4,
+    broadcast_verify: bool = True,
 ) -> DataFrame:
     """:func:`contamination_hits` with a Bloom-filter prefilter on the
     corpus side — the SAME exact result (the bloom never drops a true
@@ -240,9 +241,14 @@ def contamination_hits_bloom(
     bloom is m/8 bytes (default sized at 16 bits/gram ≈ 1/Mn fp with
     k=4).  Each task tests its grams against the broadcast BITSET (k
     word lookups, no shuffle, no explode) and only the survivors — true
-    hits plus ~fp·|grams| noise — ever reach the exact join, which may
-    then even be a shuffle join if the benchmark outgrows broadcast
-    range.  Composition: operators/sketch.py bloom_build /
+    hits plus ~fp·|grams| noise — ever reach the exact join.
+
+    ``broadcast_verify=False`` is the bench-set-outgrew-broadcast mode:
+    the exact verify becomes a shuffle join, but the bloom has already
+    dropped ~(1-fp) of the corpus grams, so the shuffle carries the
+    survivors, not the corpus — whereas the plain operator would
+    shuffle EVERY corpus gram (win-condition measurement in
+    docs/BENCH_SF1.md).  Composition: operators/sketch.py bloom_build /
     bloom_filter_members.
     """
     from flink_rtcef_spark.operators.sketch import (
@@ -263,8 +269,9 @@ def contamination_hits_bloom(
     maybe = bloom_filter_members(
         doc_grams, "gram_hash", bloom, bloom_m, bloom_k, prehashed=True
     )
+    verify_side = broadcast(bench_grams) if broadcast_verify else bench_grams
     return (
-        maybe.join(broadcast(bench_grams), "gram_hash")
+        maybe.join(verify_side, "gram_hash")
         .groupBy(doc_id_col)
         .agg(F.count(F.lit(1)).alias("n_contaminated_grams"))
     )

@@ -478,6 +478,11 @@ def test_bloom_prefiltered_decontam_equals_exact(spark):
     via_bloom = sorted(map(tuple, contamination_hits_bloom(
         corpus, bench, n=8, bloom_m=1 << 12, bloom_k=4).collect()))
     assert via_bloom == exact
+    # the non-broadcastable-bench-set mode (shuffle verify) is equally exact
+    via_shuffle = sorted(map(tuple, contamination_hits_bloom(
+        corpus, bench, n=8, bloom_m=1 << 12, bloom_k=4,
+        broadcast_verify=False).collect()))
+    assert via_shuffle == exact
 
 
 def test_bloom_prehashed_no_false_negatives_and_validation(spark):
