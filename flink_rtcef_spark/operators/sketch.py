@@ -688,11 +688,21 @@ def hist_sketch(
     hi: float,
     n_bins: int = HIST_BINS,
     group_cols: list[str] | None = None,
+    weight_col: str | None = None,
 ) -> DataFrame:
     """Sketch state: one row per (group, bin) with the value count.
     bin = clamp(floor((v - lo) / w), 0, n_bins - 1) — a pure function
     of the value, so this groupBy is map-side combinable and two
-    sketches merge by summing counts (:func:`hist_merge`)."""
+    sketches merge by summing counts (:func:`hist_merge`).
+
+    ``weight_col`` (integer) makes it a WEIGHTED histogram — each row
+    contributes its weight instead of 1, and :func:`hist_quantiles`
+    then answers weighted quantiles (e.g. "the doc-length percentile
+    where half the corpus TOKENS sit" with weight = n_tokens, the
+    sequence-packing planner's question, vs the per-document p50).
+    Integer weights keep the sketch exact/mergeable in both engines;
+    rows with NULL weight are dropped like rows with non-finite
+    values."""
     if not hi > lo:
         raise ValueError(f"hist_sketch: need hi > lo, got [{lo}, {hi})")
     if n_bins < 1:
@@ -710,6 +720,14 @@ def hist_sketch(
     # a cast error in the DuckDB twin — a cross-engine divergence the
     # hash gate must never see
     finite = (v > F.lit(float("-inf"))) & (v < F.lit(float("inf")))
+    if weight_col is not None:
+        wgt = F.col(weight_col).cast("long")
+        return (
+            df.filter(finite & wgt.isNotNull())
+            .select(*group_cols, bin_.alias("bin"), wgt.alias("w"))
+            .groupBy(*group_cols, "bin")
+            .agg(F.sum("w").alias("cnt"))
+        )
     return (
         df.filter(finite)
         .select(*group_cols, bin_.alias("bin"))
@@ -801,6 +819,7 @@ def hist_quantiles_sql(
     n_bins: int = HIST_BINS,
     group_cols: list[str] | None = None,
     where: str = "",
+    weight_expr: str | None = None,
 ) -> str:
     """DuckDB twin of hist_sketch + hist_quantiles — identical binning
     and interpolation arithmetic, so the estimates hash-match.  Every
@@ -819,13 +838,18 @@ def hist_quantiles_sql(
     q_list = ", ".join(f"CAST('{float(q)!r}' AS DOUBLE)" for q in qs)
     v = f"CAST({value_expr} AS DOUBLE)"
     wherec = f"AND ({where})" if where else ""
+    if weight_expr is not None:
+        cnt = f"CAST(SUM(CAST({weight_expr} AS BIGINT)) AS BIGINT)"
+        wherec += f" AND {weight_expr} IS NOT NULL"
+    else:
+        cnt = "COUNT(*)"
     return f"""
     WITH sk AS (
       SELECT {gsel}
              LEAST(GREATEST(CAST(floor(({v} - CAST('{lo!r}' AS DOUBLE))
                                        / CAST('{w!r}' AS DOUBLE)) AS BIGINT),
                             0), {n_bins - 1}) AS bin,
-             COUNT(*) AS cnt
+             {cnt} AS cnt
       FROM {table}
       WHERE {v} > CAST('-infinity' AS DOUBLE)
         AND {v} < CAST('infinity' AS DOUBLE) {wherec} {gby}

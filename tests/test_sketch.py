@@ -524,3 +524,35 @@ def test_bloom_probe_columns_survive_name_collisions(spark):
     assert set(out.columns) == {"v", "__bloom_w"}
     got = {(r["v"], r["__bloom_w"]) for r in out.collect()}
     assert {(1, "a"), (2, "b")} <= got  # members kept WITH their column
+
+
+def test_hist_weighted_quantiles_match_duckdb_and_expansion(spark):
+    """Weighted histogram == histogram of the weight-expanded input,
+    and the weighted SQL twin hash-matches."""
+    from flink_rtcef_spark.operators.sketch import (
+        hist_quantiles,
+        hist_quantiles_sql,
+        hist_sketch,
+    )
+
+    rows = [(5.0, 3), (20.0, 1), (45.0, 6), (45.0, None), (80.0, 2)]
+    df = spark.createDataFrame(rows, "v double, w int")
+    lo, hi, nb = 0.0, 100.0, 20
+    weighted = hist_sketch(df, "v", lo, hi, nb, weight_col="w")
+    expanded = spark.createDataFrame(
+        [(v,) for v, w in rows if w for _ in range(w)], "v double"
+    )
+    plain = hist_sketch(expanded, "v", lo, hi, nb)
+    assert sorted(map(tuple, weighted.collect())) == sorted(
+        map(tuple, plain.collect()))
+
+    got = {
+        r.q: r.quantile_est
+        for r in hist_quantiles(weighted, [0.5, 0.9], lo, hi, nb).collect()
+    }
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (v DOUBLE, w INT)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", rows)
+    sql = hist_quantiles_sql("t", "v", lo, hi, [0.5, 0.9], nb, weight_expr="w")
+    want = {q: e for q, e in con.execute(sql).fetchall()}
+    assert got == want
