@@ -266,8 +266,12 @@ def contamination_hits_bloom(
     # pays shifts and masks per gram, not a second digest
     bloom = bloom_build(bench_grams, "gram_hash", bloom_m, bloom_k, prehashed=True)
     doc_grams = ngram_hash_sets(docs, doc_id_col, text_col, n)
+    # validate=False: build and probe parameters are the same local
+    # variables two lines apart, and validation would evaluate the
+    # unmaterialized bench-gram sketch plan a second time per query
     maybe = bloom_filter_members(
-        doc_grams, "gram_hash", bloom, bloom_m, bloom_k, prehashed=True
+        doc_grams, "gram_hash", bloom, bloom_m, bloom_k, prehashed=True,
+        validate=False,
     )
     verify_side = broadcast(bench_grams) if broadcast_verify else bench_grams
     return (

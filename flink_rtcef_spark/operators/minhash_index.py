@@ -58,6 +58,16 @@ _FORMAT = 1
 
 
 def _meta_path(path: str) -> str:
+    """LIMITATION: the ``_index_meta.json`` sidecar is read/written
+    with driver-local ``open()``, so ``path`` must be on a filesystem
+    the DRIVER can reach with POSIX I/O (local disk, NFS, a FUSE mount
+    such as s3fs/goofys).  The parquet side goes through Spark's Hadoop
+    FS layer and works on any ``hdfs://``/``s3a://`` URI — an index
+    rooted directly on such a URI will build its parquet but fail on
+    this sidecar.  Porting the sidecar through the Hadoop FileSystem
+    API (sc._jvm.org.apache.hadoop.fs) or a one-row parquet sidecar
+    would lift the restriction; not done here because this environment
+    cannot execute against a real HDFS/S3 endpoint to verify it."""
     return os.path.join(path, "_index_meta.json")
 
 

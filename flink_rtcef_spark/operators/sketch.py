@@ -701,8 +701,13 @@ def hist_sketch(
     where half the corpus TOKENS sit" with weight = n_tokens, the
     sequence-packing planner's question, vs the per-document p50).
     Integer weights keep the sketch exact/mergeable in both engines;
-    rows with NULL weight are dropped like rows with non-finite
-    values."""
+    rows with NULL or NEGATIVE weight are dropped like rows with
+    non-finite values (a negative weight would make cumulative counts
+    non-monotonic and the quantile interpolation silently meaningless
+    — identically in both engines, so the hash gate could never catch
+    it; filtering is the declarative guard).  A group whose surviving
+    weights are all zero has total = 0 and NO quantiles —
+    :func:`hist_quantiles` emits no rows for it, in both engines."""
     if not hi > lo:
         raise ValueError(f"hist_sketch: need hi > lo, got [{lo}, {hi})")
     if n_bins < 1:
@@ -723,7 +728,7 @@ def hist_sketch(
     if weight_col is not None:
         wgt = F.col(weight_col).cast("long")
         return (
-            df.filter(finite & wgt.isNotNull())
+            df.filter(finite & wgt.isNotNull() & (wgt >= 0))
             .select(*group_cols, bin_.alias("bin"), wgt.alias("w"))
             .groupBy(*group_cols, "bin")
             .agg(F.sum("w").alias("cnt"))
@@ -785,7 +790,12 @@ def hist_quantiles(
         F.sum("cnt").over(cum_win).alias("cum"),
         F.sum("cnt").over(gwin).alias("total"),
     )
-    q_rows = with_cum.select(
+    # a zero-total group (possible under weighting: every surviving row
+    # had weight 0) has NO quantiles — emit nothing rather than 0/0.
+    # With total > 0 the picked bin provably has cnt >= 1 (cum_before <
+    # r <= cum forces cum > cum_before), so the interpolation divisor
+    # is never zero in either engine.
+    q_rows = with_cum.filter(F.col("total") > 0).select(
         "*", F.explode(F.array(*[F.lit(float(q)) for q in qs])).alias("q")
     )
     # rank of the q-th value (1-based, continuous-mass): the first bin
@@ -840,15 +850,27 @@ def hist_quantiles_sql(
     wherec = f"AND ({where})" if where else ""
     if weight_expr is not None:
         cnt = f"CAST(SUM(CAST({weight_expr} AS BIGINT)) AS BIGINT)"
-        wherec += f" AND {weight_expr} IS NOT NULL"
+        # NULL and negative weights dropped, mirroring hist_sketch
+        wherec += (
+            f" AND {weight_expr} IS NOT NULL"
+            f" AND CAST({weight_expr} AS BIGINT) >= 0"
+        )
     else:
         cnt = "COUNT(*)"
+    # clamp in DOUBLE space BEFORE the BIGINT cast: for finite-but-huge
+    # values (v - lo)/w can exceed 2^63 (or overflow to +-inf), where
+    # Spark's floor saturates at Long.MAX/MIN and the outer clamp lands
+    # in the edge bin — but DuckDB's CAST(huge AS BIGINT) raises a
+    # Conversion Error.  GREATEST/LEAST on doubles first makes the cast
+    # operand always in [0, n_bins-1] (exact doubles), so both engines
+    # agree for every finite input.
     return f"""
     WITH sk AS (
       SELECT {gsel}
-             LEAST(GREATEST(CAST(floor(({v} - CAST('{lo!r}' AS DOUBLE))
-                                       / CAST('{w!r}' AS DOUBLE)) AS BIGINT),
-                            0), {n_bins - 1}) AS bin,
+             CAST(LEAST(GREATEST(floor(({v} - CAST('{lo!r}' AS DOUBLE))
+                                       / CAST('{w!r}' AS DOUBLE)),
+                                 CAST('0.0' AS DOUBLE)),
+                        CAST('{float(n_bins - 1)!r}' AS DOUBLE)) AS BIGINT) AS bin,
              {cnt} AS cnt
       FROM {table}
       WHERE {v} > CAST('-infinity' AS DOUBLE)
@@ -863,6 +885,7 @@ def hist_quantiles_sql(
       SELECT {gsel} bin, cnt, cum,
              q, q * CAST(total AS DOUBLE) AS r
       FROM cums, UNNEST([{q_list}]) AS t(q)
+      WHERE total > 0
     ), picked AS (
       SELECT {gsel} bin, cnt, cum, q, r,
              ROW_NUMBER() OVER (PARTITION BY {part}{", " if part else ""}q
@@ -919,6 +942,42 @@ BLOOM_K = 4
 
 #: prehashed mode carves word index + k*6 offset bits from 64 bits
 _BLOOM_MAX_M_PREHASHED = 1 << 24
+
+#: reserved word id for the parameter metadata row.  Real word indexes
+#: are pmod results in [0, m/64), so -1 can never collide with one and
+#: never matches a probe's computed word in the membership join.
+_BLOOM_META_WORD = -1
+
+
+def _bloom_meta_bits(m: int, k: int, prehashed: bool) -> int:
+    """Pack (m, k, prehashed) into the meta row's ``bits``: the 32-bit
+    param word P in the low half and ~P in the high half.  bloom_merge
+    BIT_ORs meta rows like any other word, so merging sketches built
+    with the SAME parameters is a no-op (x | x == x) while merging
+    DIFFERENT parameters yields a self-inconsistent row — high half ==
+    ~(P1 & P2) but low half == P1 | P2, equal only when P1 == P2 —
+    that probe-time validation rejects.  No-false-negative contract
+    hardening per round-4 advice: probing with parameters different
+    from the build silently produced false negatives before."""
+    p = (m.bit_length() - 1) << 8 | k << 1 | int(prehashed)
+    u = p | ((p ^ 0xFFFFFFFF) << 32)
+    return u - (1 << 64) if u >= (1 << 63) else u
+
+
+def _bloom_meta_decode(bits: int) -> tuple[int, int, bool]:
+    """Inverse of :func:`_bloom_meta_bits`; raises on a row produced by
+    merging sketches with mismatched parameters."""
+    u = bits & 0xFFFFFFFFFFFFFFFF
+    lo_half, hi_half = u & 0xFFFFFFFF, u >> 32
+    if hi_half != lo_half ^ 0xFFFFFFFF:
+        raise ValueError(
+            "bloom sketch parameter row is self-inconsistent: this sketch "
+            "was bloom_merge'd from sketches built with DIFFERENT "
+            "(m, k, prehashed) parameters — such a merge is not a valid "
+            "bloom filter (false negatives possible); rebuild the shards "
+            "with one parameter set"
+        )
+    return 1 << (lo_half >> 8), (lo_half >> 1) & 0x7F, bool(lo_half & 1)
 
 
 def _bloom_word_mask(
@@ -978,17 +1037,26 @@ def bloom_build(
     prehashed: bool = False,
 ) -> DataFrame:
     """Build the bitset: rows (word, bits) with bits the OR of every
-    set bit in that 64-bit word — at most m/64 rows however large the
-    input, absent words are all-zero.  One select + one map-side-
-    combinable BIT_OR; no explode (all k bits share the word)."""
+    set bit in that 64-bit word — at most m/64 rows (+ 1 parameter
+    row, word = -1) however large the input, absent words are
+    all-zero.  One select + one map-side-combinable BIT_OR; no explode
+    (all k bits share the word).  The parameter row embeds
+    (m, k, prehashed) so a probe with different parameters — which
+    would silently break the no-false-negative contract — fails fast
+    at :func:`bloom_filter_members` instead."""
     _validate_bloom(m, k, prehashed)
     v = F.col(value_col)
     word, mask = _bloom_word_mask(v, m, k, prehashed)
+    meta = df.sparkSession.range(1).select(
+        F.lit(_BLOOM_META_WORD).cast("long").alias("word"),
+        F.lit(_bloom_meta_bits(m, k, prehashed)).alias("bits"),
+    )
     return (
         df.filter(v.isNotNull())
         .select(word.alias("word"), mask.alias("mask"))
         .groupBy("word")
         .agg(F.bit_or("mask").alias("bits"))
+        .unionByName(meta)
     )
 
 
@@ -1008,6 +1076,7 @@ def bloom_filter_members(
     m: int = BLOOM_M,
     k: int = BLOOM_K,
     prehashed: bool = False,
+    validate: bool = True,
 ) -> DataFrame:
     """Rows of ``probes`` whose value MIGHT be in the sketched set
     (never drops a true member; keeps false positives at the filter's
@@ -1017,8 +1086,39 @@ def bloom_filter_members(
     + one bit test — the probe side is never shuffled, exploded, or
     grouped.  A probe whose word is absent from the sketch is
     definitely absent (inner join drops it — no bit of that word was
-    ever set)."""
+    ever set).
+
+    ``validate`` (default True) checks the sketch's embedded parameter
+    row against (m, k, prehashed) and raises on any mismatch —
+    probing with parameters different from the build would silently
+    produce FALSE NEGATIVES, violating the contract above.  The check
+    collects the one word = -1 row, which computes the sketch's plan
+    once; pass ``validate=False`` only where the build parameters are
+    provably the probe parameters (e.g. both sides derived from the
+    same variables in one function, as in
+    decontam.contamination_hits_bloom) and the extra evaluation of an
+    unmaterialized sketch matters."""
     _validate_bloom(m, k, prehashed)
+    if validate:
+        meta_rows = sketch.filter(
+            F.col("word") == F.lit(_BLOOM_META_WORD)
+        ).collect()
+        if not meta_rows:
+            raise ValueError(
+                "bloom sketch has no parameter row (word = -1): not built "
+                "by bloom_build, or the row was filtered out; pass "
+                "validate=False to probe a parameter-less sketch at your "
+                "own risk"
+            )
+        sk_m, sk_k, sk_pre = _bloom_meta_decode(meta_rows[0]["bits"])
+        if (sk_m, sk_k, sk_pre) != (m, k, prehashed):
+            raise ValueError(
+                f"bloom probe parameters (m={m}, k={k}, "
+                f"prehashed={prehashed}) do not match the sketch's build "
+                f"parameters (m={sk_m}, k={sk_k}, prehashed={sk_pre}); "
+                f"probing with mismatched parameters silently produces "
+                f"false negatives"
+            )
     v = F.col(value_col)
     word, mask = _bloom_word_mask(v, m, k, prehashed)
     # internal column names must not collide with the caller's (a fixed

@@ -19,7 +19,16 @@ values_strategy = st.lists(
         allow_infinity=False,
         width=64,
     )
-    | st.sampled_from([float("nan"), float("inf"), float("-inf")]),
+    # non-finite AND finite-but-huge: floor((huge - lo)/w) exceeds
+    # int64 (or overflows to +-inf), where Spark's long cast saturates
+    # but a naive DuckDB CAST(... AS BIGINT) raises — the twin must
+    # clamp in double space before its cast (round-4 advice)
+    | st.sampled_from(
+        [
+            float("nan"), float("inf"), float("-inf"),
+            1e308, -1e308, 2.0**63, -(2.0**63), 1e19, -1e19,
+        ]
+    ),
     min_size=1,
     max_size=60,
 )
@@ -52,6 +61,60 @@ def test_hist_spark_duckdb_parity_fuzz(spark, vals, n_bins):
     assert got == want
     if not finite:
         assert got == {}  # nothing survives the finite filter
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.floats(min_value=-10.0, max_value=110.0,
+                      allow_nan=False, allow_infinity=False, width=64),
+            # SIGNED weights: negative ones must be dropped by both
+            # engines (not summed into non-monotonic cumulative counts)
+            st.one_of(st.none(), st.integers(-5, 7)),
+        ),
+        min_size=1,
+        max_size=40,
+    ),
+    st.integers(2, 16),
+)
+def test_hist_weighted_parity_signed_weights_fuzz(spark, rows, n_bins):
+    """Weighted histogram quantiles match the DuckDB twin bit for bit
+    for ANY (value, weight) input including NULL and negative weights,
+    and equal the plain histogram of the kept-weight expansion."""
+    from flink_rtcef_spark.operators.sketch import (
+        hist_quantiles,
+        hist_quantiles_sql,
+        hist_sketch,
+    )
+
+    lo, hi = 0.0, 100.0
+    df = spark.createDataFrame(rows, "v double, w int")
+    sk = hist_sketch(df, "v", lo, hi, n_bins, weight_col="w")
+    got = {
+        r.q: r.quantile_est
+        for r in hist_quantiles(sk, [0.5, 0.9], lo, hi, n_bins).collect()
+    }
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (v DOUBLE, w INT)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", rows)
+    sql = hist_quantiles_sql(
+        "t", "v", lo, hi, [0.5, 0.9], n_bins, weight_expr="w"
+    )
+    want = {q: e for q, e in con.execute(sql).fetchall()}
+    # zero-total inputs (every kept weight 0) emit NO rows, both engines
+    assert got == want
+
+    expanded = [(v,) for v, w in rows if w and w > 0 for _ in range(w)]
+    if expanded:
+        plain = hist_sketch(
+            spark.createDataFrame(expanded, "v double"), "v", lo, hi, n_bins
+        )
+        # drop the weighted side's cnt=0 bins (groups whose only rows
+        # had weight 0) — the expansion has no rows for them at all
+        assert sorted(map(tuple, sk.filter("cnt > 0").collect())) == sorted(
+            map(tuple, plain.collect())
+        )
 
 
 @settings(max_examples=8, deadline=None)

@@ -460,7 +460,8 @@ def test_bloom_merge_is_union_and_bounded(spark):
     whole = bloom_build(docs, "doc_id", m, k)
     assert sorted(map(tuple, merged.collect())) == sorted(
         map(tuple, whole.collect()))
-    assert whole.count() <= m // 64  # bitset bound regardless of input
+    # bitset bound regardless of input (+1: the word=-1 parameter row)
+    assert whole.count() <= m // 64 + 1
 
 
 def test_bloom_prefiltered_decontam_equals_exact(spark):
@@ -556,3 +557,40 @@ def test_hist_weighted_quantiles_match_duckdb_and_expansion(spark):
     sql = hist_quantiles_sql("t", "v", lo, hi, [0.5, 0.9], nb, weight_expr="w")
     want = {q: e for q, e in con.execute(sql).fetchall()}
     assert got == want
+
+
+def test_bloom_probe_validates_build_parameters(spark):
+    """Probing with parameters different from the build silently
+    produces FALSE NEGATIVES (k bits land in different words), so the
+    sketch embeds (m, k, prehashed) in a word=-1 parameter row and the
+    probe fails fast on any mismatch (round-4 advice)."""
+    import pytest
+
+    from flink_rtcef_spark.operators.sketch import (
+        bloom_build,
+        bloom_filter_members,
+        bloom_merge,
+    )
+
+    vals = spark.range(200).selectExpr("id AS v")
+    sk = bloom_build(vals, "v", 1 << 12, 4)
+    # matching parameters: fine
+    assert bloom_filter_members(vals, "v", sk, 1 << 12, 4).count() >= 200
+    # wrong m / wrong k / wrong prehashed: each refused
+    for m, k, pre in [(1 << 13, 4, False), (1 << 12, 3, False),
+                      (1 << 12, 4, True)]:
+        with pytest.raises(ValueError, match="do not match"):
+            bloom_filter_members(vals, "v", sk, m, k, prehashed=pre)
+    # a merge of sketches built with DIFFERENT parameters is not a
+    # valid bloom filter at all — its OR-ed parameter row is
+    # self-inconsistent and the probe refuses it
+    bad = bloom_merge(sk, bloom_build(vals, "v", 1 << 13, 4))
+    with pytest.raises(ValueError, match="self-inconsistent"):
+        bloom_filter_members(vals, "v", bad, 1 << 12, 4)
+    # a sketch stripped of its parameter row is refused by default ...
+    naked = sk.filter("word >= 0")
+    with pytest.raises(ValueError, match="no parameter row"):
+        bloom_filter_members(vals, "v", naked, 1 << 12, 4)
+    # ... but probe-able with validate=False (caller takes the risk)
+    out = bloom_filter_members(vals, "v", naked, 1 << 12, 4, validate=False)
+    assert out.count() >= 200
