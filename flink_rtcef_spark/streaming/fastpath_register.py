@@ -1,9 +1,12 @@
 """foreachBatch fast path for register (SREMO/NSRA) patterns.
 
-Same versioned-state protocol as streaming/fastpath.py (read
-``state/v{b}``, advance every key in one pass, write ``state/v{b+1}``
-— idempotent under microbatch replay, exactly-once without a state
-store), applied to the nondeterministic register kernel
+Same versioned, hash-bucketed state protocol as streaming/fastpath.py
+(streaming/state_table.py: batch ``b`` reads only the buckets its keys
+hash into via ``v{b}``'s manifest, advances them in one pass, writes
+those buckets into ``v{b+1}``; untouched buckets carry forward by
+manifest reference — idempotent under microbatch replay, exactly-once
+without a state store, per-batch cost O(touched-bucket rows) not
+O(live keys)), applied to the nondeterministic register kernel
 (operators/cep_register._run_nsra_segment, the reference's
 non-deterministic run path ERFEngine.processEventAtRunNonDet:295).
 
@@ -15,39 +18,35 @@ columnar table instead.  The mandatory SREMO window bounds the config
 set (at most ``window`` concurrent runs per key), so blob size is
 O(window), not O(stream).
 
-Engines: ``arrow`` — one hash shuffle of (events ∪ state) on the key,
-within-partition sort, one Arrow-batched pass; ``driver`` — the whole
-microbatch advanced driver-side with zero Spark jobs (the distributed
-plan has a ~0.35 s/microbatch job floor regardless of row count);
-``auto`` (default) — routes per batch via a bounded ``limit(n+1)``
-probe, driver below the threshold, distributed above, with no state
-migration across the flip.  There is no ``sql`` engine here: register
-guards compare event attributes against stored valuations — inherently
-Python-side (the same boundary the reference crosses into its run
-closures), unlike the SDFA fold.
+Engines: ``arrow`` — one hash shuffle of (events ∪ touched-bucket
+state) on the key, within-partition sort, one Arrow-batched pass;
+``driver`` — the whole microbatch advanced driver-side with zero Spark
+jobs (the distributed plan has a ~0.35 s/microbatch job floor
+regardless of row count); ``auto`` (default) — routes per batch via a
+bounded ``limit(n+1)`` probe AND the manifest's touched-bucket row
+counts (state-side bound, no scan), driver below both thresholds,
+distributed above either, with no state migration across the flip.
+There is no ``sql`` engine here: register guards compare event
+attributes against stored valuations — inherently Python-side (the
+same boundary the reference crosses into its run closures), unlike
+the SDFA fold.
 """
 
 from __future__ import annotations
 
 import os
 import pickle
-import shutil
 
 import numpy as np
 import pandas as pd
 import pyarrow as pa
-import pyarrow.parquet as pq
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from flink_rtcef_spark.operators.cep_register import _run_nsra_segment
-from flink_rtcef_spark.streaming.fastpath import (
-    _STATE_TS,
-    _read_meta,
-    _state_path,
-    _write_meta,
-)
+from flink_rtcef_spark.streaming import state_table as stt
+from flink_rtcef_spark.streaming.fastpath import _STATE_TS, _touched_buckets
 from flink_rtcef_spark.streaming.inference import _with_event_time
 
 DETECTION_COLUMNS = [
@@ -76,6 +75,10 @@ _OUT_PA_SCHEMA = pa.schema(
         ("blob", pa.binary()),
         ("last_ts", pa.int64()),
     ]
+)
+_DET_SCHEMA = (
+    "key string, detection_event_id long, detection_ts long, counter long, "
+    "min_counter long, n_matched int"
 )
 
 
@@ -151,12 +154,19 @@ def _make_partition_runner(compiled):
     return run_partition
 
 
-def _detections_view(df: DataFrame) -> DataFrame:
-    return df.filter(F.col("kind") == 0).select(
-        F.col("key"),
-        F.col("event_id").alias("detection_event_id"),
-        F.col("ts").alias("detection_ts"),
-        "counter", "min_counter", "n_matched",
+def _detections_view(spark, state_dir: str, batch_id: int) -> DataFrame:
+    p = stt.dets_path(state_dir, batch_id + 1)
+    if not os.path.isdir(p):
+        return spark.createDataFrame([], _DET_SCHEMA)
+    return (
+        spark.read.schema(_OUT_SCHEMA).parquet(p)
+        .filter(F.col("kind") == 0)
+        .select(
+            F.col("key"),
+            F.col("event_id").alias("detection_event_id"),
+            F.col("ts").alias("detection_ts"),
+            "counter", "min_counter", "n_matched",
+        )
     )
 
 
@@ -170,15 +180,19 @@ def make_foreach_batch_register(
     num_partitions: int | None = None,
     engine: str = "auto",
     driver_max_rows: int = 200_000,
+    driver_max_state_rows: int | None = None,
+    num_buckets: int = stt.DEFAULT_NUM_BUCKETS,
 ):
     """Build the ``foreachBatch`` function for a register pattern.
 
     Same contract as fastpath.make_foreach_batch_detections: one Spark
-    action per microbatch (none on the driver route), watermark carried
-    in the state version's metadata and recovered from the written
-    kind=1 rows without a job, run expiry on the event clock
-    (a key whose last event is > ttl behind the watermark drops its
-    carried config set before the batch's rows are processed —
+    action per microbatch (none on the driver route), watermark and
+    manifest row counts recovered at write time (driver route: from
+    the frame in hand; distributed: parquet footer statistics —
+    metadata only, never a state scan), auto routing bounded on BOTH
+    the batch and the touched-bucket state, run expiry on the event
+    clock (a key whose last event is > ttl behind the watermark drops
+    its carried config set before the batch's rows are processed —
     ERFEngine.scala:213-216), sink receives a lazy view over the
     written detections.  Input batches must be symbolized via
     :func:`symbolize_register_stream` (key, ts millis, event_id, bits,
@@ -188,52 +202,50 @@ def make_foreach_batch_register(
         # keep_versions=0 would GC the batch's own input version,
         # breaking crash-replay (see fastpath.make_foreach_batch_detections)
         raise ValueError(f"keep_versions must be >= 1, got {keep_versions}")
+    if num_buckets < 1:
+        raise ValueError(f"num_buckets must be >= 1, got {num_buckets}")
+    if driver_max_state_rows is None:
+        driver_max_state_rows = driver_max_rows
     runner = _make_partition_runner(compiled)
     attrs = list(compiled.register_attrs)
     ev_cols = ["key", "ts", "event_id", "bits", *attrs]
 
-    def _finish_batch(spark, batch_id: int, wm) -> None:
-        nxt_pq = os.path.join(_state_path(state_dir, batch_id + 1), "state")
-        import pyarrow.dataset as pads
-
-        marker = pads.dataset(nxt_pq, format="parquet").to_table(
-            filter=pads.field("kind") == 1, columns=["last_ts"]
-        )
+    def _finish_batch(
+        spark, batch_id: int, meta: dict,
+        touched_rows: dict[int, int], max_lt: int | None,
+        engine_used: str, group_size_: int,
+    ) -> None:
+        wm = meta["watermark_ms"]
         new_wm = wm
-        if marker.num_rows:
-            import pyarrow.compute as pc
-
-            mx = pc.max(marker.column("last_ts")).as_py()
-            if mx is not None and mx >= 0:
-                cand = mx - watermark_delay_ms
-                new_wm = cand if wm is None else max(int(wm), cand)
-        _write_meta(state_dir, batch_id + 1, {"watermark_ms": new_wm})
-
+        if max_lt is not None and max_lt >= 0:
+            cand = max_lt - watermark_delay_ms
+            new_wm = cand if wm is None else max(int(wm), cand)
+        stt.write_meta(
+            state_dir, batch_id + 1,
+            stt.next_meta(
+                meta, batch_id, touched_rows, new_wm, engine_used,
+                group_size_,
+            ),
+        )
         if sink is not None:
-            sink(
-                _detections_view(
-                    spark.read.schema(_OUT_SCHEMA).parquet(nxt_pq)
-                ),
-                batch_id,
-            )
-        stale = batch_id - keep_versions
-        if stale >= 0:
-            shutil.rmtree(_state_path(state_dir, stale), ignore_errors=True)
+            sink(_detections_view(spark, state_dir, batch_id), batch_id)
+        stt.gc_versions(state_dir, batch_id, keep_versions)
 
-    def _driver_batch(events_pdf: pd.DataFrame, batch_id: int, wm) -> None:
-        prev_pq = os.path.join(_state_path(state_dir, batch_id), "state")
+    def _driver_batch(
+        events_pdf: pd.DataFrame, batch_id: int, meta: dict
+    ) -> tuple[dict[int, int], int | None, int]:
+        wm = meta["watermark_ms"]
+        ev = events_pdf
+        if wm is not None:
+            ev = ev[ev["ts"] >= int(wm)]
+        touched = _touched_buckets(ev["key"], num_buckets)
+
         frames = []
-        if os.path.exists(prev_pq):
-            import pyarrow.dataset as pads
-
-            st = (
-                pads.dataset(prev_pq, format="parquet")
-                .to_table(filter=pads.field("kind") == 1)
-                .to_pandas()
-            )
+        st = stt.read_state_pandas(meta, state_dir, touched)
+        if st is not None and len(st):
+            if state_ttl_ms > 0 and wm is not None:
+                st = st[~(int(wm) > st["last_ts"] + state_ttl_ms)]
             if len(st):
-                if state_ttl_ms > 0 and wm is not None:
-                    st = st[~(int(wm) > st["last_ts"] + state_ttl_ms)]
                 st = st.assign(
                     ts=np.int64(_STATE_TS), is_state=True,
                     event_id=np.int64(0),
@@ -241,17 +253,14 @@ def make_foreach_batch_register(
                 # typed zero-fills for the event-only columns: a concat
                 # that introduces NaN upcasts the unified column to
                 # float64, which corrupts int64 values above 2**53
-                # (event ids, long register attrs) — the arrow/sql
-                # engines keep them long end-to-end, so the driver
-                # route must too
+                # (event ids, long register attrs) — the arrow engine
+                # keeps them long end-to-end, so the driver route must
+                # too
                 for c in ("bits", *attrs):
                     dt = events_pdf.dtypes.get(c)
                     if dt is not None and pd.api.types.is_integer_dtype(dt):
                         st[c] = np.zeros(len(st), dtype=dt)
                 frames.append(st)
-        ev = events_pdf
-        if wm is not None:
-            ev = ev[ev["ts"] >= int(wm)]
         if len(ev):
             frames.append(ev.assign(is_state=False, blob=None, last_ts=-1))
         if frames:
@@ -262,20 +271,37 @@ def make_foreach_batch_register(
             out = next(runner([wide]))
         else:
             out = pd.DataFrame(columns=_OUT_COLUMNS)
-        nxt_pq = os.path.join(_state_path(state_dir, batch_id + 1), "state")
-        shutil.rmtree(nxt_pq, ignore_errors=True)
-        os.makedirs(nxt_pq, exist_ok=True)
-        tbl = pa.Table.from_pandas(
-            out[_OUT_COLUMNS], schema=_OUT_PA_SCHEMA, preserve_index=False
+
+        is_state = out["kind"] == 1
+        bucket_ids = [
+            stt.bucket_of_key(k, num_buckets) if s else 0
+            for k, s in zip(out["key"], is_state)
+        ]
+        n_new = int(is_state.sum())
+        est_next = (
+            meta["state_rows"] - stt.touched_state_rows(meta, touched) + n_new
         )
-        pq.write_table(tbl, os.path.join(nxt_pq, "part-00000.parquet"))
+        g = stt.write_state_pandas(
+            out, bucket_ids, _OUT_PA_SCHEMA, state_dir, batch_id,
+            num_buckets, est_next,
+        )
+        touched_rows = {t: 0 for t in touched}
+        for b, s in zip(bucket_ids, is_state):
+            if s:
+                touched_rows[b] = touched_rows.get(b, 0) + 1
+        state_rows = out[is_state]
+        lts = state_rows["last_ts"].max() if len(state_rows) else None
+        return (
+            touched_rows,
+            (int(lts) if lts is not None and not pd.isna(lts) else None),
+            g,
+        )
 
     def foreach_batch(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
         batch_df = batch_df.filter(F.col("key").isNotNull())
-        meta = _read_meta(state_dir, batch_id)
-        wm = meta.get("watermark_ms")
-        prev_pq = os.path.join(_state_path(state_dir, batch_id), "state")
+        meta = stt.read_meta(state_dir, batch_id, num_buckets)
+        wm = meta["watermark_ms"]
 
         events_pdf = None
         if engine == "driver":
@@ -285,15 +311,28 @@ def make_foreach_batch_register(
                 batch_df.select(*ev_cols).limit(driver_max_rows + 1).toPandas()
             )
             if len(probe) <= driver_max_rows:
-                events_pdf = probe
+                live = probe if wm is None else probe[probe["ts"] >= int(wm)]
+                touched = _touched_buckets(live["key"], num_buckets)
+                if (
+                    stt.touched_state_rows(meta, touched)
+                    <= driver_max_state_rows
+                ):
+                    events_pdf = probe
         if events_pdf is not None:
-            _driver_batch(events_pdf, batch_id, wm)
-            _finish_batch(spark, batch_id, wm)
+            touched_rows, max_lt, g = _driver_batch(events_pdf, batch_id, meta)
+            _finish_batch(
+                spark, batch_id, meta, touched_rows, max_lt, "driver", g
+            )
             return
 
         events = batch_df.select(*ev_cols)
         if wm is not None:
             events = events.filter(F.col("ts") >= F.lit(int(wm)))
+        per_bucket = events.groupBy(
+            stt.bucket_col(F.col("key"), num_buckets).alias("b")
+        ).count().collect()
+        touched = sorted(r["b"] for r in per_bucket)
+        events_total = sum(r["count"] for r in per_bucket)
         wide_events = events.select(
             *ev_cols,
             F.lit(False).alias("is_state"),
@@ -302,11 +341,10 @@ def make_foreach_batch_register(
             F.lit(-1).cast("long").alias("last_ts"),
         )
         unioned = wide_events
-        if os.path.exists(prev_pq):
-            carried = (
-                spark.read.schema(_OUT_SCHEMA).parquet(prev_pq)
-                .filter(F.col("kind") == 1)
-            )
+        carried = stt.read_state_spark(
+            spark, meta, state_dir, touched, _OUT_SCHEMA
+        )
+        if carried is not None:
             if state_ttl_ms > 0 and wm is not None:
                 carried = carried.filter(
                     ~(F.lit(int(wm)) > F.col("last_ts") + F.lit(state_ttl_ms))
@@ -326,15 +364,46 @@ def make_foreach_batch_register(
                     "blob", "counter", "last_ts",
                 )
             )
+        est_next = max(
+            1,
+            meta["state_rows"] - stt.touched_state_rows(meta, touched)
+            + events_total,
+        )
+        g_new = stt.group_size(num_buckets, est_next)
         parts = ["key"] if num_partitions is None else [num_partitions, "key"]
         out = (
             unioned.repartition(*parts)
             .sortWithinPartitions("key", "ts", "event_id")
             .mapInPandas(runner, schema=_OUT_SCHEMA)
+            .withColumn(
+                "pdir",
+                stt.pdir_col(F.col("kind"), F.col("key"), num_buckets, g_new),
+            )
+            # cluster each group dir into ~4 tasks before the
+            # partitioned write (see fastpath.py: avoids tasks x groups
+            # tiny files without serializing a detection-heavy pdir=d)
+            .repartition(
+                F.col("pdir"),
+                F.pmod(F.crc32(F.encode(F.col("key"), "UTF-8")), F.lit(4)),
+            )
         )
-        nxt_pq = os.path.join(_state_path(state_dir, batch_id + 1), "state")
-        out.write.mode("overwrite").parquet(nxt_pq)
-        _finish_batch(spark, batch_id, wm)
+        out.write.mode("overwrite").partitionBy("pdir").parquet(
+            stt.data_path(state_dir, batch_id + 1)
+        )
+        touched_rows, max_lt = {t: 0 for t in touched}, None
+        for gid in sorted({t // g_new for t in touched}):
+            rows, mx = stt.footer_stats(
+                stt.part_path(state_dir, batch_id + 1, str(gid))
+            )
+            members = [t for t in touched if t // g_new == gid]
+            base, rem = divmod(rows, len(members))
+            for i, t in enumerate(members):
+                touched_rows[t] = base + (1 if i < rem else 0)
+            if mx is not None:
+                max_lt = mx if max_lt is None else max(max_lt, mx)
+        _finish_batch(
+            spark, batch_id, meta, touched_rows, max_lt, "arrow", g_new
+        )
 
     return foreach_batch
 
@@ -373,18 +442,24 @@ def start_fastpath_register(
     id_col: str = "id",
     watermark_delay_ms: int = 60_000,
     state_ttl_ms: int = 0,
+    keep_versions: int = 2,
     trigger: dict | None = None,
     num_partitions: int | None = None,
     engine: str = "auto",
     driver_max_rows: int = 200_000,
+    driver_max_state_rows: int | None = None,
+    num_buckets: int = stt.DEFAULT_NUM_BUCKETS,
 ):
     """Wire the register fast path end-to-end and start it."""
     sym = symbolize_register_stream(stream_df, compiled, key_col, ts_col, id_col)
     fb = make_foreach_batch_register(
         compiled, state_dir, sink,
         watermark_delay_ms=watermark_delay_ms, state_ttl_ms=state_ttl_ms,
+        keep_versions=keep_versions,
         num_partitions=num_partitions, engine=engine,
         driver_max_rows=driver_max_rows,
+        driver_max_state_rows=driver_max_state_rows,
+        num_buckets=num_buckets,
     )
     writer = (
         sym.writeStream.foreachBatch(fb)

@@ -1,0 +1,435 @@
+"""Versioned, hash-BUCKETED state table for the foreachBatch fast paths.
+
+Shared by streaming/fastpath.py (deterministic SDFA runs) and
+streaming/fastpath_register.py (register/NSRA runs).  Fixes the r4
+design's key-cardinality scaling: r4 rewrote the ENTIRE state table
+every microbatch — per-batch cost O(live keys), not O(batch).  At tens
+of millions of live keys (vessels/sessions) every 10k-row microbatch
+would pay a full state read + shuffle + write, where Flink's RocksDB
+state — the thing the versioned table replaces (WayebEngine.java:
+102-118 keyed quintuple) — touches only the batch's keys.
+
+Design: LOGICAL buckets + a per-bucket MANIFEST + ADAPTIVE physical
+grouping.
+
+- every state row belongs to logical bucket ``crc32(key) % num_buckets``;
+- ``meta.json`` is the manifest: for every LIVE bucket, which version
+  OWNS its current rows and how many rows it holds.  A batch rewrites
+  exactly the buckets its keys hash into ("touched"); untouched
+  buckets carry forward by manifest reference — zero data I/O;
+- version ``v{n}`` physically packs the buckets it owns into GROUP
+  dirs ``data/pdir={bucket // g}`` (detections go to ``data/pdir=d``),
+  where the group size ``g`` adapts to the state volume: tiny state →
+  one group (ONE file per version, the r4 fast layout — a 12.5k-row
+  bench microbatch must not pay 256 file opens, measured at ~0.2 s per
+  batch); huge state → one dir per bucket (maximum pruning).  Each
+  version records its own ``group_size``;
+- a batch reads, for each touched bucket, the group dir of its OWNING
+  version.  A group dir can also hold rows of co-resident buckets that
+  are stale (rewritten by a newer version) or simply untouched, so
+  every read is filtered to the buckets the manifest actually assigns
+  to that owner — recomputing ``crc32(key) % B`` is deterministic and
+  cheap in both engines.  Read amplification is bounded by the group
+  target (~:data:`TARGET_GROUP_ROWS` rows per touched group), the
+  knob that trades file count against pruning precision.
+
+Per-microbatch cost is therefore O(touched-group rows): read, shuffle
+and write are proportional to the state that hash-collides with this
+batch's keys, never to the full live-key population.  Worst case
+(batch keys uniformly spread over every bucket of a huge table)
+degrades gracefully to the r4 full rewrite.
+
+The idempotent-replay contract is unchanged: batch ``b`` reads
+``v{b}``'s manifest (immutable once written), writes ``v{b+1}``'s data
+and manifest; a crash-replay of batch ``b`` re-reads the same ``v{b}``
+and overwrites ``v{b+1}`` (the group size is a deterministic function
+of the manifest and the batch, so the layout replays too) —
+exactly-once without a state store.  GC keeps any old version that
+still OWNS a live bucket (pruning its no-longer-referenced group
+dirs), so carried-forward buckets survive arbitrarily long idle
+periods.
+
+The manifest also records per-bucket and total row counts AT WRITE
+TIME (driver route: from the pandas frame it just wrote; distributed
+route: from parquet FOOTER statistics — metadata only, no data scan),
+which is what lets the auto engine route on STATE size, not just batch
+size, and lets the watermark be recovered without re-scanning state
+(r4 verdict "what's wrong" #2).
+
+Bucket function: ``crc32(utf8(key)) % num_buckets`` — chosen because
+Spark's ``crc32`` and Python's ``zlib.crc32`` are the same CRC-32
+(ISO-HDLC) over the same UTF-8 bytes, so the zero-Spark-jobs driver
+route and the JVM plans bucket identically without a Python UDF.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import zlib
+
+import pyarrow as pa
+import pyarrow.dataset as pads
+import pyarrow.parquet as pq
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+#: partition value holding a batch's detections (kind=0 rows)
+DETS_PART = "d"
+
+#: default LOGICAL bucket count — at ~50k rows per bucket this covers
+#: ~10M live keys; raise it for larger key spaces (the manifest is
+#: ~30 bytes/bucket of JSON, so 4096 buckets is fine)
+DEFAULT_NUM_BUCKETS = 256
+
+#: physical grouping target: a version packs its buckets into
+#: ceil(live_rows / this) group dirs, so one touched bucket costs at
+#: most ~this many extra rows of read amplification while a small
+#: state table stays a SINGLE file per version
+TARGET_GROUP_ROWS = 4096
+
+
+def bucket_of_key(key: str, num_buckets: int) -> int:
+    """Python twin of :func:`bucket_col` — MUST match it bit for bit
+    (the driver route buckets in pandas, the JVM plans in Spark)."""
+    return zlib.crc32(key.encode("utf-8")) % num_buckets
+
+
+def bucket_col(key: Column, num_buckets: int) -> Column:
+    """JVM bucket expression: crc32 of the UTF-8 key bytes, mod B."""
+    return F.pmod(F.crc32(F.encode(key, "UTF-8")), F.lit(num_buckets))
+
+
+def pdir_col(
+    kind: Column, key: Column, num_buckets: int, group_size_: int
+) -> Column:
+    """Partition-dir value for an output row: detections (kind=0) land
+    in ``pdir=d``, state rows (kind=1) in their bucket's GROUP dir."""
+    gid = F.floor(
+        bucket_col(key, num_buckets) / F.lit(group_size_)
+    ).cast("int")
+    return F.when(kind == 0, F.lit(DETS_PART)).otherwise(gid.cast("string"))
+
+
+def group_size(num_buckets: int, est_state_rows: int) -> int:
+    """Buckets per physical group for a version about to hold
+    ``est_state_rows``: ceil so tiny state collapses to ONE group and
+    state beyond TARGET_GROUP_ROWS * num_buckets reaches one dir per
+    bucket.  Deterministic in (manifest, batch) — replay-safe."""
+    groups = min(
+        num_buckets, max(1, -(-est_state_rows // TARGET_GROUP_ROWS))
+    )
+    return -(-num_buckets // groups)
+
+
+def version_path(state_dir: str, version: int) -> str:
+    return os.path.join(state_dir, f"v{version}")
+
+
+def data_path(state_dir: str, version: int) -> str:
+    return os.path.join(version_path(state_dir, version), "data")
+
+
+def part_path(state_dir: str, version: int, part: str) -> str:
+    return os.path.join(data_path(state_dir, version), f"pdir={part}")
+
+
+def dets_path(state_dir: str, version: int) -> str:
+    return part_path(state_dir, version, DETS_PART)
+
+
+def read_meta(state_dir: str, version: int, num_buckets: int) -> dict:
+    """The manifest for ``version`` (written by the previous batch), or
+    the empty-state default.  ``buckets`` maps bucket id (str — JSON
+    keys) -> [owner_version, row_count]; ``group_size`` is the physical
+    grouping of the buckets THIS version wrote."""
+    p = os.path.join(version_path(state_dir, version), "meta.json")
+    if os.path.exists(p):
+        with open(p) as f:
+            meta = json.load(f)
+        if meta.get("num_buckets") != num_buckets:
+            raise ValueError(
+                f"state table at {state_dir} was built with "
+                f"num_buckets={meta.get('num_buckets')}, but this run asks "
+                f"for {num_buckets}; the bucket function pins the layout — "
+                f"restart with the original value or use a fresh state_dir"
+            )
+        return meta
+    return {
+        "watermark_ms": None,
+        "num_buckets": num_buckets,
+        "group_size": 1,
+        "buckets": {},
+        "state_rows": 0,
+    }
+
+
+def write_meta(state_dir: str, version: int, meta: dict) -> None:
+    p = version_path(state_dir, version)
+    os.makedirs(p, exist_ok=True)
+    with open(os.path.join(p, "meta.json"), "w") as f:
+        json.dump(meta, f)
+
+
+def _owner_group_size(state_dir: str, version: int) -> int:
+    p = os.path.join(version_path(state_dir, version), "meta.json")
+    if os.path.exists(p):
+        with open(p) as f:
+            return json.load(f).get("group_size", 1)
+    return 1
+
+
+def touched_state_rows(meta: dict, touched: list[int]) -> int:
+    """Carried rows this batch's touched buckets hold — the state-side
+    routing input (r4 verdict: bound the STATE, not just the events).
+    Slight underestimate of the physical read when owners grouped
+    multiple buckets per dir, but the amplification is bounded by
+    TARGET_GROUP_ROWS per touched group, a small constant."""
+    b = meta["buckets"]
+    return sum(b[str(t)][1] for t in touched if str(t) in b)
+
+
+def owner_read_plan(
+    meta: dict, state_dir: str, touched: list[int]
+) -> list[tuple[int, int, list[int], list[str]]]:
+    """How to read the touched buckets' current rows: one entry per
+    distinct OWNING version — (owner, owner's group_size, the touched
+    buckets it owns, the group dirs covering them).  Readers must
+    filter each owner's rows to exactly those buckets (a group dir can
+    hold stale rows of buckets since rewritten by a newer version, and
+    rows of co-resident untouched buckets)."""
+    by_owner: dict[int, list[int]] = {}
+    for t in touched:
+        ent = meta["buckets"].get(str(t))
+        if ent and ent[1] > 0:
+            by_owner.setdefault(ent[0], []).append(t)
+    plans = []
+    for v, wanted in sorted(by_owner.items()):
+        g = _owner_group_size(state_dir, v)
+        dirs = sorted({b // g for b in wanted})
+        paths = [
+            p
+            for gid in dirs
+            if os.path.isdir(p := part_path(state_dir, v, str(gid)))
+        ]
+        plans.append((v, g, sorted(wanted), paths))
+    return plans
+
+
+def next_meta(
+    meta: dict,
+    batch_id: int,
+    touched_rows: dict[int, int],
+    new_wm,
+    engine_used: str,
+    new_group_size: int,
+) -> dict:
+    """Manifest for ``v{batch_id + 1}``: touched buckets re-owned by the
+    new version with their fresh counts, untouched buckets carried
+    forward BY REFERENCE (their entries copy over unchanged)."""
+    buckets = dict(meta["buckets"])
+    for bid, rows in touched_rows.items():
+        buckets[str(bid)] = [batch_id + 1, int(rows)]
+    return {
+        "watermark_ms": new_wm,
+        "num_buckets": meta["num_buckets"],
+        "group_size": int(new_group_size),
+        "buckets": buckets,
+        "state_rows": int(sum(v[1] for v in buckets.values())),
+        "engine_used": engine_used,
+    }
+
+
+def footer_stats(dir_path: str, ts_col: str = "last_ts") -> tuple[int, int | None]:
+    """(row count, max ts_col) for one partition dir from parquet
+    FOOTER metadata only — no data pages are read, so recovering the
+    watermark and the manifest counts after a distributed write costs
+    O(files), not O(state rows).  Falls back to a single-column read
+    for the rare file whose writer omitted statistics."""
+    rows, mx = 0, None
+    if not os.path.isdir(dir_path):
+        return 0, None
+    for fn in sorted(os.listdir(dir_path)):
+        if not fn.endswith(".parquet"):
+            continue
+        fp = os.path.join(dir_path, fn)
+        md = pq.ParquetFile(fp).metadata
+        rows += md.num_rows
+        if md.num_rows == 0:
+            continue
+        ci = next(
+            (i for i in range(md.num_columns)
+             if md.schema.column(i).name == ts_col),
+            None,
+        )
+        file_mx, need_fallback = None, False
+        for g in range(md.num_row_groups):
+            st = md.row_group(g).column(ci).statistics if ci is not None else None
+            if st is None or not st.has_min_max:
+                need_fallback = True
+                break
+            if st.max is not None:
+                file_mx = st.max if file_mx is None else max(file_mx, st.max)
+        if need_fallback:
+            col = pq.read_table(fp, columns=[ts_col])[ts_col]
+            vals = [v for v in col.to_pylist() if v is not None]
+            file_mx = max(vals) if vals else None
+        if file_mx is not None:
+            mx = file_mx if mx is None else max(mx, file_mx)
+    return rows, mx
+
+
+def read_state_pandas(meta: dict, state_dir: str, touched: list[int]):
+    """Driver route's state read: the touched buckets' current rows as
+    ONE pandas frame (None when nothing is owned).  Bounded by the
+    caller's routing decision — auto only lands here when
+    touched_state_rows() is under the driver bound."""
+    import pandas as pd
+
+    num_buckets = meta["num_buckets"]
+    frames = []
+    for _v, g, wanted, paths in owner_read_plan(meta, state_dir, touched):
+        files = [
+            os.path.join(p, fn)
+            for p in paths
+            for fn in sorted(os.listdir(p))
+            if fn.endswith(".parquet")
+        ]
+        if not files:
+            continue
+        pdf = pads.dataset(files, format="parquet").to_table().to_pandas()
+        if g > 1:
+            # drop co-resident rows of buckets this owner does not
+            # (or no longer) own for this read
+            want = set(wanted)
+            keep = [
+                bucket_of_key(k, num_buckets) in want for k in pdf["key"]
+            ]
+            pdf = pdf[keep]
+        if len(pdf):
+            frames.append(pdf)
+    if not frames:
+        return None
+    return pd.concat(frames, ignore_index=True)
+
+
+def read_state_spark(
+    spark, meta: dict, state_dir: str, touched: list[int], schema: str
+):
+    """Distributed route's state read: one filtered source per owning
+    version, unioned — group-dir pruning via the manifest, row
+    filtering to the owner's buckets JVM-side (no Python)."""
+    num_buckets = meta["num_buckets"]
+    dfs = []
+    for _v, g, wanted, paths in owner_read_plan(meta, state_dir, touched):
+        if not paths:
+            continue
+        df = spark.read.schema(schema).parquet(*paths)
+        if g > 1:
+            df = df.filter(
+                bucket_col(F.col("key"), num_buckets).isin(wanted)
+            )
+        dfs.append(df)
+    if not dfs:
+        return None
+    out = dfs[0]
+    for df in dfs[1:]:
+        out = out.unionByName(df)
+    return out
+
+
+def write_state_pandas(
+    out_pdf,
+    bucket_ids,
+    pa_schema: pa.Schema,
+    state_dir: str,
+    batch_id: int,
+    num_buckets: int,
+    est_next_rows: int,
+) -> int:
+    """Driver route's state write: one pyarrow ``write_dataset`` call,
+    hive-partitioned on the GROUP dir — all touched groups plus the
+    detections dir in a single pass, no Spark job.  ``bucket_ids`` is
+    the per-row logical bucket (any value for kind=0 rows — they land
+    in ``pdir=d`` regardless).  Returns the group size used (recorded
+    in the manifest for later reads)."""
+    g = group_size(num_buckets, est_next_rows)
+    is_state = out_pdf["kind"] == 1
+    pdir = [
+        str(int(b) // g) if s else DETS_PART
+        for b, s in zip(bucket_ids, is_state)
+    ]
+    vdir = version_path(state_dir, batch_id + 1)
+    shutil.rmtree(vdir, ignore_errors=True)
+    os.makedirs(vdir, exist_ok=True)
+    full = pa_schema.insert(0, pa.field("pdir", pa.string()))
+    tbl = pa.Table.from_pandas(
+        out_pdf.assign(pdir=pdir)[["pdir", *pa_schema.names]],
+        schema=full,
+        preserve_index=False,
+    )
+    if tbl.num_rows:
+        pads.write_dataset(
+            tbl,
+            data_path(state_dir, batch_id + 1),
+            format="parquet",
+            partitioning=pads.partitioning(
+                pa.schema([("pdir", pa.string())]), flavor="hive"
+            ),
+        )
+    return g
+
+
+def gc_versions(state_dir: str, batch_id: int, keep_versions: int) -> None:
+    """Prune old versions WITHOUT breaking the manifest's carry-forward
+    references: versions newer than ``batch_id - keep_versions`` stay
+    whole (replay window, as in r4); older versions lose their
+    detections dir and any group dir no live manifest still points
+    at, and disappear entirely once they own nothing."""
+    low = batch_id - keep_versions + 1
+    referenced: set[tuple[int, int]] = set()  # (owner, bucket)
+    for v in range(max(0, low), batch_id + 2):
+        p = os.path.join(version_path(state_dir, v), "meta.json")
+        if not os.path.exists(p):
+            continue
+        with open(p) as f:
+            m = json.load(f)
+        for bid, (owner, _rows) in m.get("buckets", {}).items():
+            referenced.add((owner, int(bid)))
+    for name in os.listdir(state_dir):
+        if not name.startswith("v"):
+            continue
+        try:
+            v = int(name[1:])
+        except ValueError:
+            continue
+        if v >= max(0, low):
+            continue
+        vdir = version_path(state_dir, v)
+        ddir = data_path(state_dir, v)
+        shutil.rmtree(
+            os.path.join(ddir, f"pdir={DETS_PART}"), ignore_errors=True
+        )
+        g = _owner_group_size(state_dir, v)
+        live_gids = {
+            bid // g for (owner, bid) in referenced if owner == v
+        }
+        owns_live = False
+        if os.path.isdir(ddir):
+            for sub in os.listdir(ddir):
+                if not sub.startswith("pdir="):
+                    continue
+                part = sub.split("=", 1)[1]
+                try:
+                    gid = int(part)
+                except ValueError:
+                    shutil.rmtree(os.path.join(ddir, sub), ignore_errors=True)
+                    continue
+                if gid in live_gids:
+                    owns_live = True
+                else:
+                    shutil.rmtree(os.path.join(ddir, sub), ignore_errors=True)
+        if not owns_live:
+            shutil.rmtree(vdir, ignore_errors=True)

@@ -234,12 +234,19 @@ def test_fastpath_driver_engine_runs_no_spark_jobs(spark, tmp_path):
     fb(batch, 0)  # batch 0: includes the toPandas() source collect
     pdf = batch.toPandas()  # pre-collect so we can call the inner path
     before = set(tracker.getJobIdsForGroup(None) or [])
+    from flink_rtcef_spark.streaming import state_table as stt
     from flink_rtcef_spark.streaming.fastpath import (
         _driver_batch,
         _make_partition_runner,
     )
     runner = _make_partition_runner(compiled)
-    _driver_batch(runner, pdf, str(tmp_path / "state"), 1, None, 0)
+    # reading the manifest, the touched buckets' state (pyarrow), the
+    # advance, and the bucketed state write are all driver-local
+    meta = stt.read_meta(
+        str(tmp_path / "state"), 1, stt.DEFAULT_NUM_BUCKETS
+    )
+    assert meta["state_rows"] > 0  # batch 0 really carried state in
+    _driver_batch(runner, pdf, str(tmp_path / "state"), 1, meta, 0)
     after = set(tracker.getJobIdsForGroup(None) or [])
     assert before == after, (
         f"driver-route advance submitted Spark jobs: {sorted(after - before)}"
@@ -271,3 +278,184 @@ def test_fastpath_restart_resumes_exactly_once(spark, tmp_path):
     want = want.sort_values(DET_COLS).reset_index(drop=True)
     assert len(want) > 0
     assert got.astype(str).equals(want.astype(str))
+
+
+def test_fastpath_routes_distributed_on_big_state_small_batch(spark, tmp_path):
+    """r4 verdict "what's wrong" #2: the auto route used to bound only
+    the EVENTS — a huge-key-space stream with tiny batches would load
+    the entire state table into driver pandas.  Now the manifest's
+    touched-bucket row counts bound the state side: batch 0 (many keys)
+    builds big state, batch 1 (3 rows) is tiny but its buckets carry
+    more rows than driver_max_state_rows, so it must run DISTRIBUTED —
+    recorded per version in the manifest's engine_used."""
+    import json
+
+    from flink_rtcef_spark.streaming import state_table as stt
+
+    compiled = compile_pattern(PAT, DECLS)
+    src = str(tmp_path / "src")
+    # batch 0: 500 distinct keys, each left with an open A (state rows)
+    rows0 = [(f"k{i}", 10 + i, i, "A") for i in range(500)]
+    _write_chunks(spark, src, rows0, 1)
+    # batch 1: 3 rows completing three of the matches
+    spark.createDataFrame(
+        [(f"k{i}", 600 + i, 1000 + i, "B") for i in range(3)],
+        "k string, ts long, id long, event_type string",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{src}/c1")
+
+    collected = []
+    stream = (
+        spark.readStream.schema("k string, ts long, id long, event_type string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/c*")
+    )
+    state_dir = f"{tmp_path}/bigstate_state"
+    q = start_fastpath_detections(
+        stream, compiled,
+        state_dir=state_dir, checkpoint_dir=f"{tmp_path}/bigstate_ckpt",
+        sink=lambda df, bid: collected.append(df.toPandas()),
+        key_col="k", ts_col="ts", id_col="id",
+        watermark_delay_ms=5_000, engine="auto",
+        driver_max_rows=1000,          # both batches fit the EVENT bound
+        driver_max_state_rows=100,     # ... but 500 carried rows don't
+        num_buckets=4,                 # 3 keys still touch >100 carried rows
+    )
+    assert q.awaitTermination(600), "stream did not drain"
+
+    with open(f"{state_dir}/v1/meta.json") as f:
+        m1 = json.load(f)
+    with open(f"{state_dir}/v2/meta.json") as f:
+        m2 = json.load(f)
+    # batch 0 carried no state yet -> driver; batch 1's touched buckets
+    # carry ~500/4 * 3 >> 100 rows -> distributed (sql)
+    assert m1["engine_used"] == "driver", m1
+    assert m2["engine_used"] == "sql", m2
+    assert m1["state_rows"] == 500
+    got = pd.concat(collected, ignore_index=True)
+    assert len(got) == 3  # the three completed matches still detected
+    # the bucket function is pinned across routes
+    assert set(m2["buckets"]) == {
+        str(b) for b in range(4)
+    } and m2["num_buckets"] == 4
+
+
+def test_fastpath_rewrites_only_touched_buckets(spark, tmp_path, monkeypatch):
+    """The r5 scaling contract: a batch's write is O(touched buckets),
+    not O(live keys).  Batch 0 populates many buckets; batch 1 touches
+    ONE key — its version must physically contain only the GROUP dir
+    covering that key's bucket (+ detections), with every other bucket
+    carried forward by manifest reference into the version that last
+    wrote it.  The group target is shrunk so 200 rows span several
+    physical groups (at the default 4096 target this small a table
+    collapses to one file — the small-state fast layout)."""
+    import json
+    import os
+
+    from flink_rtcef_spark.streaming import state_table as stt
+
+    monkeypatch.setattr(stt, "TARGET_GROUP_ROWS", 16)
+    B = 16
+    compiled = compile_pattern(PAT, DECLS)
+    src = str(tmp_path / "src")
+    rows0 = [(f"k{i}", 10 + i, i, "A") for i in range(200)]
+    _write_chunks(spark, src, rows0, 1)
+    spark.createDataFrame(
+        [("k7", 600, 9000, "B")],
+        "k string, ts long, id long, event_type string",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{src}/c1")
+
+    stream = (
+        spark.readStream.schema("k string, ts long, id long, event_type string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/c*")
+    )
+    state_dir = f"{tmp_path}/touch_state"
+    q = start_fastpath_detections(
+        stream, compiled,
+        state_dir=state_dir, checkpoint_dir=f"{tmp_path}/touch_ckpt",
+        key_col="k", ts_col="ts", id_col="id",
+        watermark_delay_ms=5_000, engine="auto", num_buckets=B,
+        keep_versions=1,
+    )
+    assert q.awaitTermination(600), "stream did not drain"
+
+    kb = stt.bucket_of_key("k7", B)
+    with open(f"{state_dir}/v1/meta.json") as f:
+        m1 = json.load(f)
+    with open(f"{state_dir}/v2/meta.json") as f:
+        m2 = json.load(f)
+    assert m1["group_size"] < B, m1  # several physical groups exist
+    v2_parts = {
+        d for d in os.listdir(stt.data_path(state_dir, 2))
+        if d.startswith("pdir=")
+    }
+    # v2 holds ONLY the group covering k7's bucket, plus detections
+    assert v2_parts == {f"pdir={kb // m2['group_size']}", "pdir=d"}, v2_parts
+    owners = {bid: owner for bid, (owner, _r) in m2["buckets"].items()}
+    assert owners[str(kb)] == 2
+    # every other live bucket still owned by v1 — carried by reference
+    assert all(o == 1 for bid, o in owners.items() if bid != str(kb))
+    # ... and their v1 group dirs survived GC (keep_versions=1 keeps
+    # the replay window v1..v2; referenced groups must survive
+    # regardless of age)
+    g1 = m1["group_size"]
+    for bid, o in owners.items():
+        if o == 1:
+            gid = int(bid) // g1
+            assert os.path.isdir(
+                stt.part_path(state_dir, 1, str(gid))
+            ), (bid, gid)
+    assert m2["state_rows"] == 200  # no key lost across the carry
+
+
+def test_fastpath_gc_preserves_idle_buckets_beyond_keep_versions(
+    spark, tmp_path
+):
+    """A key idle for MORE batches than keep_versions must keep its
+    carried state: its bucket's owning version outlives the replay
+    window because the manifest still references it.  kx opens a match
+    in batch 0, five batches of other-bucket traffic age the versions,
+    then kx's B completes the match — with ttl off, it MUST detect."""
+    compiled = compile_pattern(PAT, DECLS)
+    B = 64
+    # pick a filler key in a different bucket than kx
+    from flink_rtcef_spark.streaming import state_table as stt
+
+    filler = next(
+        f"f{i}" for i in range(1000)
+        if stt.bucket_of_key(f"f{i}", B) != stt.bucket_of_key("kx", B)
+    )
+    src = str(tmp_path / "src")
+    spark.createDataFrame(
+        [("kx", 10, 0, "A"), (filler, 11, 1, "C")],
+        "k string, ts long, id long, event_type string",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{src}/c0")
+    for c in range(1, 6):
+        spark.createDataFrame(
+            [(filler, 20 + c, 10 + c, "C")],
+            "k string, ts long, id long, event_type string",
+        ).coalesce(1).write.mode("overwrite").parquet(f"{src}/c{c}")
+    spark.createDataFrame(
+        [("kx", 40, 100, "B")],
+        "k string, ts long, id long, event_type string",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{src}/c6")
+
+    collected = []
+    stream = (
+        spark.readStream.schema("k string, ts long, id long, event_type string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/c*")
+    )
+    q = start_fastpath_detections(
+        stream, compiled,
+        state_dir=f"{tmp_path}/idle_state",
+        checkpoint_dir=f"{tmp_path}/idle_ckpt",
+        sink=lambda df, bid: collected.append(df.toPandas()),
+        key_col="k", ts_col="ts", id_col="id",
+        watermark_delay_ms=5_000, engine="auto", num_buckets=B,
+        keep_versions=1,  # aggressive GC: the manifest must protect kx
+    )
+    assert q.awaitTermination(600), "stream did not drain"
+    got = pd.concat(collected, ignore_index=True) if collected else pd.DataFrame(columns=DET_COLS)
+    kx = got[got["key"] == "kx"]
+    assert len(kx) == 1, got  # the idle bucket's A survived 6 batches
