@@ -80,14 +80,23 @@ def contamination_hits(
     doc_id_col: str = "doc_id",
     text_col: str = "text",
     bench_text_col: str = "text",
+    broadcast_bench: bool = True,
 ) -> DataFrame:
     """Per-document contamination evidence: (doc_id, n_contaminated_grams)
     for every document sharing ≥1 normalized n-gram with the benchmark.
-    Clean documents are absent (anti-join against this to keep them)."""
+    Clean documents are absent (anti-join against this to keep them).
+
+    ``broadcast_bench=False`` drops the broadcast hint — the regime
+    where the benchmark gram set is too large for executor memory and
+    the join becomes a shuffle of EVERY corpus gram.  That regime is
+    what the bloom prefilter (:func:`contamination_hits_bloom`) exists
+    for; tools/bench_bloom_shuffle.py measures the two head-to-head in
+    shuffle BYTES."""
     bench_grams = _bench_gram_hashes(benchmark, bench_text_col, n)
     doc_grams = ngram_hash_sets(docs, doc_id_col, text_col, n)
+    verify_side = broadcast(bench_grams) if broadcast_bench else bench_grams
     return (
-        doc_grams.join(broadcast(bench_grams), "gram_hash")
+        doc_grams.join(verify_side, "gram_hash")
         .groupBy(doc_id_col)
         .agg(F.count("*").alias("n_contaminated_grams"))
     )

@@ -92,6 +92,14 @@ _DET_SCHEMA = (
     "min_counter long, n_matched int"
 )
 
+#: default bound on the carried state rows the auto route will process
+#: driver-side.  Measured crossover (uniform-key bench, 10k-row
+#: batches, local[32], 9-batch wall): at 30k carried rows driver 6.7 s
+#: vs sql 10.8 s; at 60k driver 9.0 s vs 12.1 s; at 100k driver 18.1 s
+#: vs sql 15.3 s — the single-thread python kernel loses to the JVM
+#: fold somewhere above ~75k carried keys.
+DRIVER_MAX_STATE_ROWS = 75_000
+
 
 def _make_partition_runner(compiled: CompiledPattern):
     """One fused pass over a partition of (state ∪ event) rows sorted by
@@ -122,6 +130,19 @@ def _make_partition_runner(compiled: CompiledPattern):
                 continue
             keys = pdf["key"].to_numpy()
             is_state = pdf["is_state"].to_numpy()
+            # column-at-a-time numpy views: a per-key pdf.iloc[...] row
+            # access costs ~50 us, which at 100k carried keys per
+            # partition dominated the whole batch (measured 7 s/batch
+            # pre-fix in the uniform key-cardinality bench)
+            c_state = pdf["state"].to_numpy()
+            c_counter = pdf["counter"].to_numpy()
+            c_min_counter = pdf["min_counter"].to_numpy()
+            c_min_ts = pdf["min_ts"].to_numpy()
+            c_n_matched = pdf["n_matched"].to_numpy()
+            c_last_ts = pdf["last_ts"].to_numpy()
+            all_syms = pdf["symbol"].to_numpy()
+            all_tss = pdf["ts"].to_numpy()
+            all_ids = pdf["event_id"].to_numpy()
             n = len(keys)
             start = 0
             while start < n:
@@ -136,19 +157,18 @@ def _make_partition_runner(compiled: CompiledPattern):
                 st_mask = is_state[seg]
                 if st_mask.any():
                     # the state row sorts first within the key
-                    row = pdf.iloc[start]
                     carry = (
-                        int(row["state"]), int(row["counter"]),
-                        int(row["min_counter"]), int(row["min_ts"]),
-                        int(row["n_matched"]),
+                        int(c_state[start]), int(c_counter[start]),
+                        int(c_min_counter[start]), int(c_min_ts[start]),
+                        int(c_n_matched[start]),
                     )
-                    last_ts = int(row["last_ts"])
+                    last_ts = int(c_last_ts[start])
                     start += int(st_mask.sum())
                     seg = slice(start, end)
                 if start < end:
-                    syms = pdf["symbol"].to_numpy()[seg].astype(np.int64)
-                    tss = pdf["ts"].to_numpy()[seg].astype(np.int64)
-                    ids = pdf["event_id"].to_numpy()[seg].astype(np.int64)
+                    syms = all_syms[seg].astype(np.int64)
+                    tss = all_tss[seg].astype(np.int64)
+                    ids = all_ids[seg].astype(np.int64)
                     rows, carry = _run_sdfa_segment(
                         syms, tss, ids, delta, take, finals, window,
                         window_type, resets, carry,
@@ -402,7 +422,8 @@ def make_foreach_batch_detections(
     sides of it: a bounded ``limit(driver_max_rows + 1)`` collect
     probes the batch, and the manifest's per-bucket row counts bound
     the carried state the driver would have to read
-    (``driver_max_state_rows``, default = ``driver_max_rows``).  Only
+    (``driver_max_state_rows``, default :data:`DRIVER_MAX_STATE_ROWS`
+    = the measured driver-vs-JVM crossover).  Only
     when events AND touched-bucket state fit does the fused kernel
     advance the batch driver-side with zero Spark jobs (see
     _driver_batch; a distributed microbatch has a measured ~0.35 s job
@@ -448,6 +469,16 @@ def make_foreach_batch_detections(
     plan's zero Python-worker round trips dominate, and by the time
     the Arrow kernel would win the workload is a batch job.
 
+    Negative result (r4 verdict item 8, measured r5): skipping the
+    ``limit(n+1)`` probe via a previous-batch-size prior (plain
+    ``toPandas`` when the last batch was small, lazy flip on the first
+    oversize) saves ~70 ms/batch in ISOLATION (CollectLimit's
+    incremental take), but an interleaved A/B over 5 full 8-batch
+    streaming runs measured medians of 2.67 s (skip) vs 2.68 s (probe)
+    — a dead heat inside the pipeline, where the collect overlaps
+    other per-batch work.  The prior mechanism was therefore removed;
+    the bounded probe stays as the simpler, oversize-safe form.
+
     The input batch must already be symbolized to (key string,
     ts long-millis, event_id long, symbol int) — use
     :func:`symbolize_stream`.  Rows with a NULL key are dropped before
@@ -464,7 +495,7 @@ def make_foreach_batch_detections(
     if num_buckets < 1:
         raise ValueError(f"num_buckets must be >= 1, got {num_buckets}")
     if driver_max_state_rows is None:
-        driver_max_state_rows = driver_max_rows
+        driver_max_state_rows = DRIVER_MAX_STATE_ROWS
     runner = _make_partition_runner(compiled)
     exprs = _SqlEngineExprs(compiled) if engine in ("sql", "auto") else None
 
@@ -632,7 +663,13 @@ def make_foreach_batch_detections(
         # Per-bucket counts are the group total split across its
         # touched buckets (exact when g_new == 1, proportional
         # otherwise) — they only feed the routing threshold and the
-        # group sizing, where bounded error is harmless.
+        # group sizing, where bounded error is harmless.  The split can
+        # never assign 0 to a bucket that holds rows: every touched
+        # bucket has >= 1 post-filter key and the kernel emits exactly
+        # one carry-out per key, so group rows >= member count and the
+        # divmod base is >= 1 (a 0 entry would lose state — readers
+        # skip rows == 0; compact_state, where TTL CAN empty arbitrary
+        # buckets, counts exactly instead).
         touched_rows, max_lt = {t: 0 for t in touched}, None
         for gid in sorted({t // g_new for t in touched}):
             rows, mx = stt.footer_stats(

@@ -46,7 +46,11 @@ from pyspark.sql import functions as F
 
 from flink_rtcef_spark.operators.cep_register import _run_nsra_segment
 from flink_rtcef_spark.streaming import state_table as stt
-from flink_rtcef_spark.streaming.fastpath import _STATE_TS, _touched_buckets
+from flink_rtcef_spark.streaming.fastpath import (
+    DRIVER_MAX_STATE_ROWS,
+    _STATE_TS,
+    _touched_buckets,
+)
 from flink_rtcef_spark.streaming.inference import _with_event_time
 
 DETECTION_COLUMNS = [
@@ -113,6 +117,16 @@ def _make_partition_runner(compiled):
                 continue
             keys = pdf["key"].to_numpy()
             is_state = pdf["is_state"].to_numpy()
+            # column views, not per-key pdf.iloc — see fastpath.py
+            # (measured ~50 us per iloc row access, dominating
+            # many-carried-key partitions)
+            c_blob = pdf["blob"].to_numpy()
+            c_counter = pdf["counter"].to_numpy()
+            c_last_ts = pdf["last_ts"].to_numpy()
+            all_tss = pdf["ts"].to_numpy()
+            all_ids = pdf["event_id"].to_numpy()
+            all_bits = pdf["bits"].to_numpy()
+            all_attrs = {a: pdf[a].to_numpy() for a in attrs}
             n = len(keys)
             start = 0
             while start < n:
@@ -124,20 +138,20 @@ def _make_partition_runner(compiled):
                     close_key()
                     open_key, carry, last_ts = k, ({}, 0), -1
                 if is_state[start]:
-                    row = pdf.iloc[start]
                     carry = (
-                        pickle.loads(bytes(row["blob"])), int(row["counter"])
+                        pickle.loads(bytes(c_blob[start])),
+                        int(c_counter[start]),
                     )
-                    last_ts = int(row["last_ts"])
+                    last_ts = int(c_last_ts[start])
                     start += int(is_state[start:end].sum())
                 if start < end:
                     seg = slice(start, end)
-                    tss = pdf["ts"].to_numpy()[seg].astype(np.int64)
+                    tss = all_tss[seg].astype(np.int64)
                     rows, carry = _run_nsra_segment(
-                        pdf["bits"].to_numpy()[seg],
+                        all_bits[seg],
                         tss,
-                        pdf["event_id"].to_numpy()[seg].astype(np.int64),
-                        {a: pdf[a].to_numpy()[seg] for a in attrs},
+                        all_ids[seg].astype(np.int64),
+                        {a: all_attrs[a][seg] for a in attrs},
                         table, finals, start_states, window, window_type,
                         carry,
                     )
@@ -205,7 +219,7 @@ def make_foreach_batch_register(
     if num_buckets < 1:
         raise ValueError(f"num_buckets must be >= 1, got {num_buckets}")
     if driver_max_state_rows is None:
-        driver_max_state_rows = driver_max_rows
+        driver_max_state_rows = DRIVER_MAX_STATE_ROWS
     runner = _make_partition_runner(compiled)
     attrs = list(compiled.register_attrs)
     ev_cols = ["key", "ts", "event_id", "bits", *attrs]
@@ -262,7 +276,12 @@ def make_foreach_batch_register(
                         st[c] = np.zeros(len(st), dtype=dt)
                 frames.append(st)
         if len(ev):
-            frames.append(ev.assign(is_state=False, blob=None, last_ts=-1))
+            # counter/blob/last_ts present even when no state frame
+            # joins the concat: the kernel's column-view extraction
+            # reads them unconditionally
+            frames.append(
+                ev.assign(is_state=False, blob=None, counter=None, last_ts=-1)
+            )
         if frames:
             wide = pd.concat(frames, ignore_index=True)
             wide = wide.sort_values(

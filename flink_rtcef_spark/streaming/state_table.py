@@ -382,6 +382,126 @@ def write_state_pandas(
     return g
 
 
+def compact_state(
+    spark,
+    state_dir: str,
+    schema: str,
+    state_ttl_ms: int = 0,
+    watermark_ms: int | None = None,
+) -> dict:
+    """OFFLINE maintenance: rewrite every live bucket into one fresh
+    epoch — dropping TTL-expired rows from disk (normal operation
+    expires them lazily, at read time, which is semantically identical
+    but leaves the bytes parked) and re-clustering the physical layout
+    to the current state volume (e.g. many per-bucket dirs left by a
+    distributed phase collapse back toward few files once the live set
+    shrinks).
+
+    Run ONLY while the stream is stopped: the manifest of the LATEST
+    version is rewritten in place to re-point every bucket at the
+    compacted epoch, which is safe exactly when no in-flight batch can
+    replay into it.  Compaction epochs use NEGATIVE version ids, which
+    batch versions (monotonically increasing non-negative ids) never
+    collide with; GC treats them like any other owner — kept while
+    referenced, pruned after.  Re-running compaction is safe (it reads
+    whatever the manifest currently points at and writes the next
+    epoch).  ``schema`` is the fast path's state schema string
+    (fastpath._OUT_SCHEMA or fastpath_register._OUT_SCHEMA).
+
+    Returns {"epoch", "rows_before", "rows_after"}.
+
+    This is the "state table is a normal columnar table" payoff: the
+    sweep is a plain read-filter-write DataFrame job, not a state-store
+    internal."""
+    versions = []
+    for name in os.listdir(state_dir):
+        if not name.startswith("v"):
+            continue
+        try:
+            v = int(name[1:])
+        except ValueError:
+            continue
+        if v >= 0 and os.path.exists(
+            os.path.join(version_path(state_dir, v), "meta.json")
+        ):
+            versions.append(v)
+    if not versions:
+        raise ValueError(f"no state versions under {state_dir}")
+    latest = max(versions)
+    with open(os.path.join(version_path(state_dir, latest), "meta.json")) as f:
+        meta = json.load(f)
+    num_buckets = meta["num_buckets"]
+    wm = meta["watermark_ms"] if watermark_ms is None else watermark_ms
+    touched = sorted(int(b) for b in meta["buckets"])
+    rows_before = meta["state_rows"]
+
+    epoch = min(
+        (
+            int(n[1:])
+            for n in os.listdir(state_dir)
+            if n.startswith("v-") and n[1:].lstrip("-").isdigit()
+        ),
+        default=0,
+    ) - 1
+    df = read_state_spark(spark, meta, state_dir, touched, schema)
+    g = group_size(num_buckets, max(1, rows_before))
+    touched_rows: dict[int, int] = {}
+    if df is not None:
+        if state_ttl_ms > 0 and wm is not None:
+            df = df.filter(
+                ~(F.lit(int(wm)) > F.col("last_ts") + F.lit(state_ttl_ms))
+            )
+        gid = F.floor(
+            bucket_col(F.col("key"), num_buckets) / F.lit(g)
+        ).cast("int").cast("string")
+        (
+            df.withColumn("pdir", gid)
+            .repartition(F.col("pdir"))
+            .write.mode("overwrite").partitionBy("pdir")
+            .parquet(data_path(state_dir, epoch))
+        )
+        # EXACT per-bucket counts (one extra aggregate — compaction is
+        # offline).  The batch routes' proportional group split is safe
+        # there only because every touched bucket emits >= 1 carry-out;
+        # here TTL can empty arbitrary buckets, and a manifest entry of
+        # 0 rows for a bucket that still holds rows would lose state
+        # (readers skip rows == 0).
+        counts = df.groupBy(
+            bucket_col(F.col("key"), num_buckets).alias("b")
+        ).count().collect()
+        touched_rows = {int(r["b"]): int(r["count"]) for r in counts}
+    # the epoch's own meta carries its group layout for owner lookups
+    write_meta(state_dir, epoch, {
+        "watermark_ms": wm,
+        "num_buckets": num_buckets,
+        "group_size": g,
+        "buckets": {},
+        "state_rows": 0,
+        "engine_used": "compact",
+    })
+    # re-point EVERY live bucket at the epoch; the latest version's own
+    # group_size field stays (it describes that version's now-orphaned
+    # dirs until GC removes them)
+    new_meta = {
+        "watermark_ms": wm,
+        "num_buckets": num_buckets,
+        "group_size": meta.get("group_size", 1),
+        "buckets": {
+            str(t): [epoch, int(r)] for t, r in touched_rows.items() if r > 0
+        },
+        "engine_used": meta.get("engine_used", "compact"),
+    }
+    new_meta["state_rows"] = int(
+        sum(r for _o, r in new_meta["buckets"].values())
+    )
+    write_meta(state_dir, latest, new_meta)
+    return {
+        "epoch": epoch,
+        "rows_before": rows_before,
+        "rows_after": new_meta["state_rows"],
+    }
+
+
 def gc_versions(state_dir: str, batch_id: int, keep_versions: int) -> None:
     """Prune old versions WITHOUT breaking the manifest's carry-forward
     references: versions newer than ``batch_id - keep_versions`` stay

@@ -459,3 +459,71 @@ def test_fastpath_gc_preserves_idle_buckets_beyond_keep_versions(
     got = pd.concat(collected, ignore_index=True) if collected else pd.DataFrame(columns=DET_COLS)
     kx = got[got["key"] == "kx"]
     assert len(kx) == 1, got  # the idle bucket's A survived 6 batches
+
+
+def test_fastpath_offline_compaction_reclaims_and_resumes(spark, tmp_path):
+    """compact_state (streaming/state_table.py): stop the stream,
+    sweep TTL-expired rows off disk and re-point the manifest at the
+    compacted epoch, restart the SAME checkpoint — surviving partial
+    matches still complete, expired ones stay dead, and the state
+    table physically shrank."""
+    import json
+
+    from flink_rtcef_spark.streaming import state_table as stt
+    from flink_rtcef_spark.streaming.fastpath import _OUT_SCHEMA
+
+    compiled = compile_pattern(PAT, DECLS)
+    src = str(tmp_path / "src")
+    # 200 stale keys open an A at t=10s; klive opens an A at t=500s
+    rows0 = [(f"stale{i}", 10, i, "A") for i in range(200)]
+    rows0 += [("klive", 500, 900, "A"), ("wm", 520, 901, "C")]
+    _write_chunks(spark, src, rows0, 1)
+
+    collected = []
+    state_dir = f"{tmp_path}/cmp_state"
+    ckpt = f"{tmp_path}/cmp_ckpt"
+
+    def run():
+        stream = (
+            spark.readStream.schema(
+                "k string, ts long, id long, event_type string"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{src}/c*")
+        )
+        q = start_fastpath_detections(
+            stream, compiled,
+            state_dir=state_dir, checkpoint_dir=ckpt,
+            sink=lambda df, bid: collected.append(df.toPandas()),
+            key_col="k", ts_col="ts", id_col="id",
+            watermark_delay_ms=5_000, state_ttl_ms=60_000,
+            num_buckets=16,
+        )
+        assert q.awaitTermination(600), "stream did not drain"
+
+    run()  # phase 1: 202 carried keys; wm = 520-5 = 515s
+    with open(f"{state_dir}/v1/meta.json") as f:
+        before = json.load(f)
+    assert before["state_rows"] == 202
+
+    # offline sweep: stale* rows (last event 10s, > 60s behind the
+    # 515s watermark) leave DISK, not just reads
+    res = stt.compact_state(
+        spark, state_dir, _OUT_SCHEMA, state_ttl_ms=60_000
+    )
+    assert res["rows_before"] == 202 and res["rows_after"] == 2, res
+    with open(f"{state_dir}/v1/meta.json") as f:
+        after = json.load(f)
+    assert after["state_rows"] == 2
+    assert all(o == res["epoch"] for o, _r in after["buckets"].values())
+
+    # phase 2 over the same checkpoint: klive's B completes; a stale
+    # key's B does not (its run was expired and swept)
+    spark.createDataFrame(
+        [("klive", 560, 950, "B"), ("stale0", 561, 951, "B")],
+        "k string, ts long, id long, event_type string",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{src}/c1")
+    run()
+    got = pd.concat(collected, ignore_index=True)
+    assert len(got[got["key"] == "klive"]) == 1
+    assert got[got["key"] == "stale0"].empty

@@ -137,4 +137,28 @@ def test_streaming_bloom_equals_batch(spark, tmp_path):
         .agg(F.bit_or("mask").alias("bits"))
     )
     table = _run_complete(sketched, "bloom_stream")
-    _cmp(spark, table, bloom_build(batch, "v", m, k), ["word"])
+    # the raw streamed accumulation carries no word=-1 parameter row
+    # (that row is bloom_build's fail-fast probe-validation metadata,
+    # r5); compare bitsets, and note a streamed sketch must either
+    # union its own parameter row in or be probed with validate=False
+    _cmp(
+        spark, table,
+        bloom_build(batch, "v", m, k).filter(F.col("word") >= 0),
+        ["word"],
+    )
+    # appending the parameter row makes the streamed sketch a full
+    # bloom_build equivalent, probe-able with validation on
+    from flink_rtcef_spark.operators.sketch import (
+        _BLOOM_META_WORD,
+        _bloom_meta_bits,
+        bloom_filter_members,
+    )
+
+    streamed = spark.sql(f"SELECT * FROM {table}").unionByName(
+        spark.range(1).select(
+            F.lit(_BLOOM_META_WORD).cast("long").alias("word"),
+            F.lit(_bloom_meta_bits(m, k, False)).alias("bits"),
+        )
+    )
+    kept = bloom_filter_members(batch, "v", streamed, m, k)
+    assert kept.count() == batch.count()  # every member survives
