@@ -712,6 +712,24 @@ def hist_sketch(
         raise ValueError(f"hist_sketch: need hi > lo, got [{lo}, {hi})")
     if n_bins < 1:
         raise ValueError(f"hist_sketch: need n_bins >= 1, got {n_bins}")
+    if weight_col is not None:
+        from pyspark.sql.types import (
+            ByteType, IntegerType, LongType, ShortType,
+        )
+
+        wt = df.schema[weight_col].dataType
+        if not isinstance(wt, (ByteType, ShortType, IntegerType, LongType)):
+            # a fractional weight would cast differently in the two
+            # engines (Spark truncates toward zero, DuckDB rounds; NaN
+            # and huge doubles diverge harder) — exactly the
+            # cross-engine class the bin clamp exists to eliminate, so
+            # refuse it here rather than let the hash gate explain it
+            raise ValueError(
+                f"hist_sketch: weight_col {weight_col!r} must be an "
+                f"integer type (got {wt.simpleString()}); cast with an "
+                f"explicit rounding rule first — fractional weights "
+                f"truncate/round differently across engines"
+            )
     group_cols = group_cols or []
     w = (hi - lo) / n_bins
     v = F.col(value_col).cast("double")
@@ -838,7 +856,12 @@ def hist_quantiles_sql(
     DECIMAL first, and DECIMAL->DOUBLE can land one ulp away from
     Python/Spark's repr->double (found by the hypothesis fuzzer at
     w = 100/27: 1.8518518518518519 vs ...52); the string path uses
-    correctly-rounded strtod and matches exactly."""
+    correctly-rounded strtod and matches exactly.
+
+    ``weight_expr`` must evaluate to an INTEGER type, mirroring
+    hist_sketch's weight_col type check: a fractional weight would
+    truncate in Spark but round in DuckDB (and NaN/huge doubles
+    diverge harder), breaking the twin contract."""
     group_cols = group_cols or []
     w = (hi - lo) / n_bins
     gsel = "".join(f"{g}, " for g in group_cols)
@@ -1089,17 +1112,22 @@ def bloom_filter_members(
     ever set).
 
     ``validate`` (default True) checks the sketch's embedded parameter
-    row against (m, k, prehashed) and raises on any mismatch —
-    probing with parameters different from the build would silently
-    produce FALSE NEGATIVES, violating the contract above.  The check
-    collects the one word = -1 row, which computes the sketch's plan
-    once; pass ``validate=False`` only where the build parameters are
-    provably the probe parameters (e.g. both sides derived from the
-    same variables in one function, as in
-    decontam.contamination_hits_bloom) and the extra evaluation of an
-    unmaterialized sketch matters."""
+    row against (m, k, prehashed) and fails on any mismatch — probing
+    with parameters different from the build would silently produce
+    FALSE NEGATIVES, violating the contract above.  The default check
+    is IN-PLAN (a raise_error guard on the word = -1 row of the
+    broadcast side): it adds no Spark action — an earlier collect-based
+    check evaluated an unmaterialized sketch's whole build aggregation
+    a second time per probe — but it surfaces at execution, not
+    construction, and a sketch with NO parameter row passes it
+    unchecked (no row, no guard fires).  ``validate="strict"`` keeps
+    the eager collect: raises at call time and also rejects a sketch
+    whose parameter row is missing, at the cost of one evaluation of
+    the sketch plan.  ``validate=False`` skips both — for call sites
+    where build and probe parameters are provably the same variables
+    (e.g. decontam.contamination_hits_bloom)."""
     _validate_bloom(m, k, prehashed)
-    if validate:
+    if validate == "strict":
         meta_rows = sketch.filter(
             F.col("word") == F.lit(_BLOOM_META_WORD)
         ).collect()
@@ -1119,6 +1147,20 @@ def bloom_filter_members(
                 f"probing with mismatched parameters silently produces "
                 f"false negatives"
             )
+    elif validate:
+        expect = _bloom_meta_bits(m, k, prehashed)
+        guard = F.when(
+            (F.col("word") == F.lit(_BLOOM_META_WORD))
+            & (F.col("bits") != F.lit(expect)),
+            F.raise_error(F.lit(
+                f"bloom probe parameters (m={m}, k={k}, "
+                f"prehashed={prehashed}) do not match the sketch's build "
+                f"parameters (or the sketch merged shards built with "
+                f"different parameters); probing with mismatched "
+                f"parameters silently produces false negatives"
+            )).cast("long"),
+        ).otherwise(F.col("bits"))
+        sketch = sketch.withColumn("bits", guard)
     v = F.col(value_col)
     word, mask = _bloom_word_mask(v, m, k, prehashed)
     # internal column names must not collide with the caller's (a fixed

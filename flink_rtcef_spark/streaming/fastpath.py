@@ -52,8 +52,6 @@ DataFrame operations rather than state-store internals.
 
 from __future__ import annotations
 
-import os
-
 import numpy as np
 import pandas as pd
 import pyarrow as pa
@@ -384,25 +382,6 @@ def _jvm_batch_plan(
     return folded.select(F.explode(e.rows).alias("o")).select("o.*")
 
 
-def _detections_view(spark, state_dir: str, batch_id: int) -> DataFrame:
-    """Lazy view over the written batch's detections (the ``pdir=d``
-    dir of ``v{batch_id + 1}``); an empty frame when the batch detected
-    nothing (no dir is written then)."""
-    p = stt.dets_path(state_dir, batch_id + 1)
-    if not os.path.isdir(p):
-        return spark.createDataFrame([], _DET_SCHEMA)
-    return (
-        spark.read.schema(_OUT_SCHEMA).parquet(p)
-        .filter(F.col("kind") == 0)
-        .select(
-            F.col("key"),
-            F.col("event_id").alias("detection_event_id"),
-            F.col("ts").alias("detection_ts"),
-            "counter", "min_counter", "n_matched",
-        )
-    )
-
-
 def make_foreach_batch_detections(
     compiled: CompiledPattern,
     state_dir: str,
@@ -443,11 +422,14 @@ def make_foreach_batch_detections(
     with no state migration; each version's manifest records which
     engine ran it (``engine_used``).
 
-    ONE Spark action per microbatch (none on the driver route): the
-    fused kernel's full output — detections and carried state — is
-    written to ``v{batch_id+1}/data``, hive-partitioned into
-    ``pdir=d`` (detections) and one ``pdir={bucket}`` dir per touched
-    bucket.  The watermark and the manifest's row counts are recovered
+    Spark actions per microbatch: the driver route runs NONE beyond
+    the routing collect that doubles as the batch read; the
+    distributed route runs the bounded probe collect (auto only), one
+    tiny per-bucket count aggregate (touched buckets + group sizing),
+    and the write action — the fused kernel's full output, detections
+    and carried state, lands in ``v{batch_id+1}/data``,
+    hive-partitioned into ``pdir=d`` (detections) and one
+    ``pdir={group}`` dir per touched bucket group.  The watermark and the manifest's row counts are recovered
     WITHOUT scanning state: the driver route knows them from the frame
     it wrote, the distributed route reads parquet footer statistics
     (metadata only).  ``sink(detections_df, batch_id)``, if given,
@@ -494,35 +476,26 @@ def make_foreach_batch_detections(
         raise ValueError(f"keep_versions must be >= 1, got {keep_versions}")
     if num_buckets < 1:
         raise ValueError(f"num_buckets must be >= 1, got {num_buckets}")
+    if engine not in ("auto", "sql", "arrow", "driver"):
+        # a typo would otherwise silently fall through to the
+        # distributed arrow route and never surface
+        raise ValueError(
+            f"engine must be one of auto/sql/arrow/driver, got {engine!r}"
+        )
     if driver_max_state_rows is None:
         driver_max_state_rows = DRIVER_MAX_STATE_ROWS
     runner = _make_partition_runner(compiled)
     exprs = _SqlEngineExprs(compiled) if engine in ("sql", "auto") else None
 
     def _finish_batch(
-        spark, batch_id: int, meta: dict,
-        touched_rows: dict[int, int], max_lt: int | None,
-        engine_used: str, group_size_: int,
+        spark, batch_id, meta, touched_rows, max_lt, engine_used, g
     ) -> None:
-        """Common tail once ``v{batch_id+1}``'s data exists: fold the
-        new max carried last_ts into the watermark (monotone: the outer
-        max with the previous value guards against expiry regressions),
-        write the manifest, deliver the sink view, GC stale versions."""
-        wm = meta["watermark_ms"]
-        new_wm = wm
-        if max_lt is not None and max_lt >= 0:
-            cand = max_lt - watermark_delay_ms
-            new_wm = cand if wm is None else max(int(wm), cand)
-        stt.write_meta(
-            state_dir, batch_id + 1,
-            stt.next_meta(
-                meta, batch_id, touched_rows, new_wm, engine_used,
-                group_size_,
-            ),
+        stt.finish_batch(
+            spark, state_dir, batch_id, meta, touched_rows, max_lt,
+            engine_used, g, watermark_delay_ms=watermark_delay_ms,
+            keep_versions=keep_versions, sink=sink,
+            out_schema=_OUT_SCHEMA, det_schema=_DET_SCHEMA,
         )
-        if sink is not None:
-            sink(_detections_view(spark, state_dir, batch_id), batch_id)
-        stt.gc_versions(state_dir, batch_id, keep_versions)
 
     def foreach_batch(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
@@ -658,29 +631,13 @@ def make_foreach_batch_detections(
                 spark.conf.set("spark.sql.shuffle.partitions", prev_sp)
         else:
             writer.parquet(nxt_data)
-        # manifest counts + watermark from parquet FOOTER stats of the
-        # just-written group dirs — metadata-only, no state re-scan.
-        # Per-bucket counts are the group total split across its
-        # touched buckets (exact when g_new == 1, proportional
-        # otherwise) — they only feed the routing threshold and the
-        # group sizing, where bounded error is harmless.  The split can
-        # never assign 0 to a bucket that holds rows: every touched
-        # bucket has >= 1 post-filter key and the kernel emits exactly
-        # one carry-out per key, so group rows >= member count and the
-        # divmod base is >= 1 (a 0 entry would lose state — readers
-        # skip rows == 0; compact_state, where TTL CAN empty arbitrary
-        # buckets, counts exactly instead).
-        touched_rows, max_lt = {t: 0 for t in touched}, None
-        for gid in sorted({t // g_new for t in touched}):
-            rows, mx = stt.footer_stats(
-                stt.part_path(state_dir, batch_id + 1, str(gid))
-            )
-            members = [t for t in touched if t // g_new == gid]
-            base, rem = divmod(rows, len(members))
-            for i, t in enumerate(members):
-                touched_rows[t] = base + (1 if i < rem else 0)
-            if mx is not None:
-                max_lt = mx if max_lt is None else max(max_lt, mx)
+        # manifest counts + watermark from parquet footer stats of the
+        # just-written group dirs (stt.split_group_counts: metadata
+        # only, proportional per-bucket split with the >=1-carry-out
+        # safety invariant documented there)
+        touched_rows, max_lt = stt.split_group_counts(
+            state_dir, batch_id + 1, touched, g_new
+        )
         _finish_batch(
             spark, batch_id, meta, touched_rows, max_lt,
             "sql" if sql_route else "arrow", g_new,

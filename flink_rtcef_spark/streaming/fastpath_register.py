@@ -34,7 +34,6 @@ the SDFA fold.
 
 from __future__ import annotations
 
-import os
 import pickle
 
 import numpy as np
@@ -168,22 +167,6 @@ def _make_partition_runner(compiled):
     return run_partition
 
 
-def _detections_view(spark, state_dir: str, batch_id: int) -> DataFrame:
-    p = stt.dets_path(state_dir, batch_id + 1)
-    if not os.path.isdir(p):
-        return spark.createDataFrame([], _DET_SCHEMA)
-    return (
-        spark.read.schema(_OUT_SCHEMA).parquet(p)
-        .filter(F.col("kind") == 0)
-        .select(
-            F.col("key"),
-            F.col("event_id").alias("detection_event_id"),
-            F.col("ts").alias("detection_ts"),
-            "counter", "min_counter", "n_matched",
-        )
-    )
-
-
 def make_foreach_batch_register(
     compiled,
     state_dir: str,
@@ -199,8 +182,10 @@ def make_foreach_batch_register(
 ):
     """Build the ``foreachBatch`` function for a register pattern.
 
-    Same contract as fastpath.make_foreach_batch_detections: one Spark
-    action per microbatch (none on the driver route), watermark and
+    Same contract as fastpath.make_foreach_batch_detections: the
+    driver route runs zero Spark actions beyond its routing collect,
+    the distributed route runs the probe (auto), the per-bucket count
+    aggregate, and the write; watermark and
     manifest row counts recovered at write time (driver route: from
     the frame in hand; distributed: parquet footer statistics —
     metadata only, never a state scan), auto routing bounded on BOTH
@@ -218,6 +203,13 @@ def make_foreach_batch_register(
         raise ValueError(f"keep_versions must be >= 1, got {keep_versions}")
     if num_buckets < 1:
         raise ValueError(f"num_buckets must be >= 1, got {num_buckets}")
+    if engine not in ("auto", "arrow", "driver"):
+        # no "sql" here: register guards are inherently Python-side
+        # (see module docstring); refuse it and typos loudly instead of
+        # silently running the distributed arrow route
+        raise ValueError(
+            f"engine must be one of auto/arrow/driver, got {engine!r}"
+        )
     if driver_max_state_rows is None:
         driver_max_state_rows = DRIVER_MAX_STATE_ROWS
     runner = _make_partition_runner(compiled)
@@ -225,25 +217,14 @@ def make_foreach_batch_register(
     ev_cols = ["key", "ts", "event_id", "bits", *attrs]
 
     def _finish_batch(
-        spark, batch_id: int, meta: dict,
-        touched_rows: dict[int, int], max_lt: int | None,
-        engine_used: str, group_size_: int,
+        spark, batch_id, meta, touched_rows, max_lt, engine_used, g
     ) -> None:
-        wm = meta["watermark_ms"]
-        new_wm = wm
-        if max_lt is not None and max_lt >= 0:
-            cand = max_lt - watermark_delay_ms
-            new_wm = cand if wm is None else max(int(wm), cand)
-        stt.write_meta(
-            state_dir, batch_id + 1,
-            stt.next_meta(
-                meta, batch_id, touched_rows, new_wm, engine_used,
-                group_size_,
-            ),
+        stt.finish_batch(
+            spark, state_dir, batch_id, meta, touched_rows, max_lt,
+            engine_used, g, watermark_delay_ms=watermark_delay_ms,
+            keep_versions=keep_versions, sink=sink,
+            out_schema=_OUT_SCHEMA, det_schema=_DET_SCHEMA,
         )
-        if sink is not None:
-            sink(_detections_view(spark, state_dir, batch_id), batch_id)
-        stt.gc_versions(state_dir, batch_id, keep_versions)
 
     def _driver_batch(
         events_pdf: pd.DataFrame, batch_id: int, meta: dict
@@ -409,17 +390,9 @@ def make_foreach_batch_register(
         out.write.mode("overwrite").partitionBy("pdir").parquet(
             stt.data_path(state_dir, batch_id + 1)
         )
-        touched_rows, max_lt = {t: 0 for t in touched}, None
-        for gid in sorted({t // g_new for t in touched}):
-            rows, mx = stt.footer_stats(
-                stt.part_path(state_dir, batch_id + 1, str(gid))
-            )
-            members = [t for t in touched if t // g_new == gid]
-            base, rem = divmod(rows, len(members))
-            for i, t in enumerate(members):
-                touched_rows[t] = base + (1 if i < rem else 0)
-            if mx is not None:
-                max_lt = mx if max_lt is None else max(max_lt, mx)
+        touched_rows, max_lt = stt.split_group_counts(
+            state_dir, batch_id + 1, touched, g_new
+        )
         _finish_batch(
             spark, batch_id, meta, touched_rows, max_lt, "arrow", g_new
         )

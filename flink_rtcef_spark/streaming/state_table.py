@@ -142,9 +142,17 @@ def dets_path(state_dir: str, version: int) -> str:
 
 def read_meta(state_dir: str, version: int, num_buckets: int) -> dict:
     """The manifest for ``version`` (written by the previous batch), or
-    the empty-state default.  ``buckets`` maps bucket id (str — JSON
-    keys) -> [owner_version, row_count]; ``group_size`` is the physical
-    grouping of the buckets THIS version wrote."""
+    — for version 0 only — the empty-state default.  ``buckets`` maps
+    bucket id (str — JSON keys) -> [owner_version, row_count];
+    ``group_size`` is the physical grouping of the buckets THIS version
+    wrote.
+
+    A MISSING manifest for version > 0 is an error, never an empty
+    default: the manifest is the bucket-ownership map, so treating a
+    lost/unflushed meta.json (or a mistyped state_dir on restart) as
+    "no state" would silently drop every carried run and permanently
+    orphan the prior versions.  Only batch 0 legitimately starts
+    without one."""
     p = os.path.join(version_path(state_dir, version), "meta.json")
     if os.path.exists(p):
         with open(p) as f:
@@ -157,6 +165,15 @@ def read_meta(state_dir: str, version: int, num_buckets: int) -> dict:
                 f"restart with the original value or use a fresh state_dir"
             )
         return meta
+    if version > 0:
+        raise ValueError(
+            f"state manifest v{version}/meta.json is missing under "
+            f"{state_dir} while the stream's checkpoint says batch "
+            f"{version} should resume from it — the state dir was lost, "
+            f"truncated, or does not match this checkpoint; refusing to "
+            f"continue with empty state (that would silently drop every "
+            f"carried run)"
+        )
     return {
         "watermark_ms": None,
         "num_buckets": num_buckets,
@@ -167,10 +184,20 @@ def read_meta(state_dir: str, version: int, num_buckets: int) -> dict:
 
 
 def write_meta(state_dir: str, version: int, meta: dict) -> None:
+    """Durable + atomic: the manifest is the load-bearing ownership
+    map, so it is fsynced and moved into place with os.replace — a
+    crash mid-write leaves either the old manifest or the new one,
+    never a torn or missing file (read_meta refuses to default for
+    version > 0, so 'missing' must stay impossible in normal
+    operation)."""
     p = version_path(state_dir, version)
     os.makedirs(p, exist_ok=True)
-    with open(os.path.join(p, "meta.json"), "w") as f:
+    tmp = os.path.join(p, ".meta.json.tmp")
+    with open(tmp, "w") as f:
         json.dump(meta, f)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, os.path.join(p, "meta.json"))
 
 
 def _owner_group_size(state_dir: str, version: int) -> int:
@@ -380,6 +407,94 @@ def write_state_pandas(
             ),
         )
     return g
+
+
+def detections_view(
+    spark, state_dir: str, batch_id: int, out_schema: str, det_schema: str
+):
+    """Lazy view over the written batch's detections (the ``pdir=d``
+    dir of ``v{batch_id + 1}``); an empty frame when the batch detected
+    nothing (no dir is written then)."""
+    p = dets_path(state_dir, batch_id + 1)
+    if not os.path.isdir(p):
+        return spark.createDataFrame([], det_schema)
+    return (
+        spark.read.schema(out_schema).parquet(p)
+        .filter(F.col("kind") == 0)
+        .select(
+            F.col("key"),
+            F.col("event_id").alias("detection_event_id"),
+            F.col("ts").alias("detection_ts"),
+            "counter", "min_counter", "n_matched",
+        )
+    )
+
+
+def split_group_counts(
+    state_dir: str, version: int, touched: list[int], group_size_: int
+) -> tuple[dict[int, int], int | None]:
+    """Manifest counts + max carried last_ts for a freshly written
+    version, from parquet FOOTER stats of its group dirs — metadata
+    only, no state re-scan.  Per-bucket counts are the group total
+    split across its touched buckets (exact when group_size == 1,
+    proportional otherwise) — they only feed the routing threshold and
+    the group sizing, where bounded error is harmless.  The split can
+    never assign 0 to a bucket that holds rows: every touched bucket
+    has >= 1 post-filter key and the kernel emits exactly one carry-out
+    per key, so group rows >= member count and the divmod base is >= 1
+    (a 0 entry would lose state — readers skip rows == 0;
+    compact_state, where TTL CAN empty arbitrary buckets, counts
+    exactly instead)."""
+    touched_rows, max_lt = {t: 0 for t in touched}, None
+    for gid in sorted({t // group_size_ for t in touched}):
+        rows, mx = footer_stats(part_path(state_dir, version, str(gid)))
+        members = [t for t in touched if t // group_size_ == gid]
+        base, rem = divmod(rows, len(members))
+        for i, t in enumerate(members):
+            touched_rows[t] = base + (1 if i < rem else 0)
+        if mx is not None:
+            max_lt = mx if max_lt is None else max(max_lt, mx)
+    return touched_rows, max_lt
+
+
+def finish_batch(
+    spark,
+    state_dir: str,
+    batch_id: int,
+    meta: dict,
+    touched_rows: dict[int, int],
+    max_lt: int | None,
+    engine_used: str,
+    group_size_: int,
+    *,
+    watermark_delay_ms: int,
+    keep_versions: int,
+    sink,
+    out_schema: str,
+    det_schema: str,
+) -> None:
+    """Common tail for BOTH fast paths once ``v{batch_id+1}``'s data
+    exists: fold the new max carried last_ts into the watermark
+    (monotone: the outer max with the previous value guards against
+    expiry regressions), write the manifest, deliver the sink view, GC
+    stale versions."""
+    wm = meta["watermark_ms"]
+    new_wm = wm
+    if max_lt is not None and max_lt >= 0:
+        cand = max_lt - watermark_delay_ms
+        new_wm = cand if wm is None else max(int(wm), cand)
+    write_meta(
+        state_dir, batch_id + 1,
+        next_meta(meta, batch_id, touched_rows, new_wm, engine_used,
+                  group_size_),
+    )
+    if sink is not None:
+        sink(
+            detections_view(spark, state_dir, batch_id, out_schema,
+                            det_schema),
+            batch_id,
+        )
+    gc_versions(state_dir, batch_id, keep_versions)
 
 
 def compact_state(

@@ -178,3 +178,67 @@ def test_fastpath_register_restart_resumes_exactly_once(spark, tmp_path):
     want = _batch_want(spark, rows)
     assert len(want) > 0
     assert got.astype(str).equals(want.astype(str))
+
+
+def test_fastpath_register_routes_distributed_on_big_state(spark, tmp_path):
+    """State-size routing twin of the deterministic fast path's test:
+    batch 0 seeds many keys' config sets; batch 1 is tiny but its
+    buckets carry more rows than driver_max_state_rows, so it must run
+    distributed (arrow) — recorded in the manifest's engine_used."""
+    import json
+
+    src = str(tmp_path / "src")
+    rows0 = [(f"k{i}", 10 + i, i, "A", 1.0) for i in range(400)]
+    _write_chunks(spark, src, rows0, 1)
+    spark.createDataFrame(
+        [(f"k{i}", 900 + i, 2000 + i, "B", 5.0) for i in range(3)], SCHEMA
+    ).coalesce(1).write.mode("overwrite").parquet(f"{src}/c1")
+
+    got = _run(
+        spark, src, str(tmp_path), "bigstate",
+        driver_max_rows=1000, driver_max_state_rows=100, num_buckets=4,
+    )
+    state_dir = f"{tmp_path}/bigstate_state"
+    with open(f"{state_dir}/v1/meta.json") as f:
+        m1 = json.load(f)
+    with open(f"{state_dir}/v2/meta.json") as f:
+        m2 = json.load(f)
+    assert m1["engine_used"] == "driver" and m1["state_rows"] == 400
+    assert m2["engine_used"] == "arrow", m2
+    # the three B's (value 5 > stored x=1) complete their matches
+    assert len(got) == 3, got
+
+
+def test_fastpath_register_offline_compaction(spark, tmp_path):
+    """compact_state works on the register layout too (blob state
+    column): TTL-swept config sets leave disk, survivors still match
+    after a restart over the same checkpoint."""
+    import json
+
+    from flink_rtcef_spark.streaming import state_table as stt
+    from flink_rtcef_spark.streaming.fastpath_register import _OUT_SCHEMA
+
+    src = str(tmp_path / "src")
+    rows0 = [(f"stale{i}", 10, i, "A", 1.0) for i in range(150)]
+    rows0 += [("klive", 500, 900, "A", 1.0), ("wm", 520, 901, "A", 0.0)]
+    _write_chunks(spark, src, rows0, 1)
+
+    state_dir = f"{tmp_path}/rcmp_state"
+    got1 = _run(
+        spark, src, str(tmp_path), "rcmp", ttl_ms=60_000, num_buckets=8
+    )
+    assert got1.empty
+    res = stt.compact_state(
+        spark, state_dir, _OUT_SCHEMA, state_ttl_ms=60_000
+    )
+    assert res["rows_before"] == 152 and res["rows_after"] == 2, res
+
+    spark.createDataFrame(
+        [("klive", 560, 950, "B", 7.0), ("stale0", 561, 951, "B", 7.0)],
+        SCHEMA,
+    ).coalesce(1).write.mode("overwrite").parquet(f"{src}/c1")
+    got2 = _run(
+        spark, src, str(tmp_path), "rcmp", ttl_ms=60_000, num_buckets=8
+    )
+    assert len(got2[got2["key"] == "klive"]) == 1
+    assert got2[got2["key"] == "stale0"].empty

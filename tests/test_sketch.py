@@ -563,8 +563,12 @@ def test_bloom_probe_validates_build_parameters(spark):
     """Probing with parameters different from the build silently
     produces FALSE NEGATIVES (k bits land in different words), so the
     sketch embeds (m, k, prehashed) in a word=-1 parameter row and the
-    probe fails fast on any mismatch (round-4 advice)."""
+    probe fails on any mismatch (round-4 advice).  The default check
+    is in-plan (no extra Spark action — surfaces at execution);
+    validate="strict" is eager and also rejects a missing parameter
+    row."""
     import pytest
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
 
     from flink_rtcef_spark.operators.sketch import (
         bloom_build,
@@ -574,23 +578,37 @@ def test_bloom_probe_validates_build_parameters(spark):
 
     vals = spark.range(200).selectExpr("id AS v")
     sk = bloom_build(vals, "v", 1 << 12, 4)
-    # matching parameters: fine
+    # matching parameters: fine (both modes)
     assert bloom_filter_members(vals, "v", sk, 1 << 12, 4).count() >= 200
-    # wrong m / wrong k / wrong prehashed: each refused
+    assert bloom_filter_members(
+        vals, "v", sk, 1 << 12, 4, validate="strict"
+    ).count() >= 200
+    # wrong m / wrong k / wrong prehashed: each refused — in-plan at
+    # action time, strict at call time
     for m, k, pre in [(1 << 13, 4, False), (1 << 12, 3, False),
                       (1 << 12, 4, True)]:
+        with pytest.raises(SparkRuntimeException, match="do not match"):
+            bloom_filter_members(vals, "v", sk, m, k, prehashed=pre).count()
         with pytest.raises(ValueError, match="do not match"):
-            bloom_filter_members(vals, "v", sk, m, k, prehashed=pre)
+            bloom_filter_members(
+                vals, "v", sk, m, k, prehashed=pre, validate="strict"
+            )
     # a merge of sketches built with DIFFERENT parameters is not a
     # valid bloom filter at all — its OR-ed parameter row is
-    # self-inconsistent and the probe refuses it
+    # self-inconsistent and both modes refuse it
     bad = bloom_merge(sk, bloom_build(vals, "v", 1 << 13, 4))
+    with pytest.raises(SparkRuntimeException, match="do not match"):
+        bloom_filter_members(vals, "v", bad, 1 << 12, 4).count()
     with pytest.raises(ValueError, match="self-inconsistent"):
-        bloom_filter_members(vals, "v", bad, 1 << 12, 4)
-    # a sketch stripped of its parameter row is refused by default ...
+        bloom_filter_members(vals, "v", bad, 1 << 12, 4, validate="strict")
+    # a sketch stripped of its parameter row: the in-plan guard has no
+    # row to fire on (documented pass-through); strict refuses it
     naked = sk.filter("word >= 0")
+    assert bloom_filter_members(
+        vals, "v", naked, 1 << 12, 4
+    ).count() >= 200
     with pytest.raises(ValueError, match="no parameter row"):
-        bloom_filter_members(vals, "v", naked, 1 << 12, 4)
-    # ... but probe-able with validate=False (caller takes the risk)
+        bloom_filter_members(vals, "v", naked, 1 << 12, 4, validate="strict")
+    # ... and validate=False skips everything (caller takes the risk)
     out = bloom_filter_members(vals, "v", naked, 1 << 12, 4, validate=False)
     assert out.count() >= 200
