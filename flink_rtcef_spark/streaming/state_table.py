@@ -617,6 +617,59 @@ def compact_state(
     }
 
 
+def state_table_stats(state_dir: str) -> dict:
+    """Operational inspection without touching a single data page:
+    the latest manifest's logical view (live buckets, rows, owners,
+    watermark) plus the physical footprint on disk (versions, files,
+    bytes).  The ratio bytes / state_rows rising over time is the
+    signal that a TTL sweep (:func:`compact_state`) would pay off."""
+    if not os.path.isdir(state_dir):
+        raise ValueError(f"no state versions under {state_dir}")
+    latest, meta = None, None
+    for name in os.listdir(state_dir):
+        if not name.startswith("v"):
+            continue
+        try:
+            v = int(name[1:])
+        except ValueError:
+            continue
+        p = os.path.join(version_path(state_dir, v), "meta.json")
+        if v >= 0 and os.path.exists(p) and (latest is None or v > latest):
+            latest = v
+    if latest is None:
+        raise ValueError(f"no state versions under {state_dir}")
+    with open(os.path.join(version_path(state_dir, latest), "meta.json")) as f:
+        meta = json.load(f)
+    owners: dict[int, int] = {}
+    for _bid, (owner, _rows) in meta["buckets"].items():
+        owners[owner] = owners.get(owner, 0) + 1
+    n_versions, n_files, n_bytes = 0, 0, 0
+    for name in os.listdir(state_dir):
+        if not name.startswith("v"):
+            continue
+        vdir = os.path.join(state_dir, name)
+        if not os.path.isdir(vdir):
+            continue
+        n_versions += 1
+        for root, _dirs, files in os.walk(vdir):
+            for fn in files:
+                if fn.endswith(".parquet"):
+                    n_files += 1
+                    n_bytes += os.path.getsize(os.path.join(root, fn))
+    return {
+        "latest_version": latest,
+        "watermark_ms": meta["watermark_ms"],
+        "num_buckets": meta["num_buckets"],
+        "state_rows": meta["state_rows"],
+        "live_buckets": len(meta["buckets"]),
+        "buckets_per_owner": dict(sorted(owners.items())),
+        "engine_last_batch": meta.get("engine_used"),
+        "versions_on_disk": n_versions,
+        "parquet_files": n_files,
+        "parquet_bytes": n_bytes,
+    }
+
+
 def gc_versions(state_dir: str, batch_id: int, keep_versions: int) -> None:
     """Prune old versions WITHOUT breaking the manifest's carry-forward
     references: versions newer than ``batch_id - keep_versions`` stay

@@ -207,3 +207,29 @@ def test_read_meta_pins_num_buckets(tmp_path):
     # missing meta: the empty default with the caller's layout
     fresh = stt.read_meta(sd, 0, 128)
     assert fresh["buckets"] == {} and fresh["num_buckets"] == 128
+
+
+def test_state_table_stats_reports_logical_and_physical(spark, tmp_path):
+    """state_table_stats: the latest manifest's logical view + the
+    on-disk footprint, with zero data pages read — the ops hook for
+    deciding when a compaction sweep pays off."""
+    sd = str(tmp_path)
+    k1, k2 = _key_in_bucket(1), _key_in_bucket(2)
+    _write_version(tmp_path, 0, 2, {1: [(1, k1, 10)]})
+    _write_version(tmp_path, 3, 1, {2: [(1, k2, 30)]})
+    stt.write_meta(sd, 3, {
+        "watermark_ms": 25, "num_buckets": 16, "group_size": 1,
+        "buckets": {"1": [0, 1], "2": [3, 1]}, "state_rows": 2,
+        "engine_used": "driver",
+    })
+    s = stt.state_table_stats(sd)
+    assert s["latest_version"] == 3
+    assert s["watermark_ms"] == 25
+    assert s["state_rows"] == 2 and s["live_buckets"] == 2
+    assert s["buckets_per_owner"] == {0: 1, 3: 1}
+    assert s["engine_last_batch"] == "driver"
+    assert s["versions_on_disk"] == 2
+    assert s["parquet_files"] == 2 and s["parquet_bytes"] > 0
+
+    with pytest.raises(ValueError, match="no state versions"):
+        stt.state_table_stats(str(tmp_path / "nowhere_made"))
