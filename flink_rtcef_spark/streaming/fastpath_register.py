@@ -304,11 +304,13 @@ def make_foreach_batch_register(
         wm = meta["watermark_ms"]
 
         events_pdf = None
+        # Arrow collect — see fastpath.py (measured 204 -> 77 ms probe)
         if engine == "driver":
-            events_pdf = batch_df.select(*ev_cols).toPandas()
+            events_pdf = batch_df.select(*ev_cols).toArrow().to_pandas()
         elif engine == "auto":
             probe = (
-                batch_df.select(*ev_cols).limit(driver_max_rows + 1).toPandas()
+                batch_df.select(*ev_cols)
+                .limit(driver_max_rows + 1).toArrow().to_pandas()
             )
             if len(probe) <= driver_max_rows:
                 live = probe if wm is None else probe[probe["ts"] >= int(wm)]
