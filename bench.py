@@ -64,6 +64,12 @@ HEADLINE = [
     # decontamination (simhash_16 rotated out with its registry slot)
     "hist_quantiles_value",
     "decontam_bloom_hits",
+    # r6 additions: the temporal-join operators promoted to
+    # driver-checked oracle queries (as-of, binned range,
+    # interval-overlap — operators/joins.py)
+    "asof_prior_click",
+    "range_join_purchase_clicks",
+    "interval_overlap_orders",
 ]
 
 N_ITER = 3

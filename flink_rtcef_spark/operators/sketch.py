@@ -1083,13 +1083,48 @@ def bloom_build(
     )
 
 
-def bloom_merge(*sketches: DataFrame) -> DataFrame:
+def bloom_merge(*sketches: DataFrame, require_meta: bool = True) -> DataFrame:
     """Union of the underlying sets: OR the words (associative,
-    commutative, idempotent — bloom(A) merged twice is bloom(A))."""
+    commutative, idempotent — bloom(A) merged twice is bloom(A)).
+
+    ``require_meta`` (default True) guards the mixed-merge hazard: a
+    shard with NO parameter row (streamed accumulation, pre-upgrade
+    persisted sketch) contributes nothing to the merged word = -1 row,
+    so a naked shard built with different (m, k, prehashed) would pass
+    both probe-validation modes and yield undetected false negatives.
+    The guard is in-plan (no extra action): the merged meta row carries
+    a count of contributing shards, and raises at evaluation when it
+    differs from the number of merged sketches — every shard must bring
+    exactly one parameter row.  (If NO shard has one, there is no
+    word = -1 row to guard; that case stays covered by the probe's
+    ``validate="strict"``, which rejects meta-less sketches outright.)
+    ``require_meta=False`` restores the raw OR for deliberately
+    parameter-less sketches (the hazard is then the caller's to
+    manage)."""
     out = sketches[0]
     for extra in sketches[1:]:
         out = out.unionByName(extra)
-    return out.groupBy("word").agg(F.bit_or("bits").alias("bits"))
+    merged = out.groupBy("word").agg(
+        F.bit_or("bits").alias("bits"),
+        F.count(F.lit(1)).alias("__bloom_shards"),
+    )
+    if require_meta:
+        n = len(sketches)
+        guard = F.when(
+            (F.col("word") == F.lit(_BLOOM_META_WORD))
+            & (F.col("__bloom_shards") != F.lit(n)),
+            F.raise_error(F.lit(
+                f"bloom_merge of {n} sketches found a word = -1 parameter-"
+                f"row count different from {n}: a merged shard has no "
+                f"parameter row (not built by bloom_build, or the row was "
+                f"filtered out) or duplicate ones; a parameter-less shard "
+                f"built with different (m, k, prehashed) would silently "
+                f"produce false negatives — pass require_meta=False to "
+                f"merge parameter-less sketches at your own risk"
+            )).cast("long"),
+        ).otherwise(F.col("bits"))
+        merged = merged.withColumn("bits", guard)
+    return merged.drop("__bloom_shards")
 
 
 def bloom_filter_members(
@@ -1100,6 +1135,7 @@ def bloom_filter_members(
     k: int = BLOOM_K,
     prehashed: bool = False,
     validate: bool = True,
+    join_strategy: str = "broadcast",
 ) -> DataFrame:
     """Rows of ``probes`` whose value MIGHT be in the sketched set
     (never drops a true member; keeps false positives at the filter's
@@ -1125,7 +1161,15 @@ def bloom_filter_members(
     whose parameter row is missing, at the cost of one evaluation of
     the sketch plan.  ``validate=False`` skips both — for call sites
     where build and probe parameters are provably the same variables
-    (e.g. decontam.contamination_hits_bloom)."""
+    (e.g. decontam.contamination_hits_bloom).
+
+    ``join_strategy`` is a plan-pinning knob: "broadcast" (the
+    production default — the bitset is <= m/64 rows) or a join hint
+    name ("merge", "shuffle_hash") used by regression tests to force
+    non-broadcast physical strategies through the SAME in-plan guard,
+    so an optimizer change that starts skipping the never-joined
+    word = -1 row (runtime join-key filtering, projection pushdown)
+    is caught by the suite rather than silently disabling validation."""
     _validate_bloom(m, k, prehashed)
     if validate == "strict":
         meta_rows = sketch.filter(
@@ -1170,15 +1214,17 @@ def bloom_filter_members(
               for n in ("w", "mask", "b")):
         suffix += "_"
     cw, cm, cb = (f"__bloom_{n}{suffix}" for n in ("w", "mask", "b"))
+    build_side = sketch.select(
+        F.col("word").alias(cw), F.col("bits").alias(cb)
+    )
+    if join_strategy == "broadcast":
+        build_side = F.broadcast(build_side)
+    else:
+        build_side = build_side.hint(join_strategy)
     return (
         probes.withColumn(cw, word)
         .withColumn(cm, mask)
-        .join(
-            F.broadcast(
-                sketch.select(F.col("word").alias(cw), F.col("bits").alias(cb))
-            ),
-            cw,
-        )
+        .join(build_side, cw)
         .filter(F.col(cb).bitwiseAND(F.col(cm)) == F.col(cm))
         .drop(cw, cm, cb)
     )

@@ -644,3 +644,143 @@ def sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id", F.sum("new_session").over(cum).alias("session_id")
     )
     return sessions.groupBy("user_id", "session_id").agg(F.count(F.lit(1)).alias("n_events"))
+
+
+# --------------------------------------------------------------------------
+# Temporal joins the engine adds beyond Spark's built-ins
+# (operators/joins.py) — driver-checked here against DuckDB's native
+# ASOF JOIN / range predicates so the single-shuffle rewrites are
+# hash-verified, not just pytest-gated.
+
+# As-of join: each purchase enriched with the user's most recent click
+# at-or-before it (the classic feature-pipeline "state at event time"
+# shape).  Clicks are pre-deduped per (user_id, t_ms) so the match is
+# deterministic on both engines; unmatched purchases keep NULLs (LEFT
+# semantics).  Our plan is ONE shuffle on user_id + a merged-order
+# window — no join blow-up (joins.py:as_of_join).
+_ASOF_SQL = """
+    WITH c AS (
+      SELECT user_id, epoch_ms(ts) AS t_ms, MAX(value) AS click_value
+      FROM events WHERE event_type = 'click' GROUP BY 1, 2
+    ),
+    p AS (
+      SELECT event_id, user_id, epoch_ms(ts) AS ts_ms
+      FROM events WHERE event_type = 'purchase'
+    )
+    SELECT p.event_id, p.user_id, p.ts_ms,
+           c.t_ms AS click_ts_ms, c.click_value
+    FROM p ASOF LEFT JOIN c
+      ON p.user_id = c.user_id AND c.t_ms <= p.ts_ms
+"""
+
+
+@query("asof_prior_click", oracle=_ASOF_SQL)
+def asof_prior_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_rtcef_spark.operators.joins import as_of_join
+
+    ev = load_table(spark, sf_dir, "events")
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("user_id", F.unix_millis("ts").alias("t_ms"))
+        .agg(F.max("value").alias("click_value"))
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", F.unix_millis("ts").alias("ts_ms")
+    )
+    return as_of_join(
+        purchases, clicks, on="user_id", left_ts="ts_ms", right_ts="t_ms",
+        right_cols=["click_value"],
+    ).withColumnRenamed("t_ms_right", "click_ts_ms")
+
+
+# Binned range join: clicks landing in the 6 h window after each
+# purchase, counted per purchase — point-in-interval via an equi join
+# on a bin id (one bin per point, span/bin_width+1 bins per interval)
+# instead of the BroadcastNestedLoopJoin a raw range predicate gets
+# (joins.py:range_join_binned).
+_RANGE_SQL = """
+    WITH p AS (
+      SELECT event_id AS purchase_id, user_id,
+             epoch_ms(ts) AS lo, epoch_ms(ts) + 21600000 AS hi
+      FROM events WHERE event_type = 'purchase'
+    ),
+    c AS (
+      SELECT user_id, epoch_ms(ts) AS t_ms
+      FROM events WHERE event_type = 'click'
+    )
+    SELECT p.purchase_id, COUNT(*) AS n_clicks
+    FROM p JOIN c
+      ON c.user_id = p.user_id AND c.t_ms BETWEEN p.lo AND p.hi
+    GROUP BY 1
+"""
+
+
+@query("range_join_purchase_clicks", oracle=_RANGE_SQL)
+def range_join_purchase_clicks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_rtcef_spark.operators.joins import range_join_binned
+
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.unix_millis("ts").alias("t_ms")
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.unix_millis("ts").alias("lo"),
+        (F.unix_millis("ts") + F.lit(21600000)).alias("hi"),
+    )
+    return (
+        range_join_binned(
+            clicks, purchases, "t_ms", "lo", "hi",
+            bin_width=21600000, on="user_id",
+        )
+        .groupBy("purchase_id")
+        .agg(F.count(F.lit(1)).alias("n_clicks"))
+    )
+
+
+# Interval-overlap join: pairs of SAME-customer orders whose 7-day
+# fulfilment windows overlap — interval x interval with no usable equi
+# key beyond the customer, executed as bin-replicated equi join with
+# the canonical-bin trick emitting each pair exactly once
+# (joins.py:interval_overlap_join).  Pairs are ordered a < b so the
+# symmetric self-join halves deterministically.
+_OVERLAP_SQL = """
+    WITH iv AS (
+      SELECT o_orderkey, o_custkey, epoch_ms(o_orderdate) AS lo,
+             epoch_ms(o_orderdate) + 604800000 AS hi
+      FROM orders
+    )
+    SELECT a.o_orderkey AS a_orderkey, b.o_orderkey AS b_orderkey,
+           LEAST(a.hi, b.hi) - GREATEST(a.lo, b.lo) AS overlap_ms
+    FROM iv a JOIN iv b
+      ON a.o_custkey = b.o_custkey AND a.lo <= b.hi AND b.lo <= a.hi
+         AND a.o_orderkey < b.o_orderkey
+"""
+
+
+@query("interval_overlap_orders", oracle=_OVERLAP_SQL)
+def interval_overlap_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_rtcef_spark.operators.joins import interval_overlap_join
+
+    def _iv(side: str) -> DataFrame:
+        o = load_table(spark, sf_dir, "orders")
+        lo = F.unix_millis("o_orderdate")
+        return o.select(
+            F.col("o_orderkey").alias(f"{side}_orderkey"),
+            "o_custkey",
+            lo.alias(f"{side}_lo"),
+            (lo + F.lit(604800000)).alias(f"{side}_hi"),
+        )
+
+    pairs = interval_overlap_join(
+        _iv("a"), _iv("b"), "a_lo", "a_hi", "b_lo", "b_hi",
+        bin_width=604800000, on="o_custkey",
+    ).filter(F.col("a_orderkey") < F.col("b_orderkey"))
+    return pairs.select(
+        "a_orderkey",
+        "b_orderkey",
+        (
+            F.least("a_hi", "b_hi") - F.greatest("a_lo", "b_lo")
+        ).alias("overlap_ms"),
+    )

@@ -198,6 +198,15 @@ def write_meta(state_dir: str, version: int, meta: dict) -> None:
         f.flush()
         os.fsync(f.fileno())
     os.replace(tmp, os.path.join(p, "meta.json"))
+    # fsync the DIRECTORY too: os.replace only orders the rename within
+    # the dir's in-memory state — a power failure after the streaming
+    # checkpoint commits could otherwise lose the rename itself, and
+    # read_meta fail-stops on a missing manifest for version > 0
+    dfd = os.open(p, os.O_RDONLY)
+    try:
+        os.fsync(dfd)
+    finally:
+        os.close(dfd)
 
 
 def _owner_group_size(state_dir: str, version: int) -> int:
@@ -291,6 +300,16 @@ def footer_stats(dir_path: str, ts_col: str = "last_ts") -> tuple[int, int | Non
              if md.schema.column(i).name == ts_col),
             None,
         )
+        if ci is None:
+            # a foreign/corrupt file in the state dir — name it rather
+            # than letting the single-column fallback raise an opaque
+            # pyarrow KeyError
+            raise ValueError(
+                f"parquet file {fp} has no column {ts_col!r} "
+                f"(columns: {[md.schema.column(i).name for i in range(md.num_columns)]}); "
+                f"the state dir holds a file this state table did not "
+                f"write — remove it or point at the right state_dir"
+            )
         file_mx, need_fallback = None, False
         for g in range(md.num_row_groups):
             st = md.row_group(g).column(ci).statistics if ci is not None else None
@@ -546,7 +565,22 @@ def compact_state(
     with open(os.path.join(version_path(state_dir, latest), "meta.json")) as f:
         meta = json.load(f)
     num_buckets = meta["num_buckets"]
-    wm = meta["watermark_ms"] if watermark_ms is None else watermark_ms
+    stored_wm = meta["watermark_ms"]
+    if (
+        watermark_ms is not None
+        and stored_wm is not None
+        and watermark_ms < stored_wm
+    ):
+        # a regressed watermark on resume would re-admit late events and
+        # shift TTL expiry — the monotonicity finish_batch guards must
+        # hold through compaction too
+        raise ValueError(
+            f"compact_state watermark override {watermark_ms} is below "
+            f"the stored watermark {stored_wm} for {state_dir}; the "
+            f"watermark is monotone — pass a value >= the stored one "
+            f"(or None to keep it)"
+        )
+    wm = stored_wm if watermark_ms is None else watermark_ms
     touched = sorted(int(b) for b in meta["buckets"])
     rows_before = meta["state_rows"]
 

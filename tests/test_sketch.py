@@ -612,3 +612,90 @@ def test_bloom_probe_validates_build_parameters(spark):
     # ... and validate=False skips everything (caller takes the risk)
     out = bloom_filter_members(vals, "v", naked, 1 << 12, 4, validate=False)
     assert out.count() >= 200
+
+
+def test_bloom_guard_fires_under_nonbroadcast_join_strategies(spark):
+    """The in-plan parameter guard lives on the word=-1 row, which
+    never matches a probe's join key — this pins that Catalyst still
+    evaluates the guarded projection for never-joined build rows under
+    EVERY physical join strategy (round-5 advice: a future optimizer
+    change such as runtime join-key filtering could silently skip that
+    row and disable validation; this test turns that into a loud suite
+    failure)."""
+    import pytest
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+
+    from flink_rtcef_spark.operators.sketch import (
+        bloom_build,
+        bloom_filter_members,
+    )
+
+    vals = spark.range(500).selectExpr("id AS v")
+    members = vals.filter("v % 3 = 0")
+    sk = bloom_build(members, "v", 1 << 12, 4)
+    true = {r.v for r in members.collect()}
+    for strategy, marker in [
+        ("broadcast", "BroadcastHashJoin"),
+        ("merge", "SortMergeJoin"),
+        ("shuffle_hash", "ShuffledHashJoin"),
+    ]:
+        ok = bloom_filter_members(
+            vals, "v", sk, 1 << 12, 4, join_strategy=strategy
+        )
+        # the forced strategy is actually in the executed plan (else the
+        # test would silently degrade to re-testing broadcast)
+        plan = ok._jdf.queryExecution().executedPlan().toString()
+        assert marker in plan, (strategy, plan)
+        got = {r.v for r in ok.collect()}
+        assert true <= got, strategy  # no false negatives on any path
+        with pytest.raises(SparkRuntimeException, match="do not match"):
+            bloom_filter_members(
+                vals, "v", sk, 1 << 13, 4, join_strategy=strategy
+            ).count()
+
+
+def test_bloom_merge_requires_meta_row_per_shard(spark):
+    """bloom_merge's mixed-merge guard (round-5 advice): a parameter-
+    rowed shard merged with a parameter-less one used to inherit the
+    single meta row, so a naked shard built with DIFFERENT parameters
+    passed both probe-validation modes — false negatives with no
+    signal.  Now the merged meta row's shard count must equal the
+    number of merged sketches."""
+    import pytest
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+
+    from flink_rtcef_spark.operators.sketch import (
+        bloom_build,
+        bloom_filter_members,
+        bloom_merge,
+    )
+
+    vals = spark.range(300).selectExpr("id AS v")
+    a = bloom_build(vals.filter("v % 2 = 0"), "v", 1 << 12, 4)
+    b = bloom_build(vals.filter("v % 2 = 1"), "v", 1 << 12, 4)
+    # the hazard case: one shard stripped of its parameter row — even a
+    # same-parameters naked shard is refused (the merge cannot tell)
+    naked = b.filter("word >= 0")
+    with pytest.raises(SparkRuntimeException, match="parameter"):
+        bloom_merge(a, naked).collect()
+    # ... and the guard travels through the probe path too
+    with pytest.raises(SparkRuntimeException, match="parameter"):
+        bloom_filter_members(
+            vals, "v", bloom_merge(a, naked), 1 << 12, 4
+        ).count()
+    # opt-out restores the raw OR
+    assert bloom_merge(a, naked, require_meta=False).count() > 0
+    # healthy merges keep working, including merge-of-merged (the
+    # merged sketch carries exactly one meta row, counting as 1 shard)
+    m2 = bloom_merge(a, b)
+    m3 = bloom_merge(m2, bloom_build(vals.filter("v % 7 = 0"),
+                                     "v", 1 << 12, 4))
+    assert {r.v for r in vals.collect()} <= {
+        r.v for r in bloom_filter_members(vals, "v", m3, 1 << 12, 4).collect()
+    }
+    # all-naked merges stay pass-through at merge time (no meta row to
+    # count) and are caught by the probe's strict mode as before
+    an = bloom_merge(a.filter("word >= 0"), naked)
+    an.collect()
+    with pytest.raises(ValueError, match="no parameter row"):
+        bloom_filter_members(vals, "v", an, 1 << 12, 4, validate="strict")

@@ -164,6 +164,22 @@ def test_footer_stats_metadata_only(tmp_path):
     assert stt.footer_stats(str(tmp_path / "missing")) == (0, None)
 
 
+def test_footer_stats_names_foreign_file_missing_ts_col(tmp_path):
+    """A parquet file WITHOUT the state schema's ts column in the state
+    dir (a foreign/corrupt file) is a diagnosable error naming the file
+    and the missing column — not an opaque pyarrow KeyError from the
+    statistics fallback's single-column read (round-5 advice)."""
+    import pyarrow.parquet as pq
+
+    d = tmp_path / "pdir=0"
+    os.makedirs(d)
+    pq.write_table(
+        pa.table({"something_else": [1, 2, 3]}), str(d / "alien.parquet")
+    )
+    with pytest.raises(ValueError, match="alien.parquet.*last_ts"):
+        stt.footer_stats(str(d))
+
+
 def test_gc_keeps_referenced_groups_drops_the_rest(tmp_path):
     sd = str(tmp_path)
     # v0 wrote buckets {0,1(gid 0 @ g=2)} and {4,5(gid 2)}; also dets
@@ -207,6 +223,29 @@ def test_read_meta_pins_num_buckets(tmp_path):
     # missing meta: the empty default with the caller's layout
     fresh = stt.read_meta(sd, 0, 128)
     assert fresh["buckets"] == {} and fresh["num_buckets"] == 128
+
+
+def test_compact_state_refuses_watermark_regression(spark, tmp_path):
+    """compact_state writes the caller-supplied watermark into both
+    manifests — a value below the stored one would silently regress the
+    watermark on resume (re-admitting late events, shifting TTL expiry),
+    sidestepping finish_batch's monotonicity guard; it is refused
+    (round-5 advice)."""
+    from flink_rtcef_spark.streaming import fastpath
+
+    sd = str(tmp_path)
+    stt.write_meta(sd, 1, {
+        "watermark_ms": 100, "num_buckets": 16, "group_size": 1,
+        "buckets": {}, "state_rows": 0,
+    })
+    with pytest.raises(ValueError, match="below the stored watermark"):
+        stt.compact_state(spark, sd, fastpath._OUT_SCHEMA, watermark_ms=50)
+    # equal or higher overrides (and None = keep) stay allowed
+    res = stt.compact_state(
+        spark, sd, fastpath._OUT_SCHEMA, watermark_ms=150
+    )
+    assert res["rows_after"] == 0
+    assert stt.read_meta(sd, 1, 16)["watermark_ms"] == 150
 
 
 def test_state_table_stats_reports_logical_and_physical(spark, tmp_path):
