@@ -784,3 +784,39 @@ def interval_overlap_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.least("a_hi", "b_hi") - F.greatest("a_lo", "b_lo")
         ).alias("overlap_ms"),
     )
+
+
+# --------------------------------------------------------------------------
+# Sliding (hopping) event-time windows — the remaining window family
+# next to tumbling (A14) and session (sessionize): every event lands in
+# span/slide overlapping windows.  Oracle = explicit bucket arithmetic
+# (each event replicated to the span/slide hops covering it); the
+# batch==streaming twin is pinned in tests/test_sliding_window.py.
+_SLIDING_SQL = """
+    WITH hops AS (SELECT UNNEST(range(0, 4)) AS i),
+    placed AS (
+      SELECT (epoch_ms(ts) // 1000 // 900 - i) * 900 AS w_start, value
+      FROM events, hops
+    )
+    SELECT CAST(w_start AS BIGINT) AS w_start,
+           COUNT(*) AS n_events,
+           ROUND(SUM(value), 4) AS sum_value
+    FROM placed GROUP BY 1
+"""
+
+
+@query("sliding_window_agg", oracle=_SLIDING_SQL)
+def sliding_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "3600 seconds", "900 seconds").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .select(
+            F.unix_timestamp(F.col("w.start")).alias("w_start"),
+            "n_events",
+            "sum_value",
+        )
+    )
