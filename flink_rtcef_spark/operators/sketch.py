@@ -714,11 +714,23 @@ def hist_sketch(
         raise ValueError(f"hist_sketch: need n_bins >= 1, got {n_bins}")
     if weight_col is not None:
         from pyspark.sql.types import (
-            ByteType, IntegerType, LongType, ShortType,
+            ByteType, DecimalType, IntegerType, LongType, ShortType,
         )
 
+        if weight_col not in df.columns:
+            # a schema[...] lookup would raise a bare KeyError; name
+            # the available columns instead
+            raise ValueError(
+                f"hist_sketch: weight_col {weight_col!r} is not a column "
+                f"of the input (columns: {df.columns})"
+            )
         wt = df.schema[weight_col].dataType
-        if not isinstance(wt, (ByteType, ShortType, IntegerType, LongType)):
+        # DECIMAL(p<=18, 0) is exact integers within long range — the
+        # long cast is identical in both engines, so it is as safe as
+        # the native integer types
+        if isinstance(wt, DecimalType) and wt.scale == 0 and wt.precision <= 18:
+            pass
+        elif not isinstance(wt, (ByteType, ShortType, IntegerType, LongType)):
             # a fractional weight would cast differently in the two
             # engines (Spark truncates toward zero, DuckDB rounds; NaN
             # and huge doubles diverge harder) — exactly the
@@ -1171,6 +1183,14 @@ def bloom_filter_members(
     word = -1 row (runtime join-key filtering, projection pushdown)
     is caught by the suite rather than silently disabling validation."""
     _validate_bloom(m, k, prehashed)
+    if join_strategy not in ("broadcast", "merge", "shuffle_hash"):
+        # DataFrame.hint() ignores unknown names with only a warning —
+        # a typo would silently hand the strategy back to the optimizer
+        # and the plan-pinning test would stop testing what it claims
+        raise ValueError(
+            f"join_strategy must be broadcast|merge|shuffle_hash, "
+            f"got {join_strategy!r}"
+        )
     if validate == "strict":
         meta_rows = sketch.filter(
             F.col("word") == F.lit(_BLOOM_META_WORD)

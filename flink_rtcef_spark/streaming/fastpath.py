@@ -200,10 +200,10 @@ _OUT_PA_SCHEMA = pa.schema(
 )
 
 
-def _touched_buckets(keys, num_buckets: int) -> list[int]:
-    """Distinct buckets of a pandas key column (driver route's twin of
-    the JVM distinct-bucket aggregate)."""
-    return sorted({stt.bucket_of_key(k, num_buckets) for k in keys})
+# canonical implementation lives with the state-table protocol; kept
+# as a module name here for the existing import surface (tests,
+# fastpath_register)
+_touched_buckets = stt.touched_buckets_of
 
 
 def _driver_batch(
@@ -279,29 +279,8 @@ def _driver_batch(
     else:
         out = pd.DataFrame(columns=_OUT_COLUMNS)
 
-    is_state = out["kind"] == 1
-    bucket_ids = [
-        stt.bucket_of_key(k, num_buckets) if s else 0
-        for k, s in zip(out["key"], is_state)
-    ]
-    n_new = int(is_state.sum())
-    est_next = (
-        meta["state_rows"] - stt.touched_state_rows(meta, touched) + n_new
-    )
-    g = stt.write_state_pandas(
-        out, bucket_ids, _OUT_PA_SCHEMA, state_dir, batch_id,
-        num_buckets, est_next,
-    )
-    touched_rows = {t: 0 for t in touched}
-    for b, s in zip(bucket_ids, is_state):
-        if s:
-            touched_rows[b] = touched_rows.get(b, 0) + 1
-    state_rows = out[is_state]
-    lts = state_rows["last_ts"].max() if len(state_rows) else None
-    return (
-        touched_rows,
-        (int(lts) if lts is not None and not pd.isna(lts) else None),
-        g,
+    return stt.finish_driver_kernel_output(
+        out, touched, meta, _OUT_PA_SCHEMA, state_dir, batch_id
     )
 
 
@@ -503,31 +482,12 @@ def make_foreach_batch_detections(
         meta = stt.read_meta(state_dir, batch_id, num_buckets)
         wm = meta["watermark_ms"]
 
-        events_pdf = None
-        # .toArrow().to_pandas() over .toPandas(): same rows, same
-        # dtypes for these non-null columns, but the Arrow collect
-        # skips the row-wise conversion layer — measured 204 -> 77 ms
-        # on a 12.5k-row microbatch probe, a fifth of the per-batch
-        # floor
-        if engine == "driver":
-            events_pdf = batch_df.select(
-                "key", "ts", "event_id", "symbol"
-            ).toArrow().to_pandas()
-        elif engine == "auto":
-            probe = batch_df.select(
-                "key", "ts", "event_id", "symbol"
-            ).limit(driver_max_rows + 1).toArrow().to_pandas()
-            if len(probe) <= driver_max_rows:
-                live = probe if wm is None else probe[probe["ts"] >= int(wm)]
-                touched = _touched_buckets(live["key"], num_buckets)
-                # the STATE-side bound: events fit, but would the
-                # driver also have to read an oversized slice of the
-                # carried state?  The manifest answers without a scan.
-                if (
-                    stt.touched_state_rows(meta, touched)
-                    <= driver_max_state_rows
-                ):
-                    events_pdf = probe
+        # the routing decision (events bound + state bound) is the
+        # shared protocol — stt.route_events_pdf
+        events_pdf = stt.route_events_pdf(
+            batch_df, ["key", "ts", "event_id", "symbol"], engine, meta,
+            driver_max_rows, driver_max_state_rows,
+        )
         if events_pdf is not None:
             touched_rows, max_lt, g = _driver_batch(
                 runner, events_pdf, state_dir, batch_id, meta, state_ttl_ms
@@ -598,50 +558,18 @@ def make_foreach_batch_detections(
                 .sortWithinPartitions("key", "ts", "event_id")
                 .mapInPandas(runner, schema=_OUT_SCHEMA)
             )
-        # next version's group layout, sized from a deterministic upper
-        # bound on the live rows it will hold (each batch key adds at
-        # most one state row) — replay-safe, and an overestimate only
-        # splits groups finer, never coarser
-        est_next = max(
-            1,
-            meta["state_rows"] - stt.touched_state_rows(meta, touched)
-            + events_total,
-        )
-        g_new = stt.group_size(num_buckets, est_next)
-        out = out.withColumn(
-            "pdir",
-            stt.pdir_col(F.col("kind"), F.col("key"), num_buckets, g_new),
-        )
-        # cluster each group dir into few tasks before the partitioned
-        # write: without this every task writes a sliver of every
-        # group (tasks x groups tiny files); the crc32 salt keeps ~4
-        # tasks per group so a detection-heavy pdir=d is not serialized
-        out = out.repartition(
-            F.col("pdir"),
-            F.pmod(F.crc32(F.encode(F.col("key"), "UTF-8")), F.lit(4)),
-        )
-        nxt_data = stt.data_path(state_dir, batch_id + 1)
-        writer = out.write.mode("overwrite").partitionBy("pdir")
-        if sql_route and num_partitions is not None:
-            # the SQL engine's shuffle width comes from
-            # spark.sql.shuffle.partitions (a groupBy, not an explicit
-            # repartition); honor num_partitions for this batch's write
-            # the same way the arrow engine does.  foreachBatch runs
-            # sequentially on the driver, so set-and-restore is safe.
-            prev_sp = spark.conf.get("spark.sql.shuffle.partitions")
-            spark.conf.set("spark.sql.shuffle.partitions", str(num_partitions))
-            try:
-                writer.parquet(nxt_data)
-            finally:
-                spark.conf.set("spark.sql.shuffle.partitions", prev_sp)
-        else:
-            writer.parquet(nxt_data)
-        # manifest counts + watermark from parquet footer stats of the
-        # just-written group dirs (stt.split_group_counts: metadata
-        # only, proportional per-bucket split with the >=1-carry-out
-        # safety invariant documented there)
-        touched_rows, max_lt = stt.split_group_counts(
-            state_dir, batch_id + 1, touched, g_new
+        # group sizing, salted partitioned write, footer-stat manifest
+        # recovery: the shared distributed tail (stt).  The SQL
+        # engine's shuffle width comes from spark.sql.shuffle.partitions
+        # (a groupBy, not an explicit repartition), so num_partitions is
+        # honored via the helper's set-and-restore override there; the
+        # arrow engine already honored it in its explicit repartition.
+        touched_rows, max_lt, g_new = stt.write_distributed_output(
+            out, meta, touched, events_total, state_dir, batch_id,
+            shuffle_partitions=(
+                num_partitions if sql_route and num_partitions is not None
+                else None
+            ),
         )
         _finish_batch(
             spark, batch_id, meta, touched_rows, max_lt,

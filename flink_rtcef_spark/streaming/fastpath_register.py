@@ -272,29 +272,8 @@ def make_foreach_batch_register(
         else:
             out = pd.DataFrame(columns=_OUT_COLUMNS)
 
-        is_state = out["kind"] == 1
-        bucket_ids = [
-            stt.bucket_of_key(k, num_buckets) if s else 0
-            for k, s in zip(out["key"], is_state)
-        ]
-        n_new = int(is_state.sum())
-        est_next = (
-            meta["state_rows"] - stt.touched_state_rows(meta, touched) + n_new
-        )
-        g = stt.write_state_pandas(
-            out, bucket_ids, _OUT_PA_SCHEMA, state_dir, batch_id,
-            num_buckets, est_next,
-        )
-        touched_rows = {t: 0 for t in touched}
-        for b, s in zip(bucket_ids, is_state):
-            if s:
-                touched_rows[b] = touched_rows.get(b, 0) + 1
-        state_rows = out[is_state]
-        lts = state_rows["last_ts"].max() if len(state_rows) else None
-        return (
-            touched_rows,
-            (int(lts) if lts is not None and not pd.isna(lts) else None),
-            g,
+        return stt.finish_driver_kernel_output(
+            out, touched, meta, _OUT_PA_SCHEMA, state_dir, batch_id
         )
 
     def foreach_batch(batch_df: DataFrame, batch_id: int) -> None:
@@ -303,23 +282,12 @@ def make_foreach_batch_register(
         meta = stt.read_meta(state_dir, batch_id, num_buckets)
         wm = meta["watermark_ms"]
 
-        events_pdf = None
-        # Arrow collect — see fastpath.py (measured 204 -> 77 ms probe)
-        if engine == "driver":
-            events_pdf = batch_df.select(*ev_cols).toArrow().to_pandas()
-        elif engine == "auto":
-            probe = (
-                batch_df.select(*ev_cols)
-                .limit(driver_max_rows + 1).toArrow().to_pandas()
-            )
-            if len(probe) <= driver_max_rows:
-                live = probe if wm is None else probe[probe["ts"] >= int(wm)]
-                touched = _touched_buckets(live["key"], num_buckets)
-                if (
-                    stt.touched_state_rows(meta, touched)
-                    <= driver_max_state_rows
-                ):
-                    events_pdf = probe
+        # shared routing decision (events bound + state bound) —
+        # stt.route_events_pdf
+        events_pdf = stt.route_events_pdf(
+            batch_df, ev_cols, engine, meta,
+            driver_max_rows, driver_max_state_rows,
+        )
         if events_pdf is not None:
             touched_rows, max_lt, g = _driver_batch(events_pdf, batch_id, meta)
             _finish_batch(
@@ -366,34 +334,16 @@ def make_foreach_batch_register(
                     "blob", "counter", "last_ts",
                 )
             )
-        est_next = max(
-            1,
-            meta["state_rows"] - stt.touched_state_rows(meta, touched)
-            + events_total,
-        )
-        g_new = stt.group_size(num_buckets, est_next)
         parts = ["key"] if num_partitions is None else [num_partitions, "key"]
         out = (
             unioned.repartition(*parts)
             .sortWithinPartitions("key", "ts", "event_id")
             .mapInPandas(runner, schema=_OUT_SCHEMA)
-            .withColumn(
-                "pdir",
-                stt.pdir_col(F.col("kind"), F.col("key"), num_buckets, g_new),
-            )
-            # cluster each group dir into ~4 tasks before the
-            # partitioned write (see fastpath.py: avoids tasks x groups
-            # tiny files without serializing a detection-heavy pdir=d)
-            .repartition(
-                F.col("pdir"),
-                F.pmod(F.crc32(F.encode(F.col("key"), "UTF-8")), F.lit(4)),
-            )
         )
-        out.write.mode("overwrite").partitionBy("pdir").parquet(
-            stt.data_path(state_dir, batch_id + 1)
-        )
-        touched_rows, max_lt = stt.split_group_counts(
-            state_dir, batch_id + 1, touched, g_new
+        # group sizing, salted partitioned write, footer-stat manifest
+        # recovery: the shared distributed tail (stt)
+        touched_rows, max_lt, g_new = stt.write_distributed_output(
+            out, meta, touched, events_total, state_dir, batch_id
         )
         _finish_batch(
             spark, batch_id, meta, touched_rows, max_lt, "arrow", g_new

@@ -157,10 +157,23 @@ def read_meta(state_dir: str, version: int, num_buckets: int) -> dict:
     if os.path.exists(p):
         with open(p) as f:
             meta = json.load(f)
-        if meta.get("num_buckets") != num_buckets:
+        if "num_buckets" not in meta:
+            # a manifest written by the pre-bucketed layout (watermark
+            # only, data in one flat dir) — "restart with the original
+            # num_buckets" would be advice that cannot be followed, so
+            # fail honestly with the actual situation and the options
+            raise ValueError(
+                f"state manifest {p} has no bucket-ownership map — it was "
+                f"written by the pre-bucketed state layout; this runtime "
+                f"cannot resume it in place.  Either drain the old stream "
+                f"to completion on the old runtime, or start over with a "
+                f"fresh state_dir (offline: compact_state cannot migrate "
+                f"it because the old layout carries no bucket counts)"
+            )
+        if meta["num_buckets"] != num_buckets:
             raise ValueError(
                 f"state table at {state_dir} was built with "
-                f"num_buckets={meta.get('num_buckets')}, but this run asks "
+                f"num_buckets={meta['num_buckets']}, but this run asks "
                 f"for {num_buckets}; the bucket function pins the layout — "
                 f"restart with the original value or use a fresh state_dir"
             )
@@ -474,6 +487,149 @@ def split_group_counts(
         if mx is not None:
             max_lt = mx if max_lt is None else max(max_lt, mx)
     return touched_rows, max_lt
+
+
+def touched_buckets_of(keys, num_buckets: int) -> list[int]:
+    """Distinct buckets of a pandas key column (driver route's twin of
+    the JVM distinct-bucket aggregate)."""
+    return sorted({bucket_of_key(k, num_buckets) for k in keys})
+
+
+def route_events_pdf(
+    batch_df,
+    cols: list[str],
+    engine: str,
+    meta: dict,
+    driver_max_rows: int,
+    driver_max_state_rows: int,
+):
+    """The auto/driver routing decision, shared by both fast paths:
+    collect the batch to driver pandas when (a) engine == "driver", or
+    (b) engine == "auto" AND both bounds hold — the batch fits
+    (``limit(n+1)`` probe) and the carried state its touched buckets
+    hold fits (manifest counts — no scan).  Returns the pandas frame,
+    or None → the caller takes a distributed route.
+
+    ``.toArrow().to_pandas()`` over ``.toPandas()``: same rows, same
+    dtypes for these non-null columns, but the Arrow collect skips the
+    row-wise conversion layer — measured 204 → 77 ms on a 12.5k-row
+    microbatch probe, a fifth of the per-batch floor."""
+    wm = meta["watermark_ms"]
+    if engine == "driver":
+        return batch_df.select(*cols).toArrow().to_pandas()
+    if engine != "auto":
+        return None
+    probe = (
+        batch_df.select(*cols)
+        .limit(driver_max_rows + 1).toArrow().to_pandas()
+    )
+    if len(probe) > driver_max_rows:
+        return None
+    live = probe if wm is None else probe[probe["ts"] >= int(wm)]
+    touched = touched_buckets_of(live["key"], meta["num_buckets"])
+    if touched_state_rows(meta, touched) > driver_max_state_rows:
+        return None
+    return probe
+
+
+def finish_driver_kernel_output(
+    out,
+    touched: list[int],
+    meta: dict,
+    pa_schema,
+    state_dir: str,
+    batch_id: int,
+) -> tuple[dict[int, int], int | None, int]:
+    """Driver-route tail shared by both fast paths, after the fused
+    kernel produced ``out`` (a pandas frame in the state-output
+    schema): bucket each kind=1 row by its key, write the touched
+    buckets with one pyarrow ``write_dataset``, and return the
+    manifest inputs (per-touched-bucket state row counts, max carried
+    last_ts, group size used) — known here without any read-back
+    because the writer has the frame in hand."""
+    import pandas as pd
+
+    num_buckets = meta["num_buckets"]
+    is_state = out["kind"] == 1
+    bucket_ids = [
+        bucket_of_key(k, num_buckets) if s else 0
+        for k, s in zip(out["key"], is_state)
+    ]
+    n_new = int(is_state.sum())
+    est_next = (
+        meta["state_rows"] - touched_state_rows(meta, touched) + n_new
+    )
+    g = write_state_pandas(
+        out, bucket_ids, pa_schema, state_dir, batch_id, num_buckets,
+        est_next,
+    )
+    touched_rows = {t: 0 for t in touched}
+    for b, s in zip(bucket_ids, is_state):
+        if s:
+            touched_rows[b] = touched_rows.get(b, 0) + 1
+    state_rows = out[is_state]
+    lts = state_rows["last_ts"].max() if len(state_rows) else None
+    return (
+        touched_rows,
+        (int(lts) if lts is not None and not pd.isna(lts) else None),
+        g,
+    )
+
+
+def write_distributed_output(
+    out,
+    meta: dict,
+    touched: list[int],
+    events_total: int,
+    state_dir: str,
+    batch_id: int,
+    shuffle_partitions: int | None = None,
+) -> tuple[dict[int, int], int | None, int]:
+    """Distributed-route tail shared by both fast paths: size the next
+    version's group layout from a deterministic upper bound on its
+    live rows (each batch key adds at most one state row — replay-safe;
+    an overestimate only splits groups finer), cluster each group dir
+    into ~4 tasks before the partitioned write (without the crc32 salt
+    every task writes a sliver of every group — tasks x groups tiny
+    files; with ONE task per group a detection-heavy pdir=d would
+    serialize), write ``v{batch_id+1}``, and recover the manifest
+    counts + watermark from parquet FOOTER statistics (metadata only,
+    never a state re-scan).
+
+    ``shuffle_partitions`` temporarily overrides
+    spark.sql.shuffle.partitions around the write for plans whose
+    width comes from a groupBy rather than an explicit repartition
+    (the sql engine); foreachBatch runs sequentially on the driver, so
+    set-and-restore is safe."""
+    num_buckets = meta["num_buckets"]
+    est_next = max(
+        1,
+        meta["state_rows"] - touched_state_rows(meta, touched)
+        + events_total,
+    )
+    g_new = group_size(num_buckets, est_next)
+    out = out.withColumn(
+        "pdir", pdir_col(F.col("kind"), F.col("key"), num_buckets, g_new)
+    ).repartition(
+        F.col("pdir"),
+        F.pmod(F.crc32(F.encode(F.col("key"), "UTF-8")), F.lit(4)),
+    )
+    writer = out.write.mode("overwrite").partitionBy("pdir")
+    nxt_data = data_path(state_dir, batch_id + 1)
+    if shuffle_partitions is not None:
+        spark = out.sparkSession
+        prev_sp = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        try:
+            writer.parquet(nxt_data)
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", prev_sp)
+    else:
+        writer.parquet(nxt_data)
+    touched_rows, max_lt = split_group_counts(
+        state_dir, batch_id + 1, touched, g_new
+    )
+    return touched_rows, max_lt, g_new
 
 
 def finish_batch(

@@ -614,6 +614,55 @@ def test_bloom_probe_validates_build_parameters(spark):
     assert out.count() >= 200
 
 
+def test_hist_weight_col_guard_edges(spark):
+    """Round-6 review fixes: a missing weight column is a diagnosable
+    ValueError naming the available columns (was a bare KeyError from
+    the schema lookup), and DECIMAL(p<=18, 0) — exact integers, whose
+    long cast is identical in both engines — is accepted like the
+    native integer types."""
+    from flink_rtcef_spark.operators.sketch import hist_sketch
+
+    df = spark.createDataFrame([(5.0, 3), (45.0, 6)], "v double, w int")
+    with pytest.raises(ValueError, match="not a column.*'v', 'w'"):
+        hist_sketch(df, "v", 0.0, 100.0, 10, weight_col="n_tokens_typo")
+    dec = df.selectExpr("v", "CAST(w AS DECIMAL(10, 0)) AS w")
+    got = sorted(map(tuple,
+                     hist_sketch(dec, "v", 0.0, 100.0, 10,
+                                 weight_col="w").collect()))
+    want = sorted(map(tuple,
+                      hist_sketch(df, "v", 0.0, 100.0, 10,
+                                  weight_col="w").collect()))
+    assert got == want
+    # fractional decimals stay refused (they round/truncate differently
+    # across engines), as do decimals wider than long
+    with pytest.raises(ValueError, match="integer type"):
+        hist_sketch(
+            df.selectExpr("v", "CAST(w AS DECIMAL(10, 2)) AS w"),
+            "v", 0.0, 100.0, 10, weight_col="w",
+        )
+    with pytest.raises(ValueError, match="integer type"):
+        hist_sketch(
+            df.selectExpr("v", "CAST(w AS DECIMAL(38, 0)) AS w"),
+            "v", 0.0, 100.0, 10, weight_col="w",
+        )
+
+
+def test_bloom_join_strategy_whitelisted(spark):
+    """A typo'd join_strategy must fail loudly — DataFrame.hint()
+    ignores unknown names with only a warning, which would silently
+    hand the strategy back to the optimizer and un-pin the plan test."""
+    from flink_rtcef_spark.operators.sketch import (
+        bloom_build,
+        bloom_filter_members,
+    )
+
+    vals = spark.range(10).selectExpr("id AS v")
+    sk = bloom_build(vals, "v", 1 << 10, 4)
+    with pytest.raises(ValueError, match="join_strategy"):
+        bloom_filter_members(vals, "v", sk, 1 << 10, 4,
+                             join_strategy="shuffle-hash")
+
+
 def test_bloom_guard_fires_under_nonbroadcast_join_strategies(spark):
     """The in-plan parameter guard lives on the word=-1 row, which
     never matches a probe's join key — this pins that Catalyst still

@@ -211,6 +211,21 @@ def test_gc_keeps_referenced_groups_drops_the_rest(tmp_path):
     assert not os.path.isdir(stt.version_path(sd, 0))
 
 
+def test_read_meta_names_prebucketed_layout(tmp_path):
+    """A manifest written by the PRE-bucketed state layout (watermark
+    only, no bucket-ownership map) must fail with the actual situation
+    and the operator's real options — not the num_buckets-mismatch
+    message, whose 'restart with the original value' advice cannot be
+    followed when no value ever existed (round-6 review)."""
+    sd = str(tmp_path)
+    p = tmp_path / "v3"
+    os.makedirs(p)
+    with open(p / "meta.json", "w") as f:
+        json.dump({"watermark_ms": 123}, f)
+    with pytest.raises(ValueError, match="pre-bucketed state layout"):
+        stt.read_meta(sd, 3, 256)
+
+
 def test_read_meta_pins_num_buckets(tmp_path):
     sd = str(tmp_path)
     stt.write_meta(sd, 2, {
