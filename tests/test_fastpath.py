@@ -280,6 +280,83 @@ def test_fastpath_restart_resumes_exactly_once(spark, tmp_path):
     assert got.astype(str).equals(want.astype(str))
 
 
+@pytest.mark.parametrize("engine", ["driver", "arrow"])
+def test_fastpath_torn_write_replay_overwrites_stale_data(
+    spark, tmp_path, engine
+):
+    """The crash window the versioned protocol is designed around: a
+    process died AFTER (partially or fully) writing v{b+1}'s state
+    DATA but BEFORE write_meta and before the streaming commit.  On
+    restart the checkpoint re-runs batch b: foreach_batch reads v{b}'s
+    intact manifest (keep_versions >= 1 guarantees it) and must
+    OVERWRITE the torn v{b+1} data — the driver route rmtree's the
+    version dir before its pyarrow write, the distributed route writes
+    mode("overwrite") — never merge with it.  The planted garbage here
+    is a full copy of v{b}'s data (stale state rows); if any of it
+    leaked into the replayed version, the duplicated carried runs would
+    change the detections and the batch-equality check would fail."""
+    import os
+    import shutil
+
+    rows = _rows(seed=57)
+    src = str(tmp_path / "src")
+    per = (len(rows) + 3) // 4
+    _write_chunks(spark, src, rows[: 3 * per], 3)
+    state_dir = f"{tmp_path}/torn_state_{engine}"
+
+    collected = []
+
+    def sink(df, bid):
+        collected.append(df.toPandas())
+
+    def start():
+        stream = (
+            spark.readStream
+            .schema("k string, ts long, id long, event_type string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{src}/c*")
+        )
+        return start_fastpath_detections(
+            stream, compile_pattern(PAT, DECLS),
+            state_dir=state_dir,
+            checkpoint_dir=f"{tmp_path}/torn_ckpt_{engine}",
+            sink=sink, key_col="k", ts_col="ts", id_col="id",
+            watermark_delay_ms=5_000, engine=engine,
+        )
+
+    q = start()
+    assert q.awaitTermination(600), "stream did not drain"
+
+    # plant the torn write a dead process left behind: v4/data exists
+    # (stale rows — a copy of v3's), meta.json does not
+    assert os.path.isdir(f"{state_dir}/v3/data")
+    assert not os.path.exists(f"{state_dir}/v4")
+    shutil.copytree(f"{state_dir}/v3/data", f"{state_dir}/v4/data")
+
+    # the 4th chunk arrives; restart runs batch 3 over the torn dir
+    spark.createDataFrame(
+        rows[3 * per:], "k string, ts long, id long, event_type string"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{src}/c3")
+    q = start()
+    assert q.awaitTermination(600), "replay did not drain"
+    assert os.path.exists(f"{state_dir}/v4/meta.json")
+
+    got = pd.concat(collected, ignore_index=True)[DET_COLS]
+    got = got.sort_values(DET_COLS).reset_index(drop=True)
+    got["detection_ts"] //= 1000
+
+    df = spark.createDataFrame(
+        rows, "k string, ts long, id long, event_type string"
+    )
+    cep = BatchCEP(
+        compile_pattern(PAT, DECLS), key_col="k", ts_col="ts", id_col="id"
+    )
+    want = cep.detections(df).toPandas()[DET_COLS]
+    want = want.sort_values(DET_COLS).reset_index(drop=True)
+    assert len(want) > 0
+    assert got.astype(str).equals(want.astype(str))
+
+
 def test_fastpath_routes_distributed_on_big_state_small_batch(spark, tmp_path):
     """r4 verdict "what's wrong" #2: the auto route used to bound only
     the EVENTS — a huge-key-space stream with tiny batches would load
