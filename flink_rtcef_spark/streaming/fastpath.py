@@ -200,12 +200,6 @@ _OUT_PA_SCHEMA = pa.schema(
 )
 
 
-# canonical implementation lives with the state-table protocol; kept
-# as a module name here for the existing import surface (tests,
-# fastpath_register)
-_touched_buckets = stt.touched_buckets_of
-
-
 def _driver_batch(
     runner,
     events_pdf: pd.DataFrame,
@@ -239,7 +233,7 @@ def _driver_batch(
     ev = events_pdf
     if wm is not None:
         ev = ev[ev["ts"] >= int(wm)]
-    touched = _touched_buckets(ev["key"], num_buckets)
+    touched = stt.touched_buckets_of(ev["key"], num_buckets)
 
     frames = []
     st = stt.read_state_pandas(meta, state_dir, touched)

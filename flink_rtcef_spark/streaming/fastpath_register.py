@@ -48,7 +48,6 @@ from flink_rtcef_spark.streaming import state_table as stt
 from flink_rtcef_spark.streaming.fastpath import (
     DRIVER_MAX_STATE_ROWS,
     _STATE_TS,
-    _touched_buckets,
 )
 from flink_rtcef_spark.streaming.inference import _with_event_time
 
@@ -233,7 +232,7 @@ def make_foreach_batch_register(
         ev = events_pdf
         if wm is not None:
             ev = ev[ev["ts"] >= int(wm)]
-        touched = _touched_buckets(ev["key"], num_buckets)
+        touched = stt.touched_buckets_of(ev["key"], num_buckets)
 
         frames = []
         st = stt.read_state_pandas(meta, state_dir, touched)
