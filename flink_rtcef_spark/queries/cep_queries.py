@@ -164,7 +164,13 @@ def cep_sdfa_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
 # an exactness certificate are routed back through the unsharded kernel,
 # so the result is exact by construction and DuckDB cross-validates the
 # whole composition.
-@query("cep_presplit_detect", oracle=_SEQ_SQL)
+# (Registry slot retired in r7: the driver checks at most 50 entries —
+# see queries/pipeline.py lsh_candidate_pairs for the r7 curation.
+# The presplit path produces the SAME detections as cep_sdfa_detect by
+# construction (certified shard routing); it keeps the identical
+# DuckDB hash gate at the driver's sf0.01 scale in
+# tests/test_retired_queries.py plus the presplit==plain pytest
+# parity in tests/test_cep_presplit.py.)
 def cep_presplit_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
     from flink_rtcef_spark.operators.cep_presplit import (
         presplit_detections_certified,

@@ -31,6 +31,33 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 
 
+def _purge_orphaned_location(spark: SparkSession, table: str) -> None:
+    """Delete ``table``'s default managed location iff the catalog does
+    NOT know the table but the directory exists on disk.
+
+    ``saveAsTable`` replaces a *catalog entry*, but a process killed
+    mid-write leaves the table directory behind with no entry — the
+    next session's fresh metastore then fails the write with
+    ``LOCATION_ALREADY_EXISTS``, and ``DROP TABLE IF EXISTS`` cannot
+    clear a directory the catalog has never heard of.  Purging the
+    orphan here makes killed runs self-healing.  A directory belonging
+    to a *registered* table is never touched (normal overwrite/append
+    semantics apply to it).
+    """
+    if "." in table:
+        db, tbl = table.rsplit(".", 1)
+    else:
+        db, tbl = spark.catalog.currentDatabase(), table
+    if spark.catalog.tableExists(f"{db}.{tbl}"):
+        return
+    db_loc = spark.catalog.getDatabase(db).locationUri
+    jvm = spark._jvm
+    path = jvm.org.apache.hadoop.fs.Path(db_loc.rstrip("/") + "/" + tbl.lower())
+    fs = path.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
+    if fs.exists(path):
+        fs.delete(path, True)
+
+
 def write_bucketed(
     df: DataFrame,
     table: str,
@@ -45,6 +72,7 @@ def write_bucketed(
     The one-time shuffle this write pays is the shuffle every future
     join on ``bucket_cols`` skips.
     """
+    _purge_orphaned_location(df.sparkSession, table)
     bucket_cols = [bucket_cols] if isinstance(bucket_cols, str) else list(bucket_cols)
     writer = (
         df.write.mode(mode)

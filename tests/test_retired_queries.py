@@ -1,8 +1,14 @@
 """Oracle checks for queries rotated OUT of the 50-slot driver registry
-in r3 (slots given to unigram_perplexity / bm25_topk / dedup_paragraphs
-/ semantic_dedup).  The driver cap is 50 entries; these four keep the
-same Spark-vs-DuckDB hash gate here so deregistration never means
-unverified."""
+(r3: slots given to unigram_perplexity / bm25_topk / dedup_paragraphs /
+semantic_dedup; r4: hist_quantiles_value / decontam_bloom_hits; r7:
+the registry was curated back DOWN to exactly 50 after r6 grew it to
+54 and the driver silently stopped checking the last 4 insertions).
+
+The driver cap is 50 entries; every retired query keeps the same
+Spark-vs-DuckDB hash gate here AT THE DRIVER'S SCALE (sf0.01, not the
+suite's usual sf0.001) so deregistration never means unverified, and
+``test_registry_holds_driver_cap`` fails the suite if the registry
+ever outgrows the cap again."""
 
 from __future__ import annotations
 
@@ -10,9 +16,26 @@ import duckdb
 import pytest
 
 from flink_rtcef_spark.sources.io import TABLES
-from tests.conftest import SF_SMOKE
+from tests.conftest import SF_ORACLE
 
 from tools.check_oracle import compare
+
+# The driver's CORRECTNESS check covers at most this many registry
+# entries (observed r6: registry 54, CORRECTNESS_r06.json rows 50 —
+# insertion order, last 4 dropped).
+DRIVER_CAP = 50
+
+
+def test_registry_holds_driver_cap():
+    from flink_rtcef_spark import queries as q
+
+    q.load_all()
+    assert len(q.QUERIES) <= DRIVER_CAP, (
+        f"registry has {len(q.QUERIES)} entries but the driver checks only "
+        f"{DRIVER_CAP}; queries beyond the cap silently lose the per-round "
+        f"hard correctness signal — retire one into this module instead "
+        f"(remove its @query decorator, add an sf0.01 gate here)"
+    )
 
 TIME_BUCKETING_SQL = """
     SELECT (epoch_ms(ts) // 86400000) * 86400 AS bucket_id,
@@ -39,13 +62,13 @@ def duck():
     for t in TABLES:
         con.execute(
             f"CREATE OR REPLACE VIEW {t} AS "
-            f"SELECT * FROM read_parquet('{SF_SMOKE}/{t}.parquet')"
+            f"SELECT * FROM read_parquet('{SF_ORACLE}/{t}.parquet')"
         )
     return con
 
 
 def _check(spark, duck, fn, sql, name):
-    sdf = fn(spark, SF_SMOKE).toPandas()
+    sdf = fn(spark, SF_ORACLE).toPandas()
     ddf = duck.execute(sql).df()
     problems = compare(name, sdf, ddf)
     assert not problems, problems
@@ -138,4 +161,48 @@ def test_doc_fingerprint_oracle(spark, duck):
 
     _check(
         spark, duck, doc_fingerprint, _DOC_FINGERPRINT_SQL, "doc_fingerprint"
+    )
+
+
+# ---- rotated out in r7 (curating the registry back to the 50-row
+# ---- driver cap so domain_pagerank / hll_distinct_texts /
+# ---- hist_quantiles_value / decontam_bloom_hits re-enter the
+# ---- driver-checked set) ----
+
+
+def test_cep_presplit_detect_oracle(spark, duck):
+    from flink_rtcef_spark.queries.cep_queries import (
+        _SEQ_SQL,
+        cep_presplit_detect,
+    )
+
+    _check(spark, duck, cep_presplit_detect, _SEQ_SQL, "cep_presplit_detect")
+
+
+def test_lsh_candidate_pairs_oracle(spark, duck):
+    from flink_rtcef_spark.queries.pipeline import (
+        _lsh_oracle,
+        lsh_candidate_pairs,
+    )
+
+    _check(
+        spark, duck, lsh_candidate_pairs, _lsh_oracle(), "lsh_candidate_pairs"
+    )
+
+
+def test_ann_pq_topk_oracle(spark, duck):
+    from flink_rtcef_spark.queries.pipeline import _pq_oracle_sql, ann_pq_topk
+
+    _check(spark, duck, ann_pq_topk, _pq_oracle_sql(), "ann_pq_topk")
+
+
+def test_sample_token_budget_oracle(spark, duck):
+    from flink_rtcef_spark.queries.pipeline import (
+        _TOKEN_BUDGET_SQL,
+        sample_token_budget,
+    )
+
+    _check(
+        spark, duck, sample_token_budget, _TOKEN_BUDGET_SQL,
+        "sample_token_budget",
     )
