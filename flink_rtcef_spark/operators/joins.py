@@ -17,6 +17,14 @@ Scale design (100 TB):
   O((|L|+|R|) log) and shuffle payload of only the key, timestamp, and
   the carried right columns.  No join blow-up: each left row emits
   exactly one output row regardless of how many right rows precede it.
+  Skew bound: the window partitions by the join KEY, so one hot key's
+  whole timeline sorts inside a single task — fine until that one
+  task's sort dominates the stage (measured: a key owning 500k of 2M
+  rows adds nothing at local[32]; the cliff needs a single key's rows
+  to exceed roughly one executor-core's sort throughput x stage wall).
+  For hotter keys use ``as_of_join_presplit``, which shards each key's
+  timeline into fixed time ranges (same two-phase idea as the CEP
+  hot-key path) at the cost of one tiny extra shuffle.
 - ``range_join_binned`` rewrites point-in-interval into an EQUI join on
   a bin id (each interval replicated to the bins it covers, each point
   mapped to its single bin) + a residual filter — a hash shuffle whose
@@ -112,6 +120,160 @@ def as_of_join(
         in_tol = (
             F.col(f"{_MATCH}.__ts") >= F.col("__t") - tolerance
             if direction == "backward"
+            else F.col(f"{_MATCH}.__ts") <= F.col("__t") + tolerance
+        )
+        out = out.withColumn(_MATCH, F.when(in_tol, F.col(_MATCH)))
+
+    left_names = set(left.columns)
+    carried = [
+        F.col(f"{_MATCH}.__ts").alias(rts + suffix),
+        *[
+            F.col(f"{_MATCH}.{c}").alias(c + suffix if c in left_names else c)
+            for c in right_cols
+        ],
+    ]
+    return out.select(*[F.col(c) for c in left.columns], *carried)
+
+
+def as_of_join_presplit(
+    left: DataFrame,
+    right: DataFrame,
+    on: str | list[str],
+    shard_span: int,
+    left_ts: str = "ts",
+    right_ts: str | None = None,
+    right_cols: list[str] | None = None,
+    direction: str = "backward",
+    tolerance: Column | int | float | None = None,
+    suffix: str = "_right",
+) -> DataFrame:
+    """Hot-key-safe :func:`as_of_join`: same semantics, but each key's
+    merged timeline is SHARDED into contiguous ``shard_span``-wide time
+    ranges so one hot key (a celebrity user at 100 TB) parallelizes
+    over its shards instead of serializing into a single window task —
+    the same presplit idea as the CEP hot-key path
+    (operators/cep_presplit.py), with a much simpler warm-up because
+    as-of state is just "the last right payload so far".
+
+    Two phases:
+
+    1. within (key, shard): the plain merged-order window.  A left
+       row's shard-local match, when present, IS the global match —
+       any right row between the local candidate and the left row lies
+       in the same contiguous time shard by construction.
+    2. carry-in for rows with no shard-local match: per (key, shard),
+       ONE aggregate row holds the shard's last (backward; first for
+       forward) right payload; a window over those per-shard rows (at
+       most timeline_span/shard_span rows per key — tiny) gives each
+       shard the latest payload of all EARLIER shards, joined back on
+       (key, shard).
+
+    Cost vs the unsharded join: one extra shuffle of the per-shard
+    aggregate (rows = touched shards, not events) + the carry-in
+    equi-join on (key, shard) — both negligible; the win is that the
+    expensive window's partition key becomes (key, shard).  Pick
+    ``shard_span`` so a hot key's densest shard fits a task (e.g. one
+    day of a user's events).
+
+    Numeric timestamps only (``unix_millis`` first for TIMESTAMP
+    columns — the shard id is ``floor(ts / shard_span)``).
+    """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
+    if shard_span <= 0:
+        # floor(col/0) is NULL in Spark -> every row lands in a NULL
+        # shard and the join silently degenerates
+        raise ValueError(f"shard_span must be > 0, got {shard_span}")
+    keys = [on] if isinstance(on, str) else list(on)
+    rts = right_ts or left_ts
+    for df, c in ((left, left_ts), (right, rts)):
+        if dict(df.dtypes)[c] in ("timestamp", "timestamp_ntz", "date"):
+            raise ValueError(
+                f"as_of_join_presplit shards on floor({c!r} / shard_span) "
+                f"and needs a numeric timestamp — convert with unix_millis "
+                f"first (got {dict(df.dtypes)[c]})"
+            )
+    if right_cols is None:
+        right_cols = [c for c in right.columns if c not in (*keys, rts)]
+
+    payload = F.struct(
+        F.col(rts).cast(dict(right.dtypes)[rts]).alias("__ts"),
+        *[F.col(c).alias(c) for c in right_cols],
+    )
+    backward = direction == "backward"
+    r = right.select(
+        *[F.col(k) for k in keys],
+        F.col(rts).alias("__t"),
+        payload.alias(_MATCH),
+        F.lit(0 if backward else 1).alias(_SIDE),
+    )
+    l = left.select(
+        "*",
+        F.col(left_ts).alias("__t"),
+        F.lit(None).cast(r.schema[_MATCH].dataType).alias(_MATCH),
+        F.lit(1 if backward else 0).alias(_SIDE),
+    )
+    shard = F.floor(F.col("__t") / F.lit(shard_span)).alias("__shard")
+    merged = l.unionByName(
+        r.select(*keys, "__t", _MATCH, _SIDE), allowMissingColumns=True
+    ).withColumn("__shard", shard)
+
+    # phase 1: the merged-order window, partitioned by (key, shard)
+    w = W.partitionBy(*keys, "__shard").orderBy("__t", _SIDE)
+    if backward:
+        frame = w.rowsBetween(W.unboundedPreceding, W.currentRow)
+        local = F.last(_MATCH, ignorenulls=True).over(frame)
+    else:
+        frame = w.rowsBetween(W.currentRow, W.unboundedFollowing)
+        local = F.first(_MATCH, ignorenulls=True).over(frame)
+    out = merged.withColumn(_MATCH, local).filter(
+        F.col(_SIDE) == (1 if backward else 0)
+    )
+
+    # phase 2: per-(key, shard) boundary payload -> carry across shards.
+    # max/min over (ts, payload) structs orders by __ts first — the
+    # shard's last/first right row (ties broken by payload, which the
+    # unsharded window leaves unspecified too).
+    edge = (F.max if backward else F.min)(
+        F.struct(F.col("__t"), F.col(_MATCH))
+    ).alias("__edge")
+    shard_edges = (
+        r.withColumn("__shard", shard).groupBy(*keys, "__shard").agg(edge)
+    )
+    # the carry window must also VISIT every shard the LEFT side
+    # touches (a left shard with no right rows inherits the carry of
+    # earlier shards — without its row the (key, shard) join below
+    # would miss and wrongly yield NULL), so union left-touched shards
+    # in as NULL edges first (one aggregated row per touched shard)
+    left_shards = (
+        merged.filter(F.col(_SIDE) == (1 if backward else 0))
+        .groupBy(*keys, "__shard")
+        .agg(F.lit(None).cast(shard_edges.schema["__edge"].dataType).alias("__edge"))
+    )
+    all_edges = shard_edges.unionByName(left_shards).groupBy(
+        *keys, "__shard"
+    ).agg((F.max if backward else F.min)("__edge").alias("__edge"))
+    cw = W.partitionBy(*keys).orderBy("__shard")
+    carry = (
+        F.last("__edge", ignorenulls=True).over(
+            cw.rowsBetween(W.unboundedPreceding, -1)
+        )
+        if backward
+        else F.first("__edge", ignorenulls=True).over(
+            cw.rowsBetween(1, W.unboundedFollowing)
+        )
+    )
+    carries = all_edges.select(
+        *keys, "__shard", carry[_MATCH].alias("__carry")
+    )
+
+    out = out.join(carries, [*keys, "__shard"], "left").withColumn(
+        _MATCH, F.coalesce(F.col(_MATCH), F.col("__carry"))
+    )
+    if tolerance is not None:
+        in_tol = (
+            F.col(f"{_MATCH}.__ts") >= F.col("__t") - tolerance
+            if backward
             else F.col(f"{_MATCH}.__ts") <= F.col("__t") + tolerance
         )
         out = out.withColumn(_MATCH, F.when(in_tol, F.col(_MATCH)))

@@ -265,6 +265,38 @@ def _cms_cell(h: Column, r: Column, width: int) -> Column:
     return (lo + r * hi) % F.lit(width)
 
 
+def _check_int_weight_col(df: DataFrame, weight_col: str, op: str) -> None:
+    """Shared weight-column contract for the weighted sketches
+    (hist_sketch, cms_build): the column must exist and be an integer
+    type (DECIMAL(p<=18, 0) counts — exact integers within long range).
+    A fractional weight would cast differently in the two engines
+    (Spark truncates toward zero, DuckDB rounds; NaN and huge doubles
+    diverge harder) — exactly the cross-engine class the sketches'
+    integer arithmetic exists to eliminate, so refuse it here rather
+    than let a hash gate explain it."""
+    from pyspark.sql.types import (
+        ByteType, DecimalType, IntegerType, LongType, ShortType,
+    )
+
+    if weight_col not in df.columns:
+        # a schema[...] lookup would raise a bare KeyError; name the
+        # available columns instead
+        raise ValueError(
+            f"{op}: weight_col {weight_col!r} is not a column "
+            f"of the input (columns: {df.columns})"
+        )
+    wt = df.schema[weight_col].dataType
+    if isinstance(wt, DecimalType) and wt.scale == 0 and wt.precision <= 18:
+        return
+    if not isinstance(wt, (ByteType, ShortType, IntegerType, LongType)):
+        raise ValueError(
+            f"{op}: weight_col {weight_col!r} must be an "
+            f"integer type (got {wt.simpleString()}); cast with an "
+            f"explicit rounding rule first — fractional weights "
+            f"truncate/round differently across engines"
+        )
+
+
 def cms_build(
     df: DataFrame,
     value_col: str,
@@ -277,9 +309,24 @@ def cms_build(
     rows (r, c, cnt) — at most depth×width of them however large the
     input.  One posexplode of the d in-row hashes + a combinable SUM;
     two sketches over disjoint data merge by adding cnt per (r, c)
-    (see :func:`cms_merge`)."""
+    (see :func:`cms_merge`).
+
+    ``weight_col`` (integer, same contract as :func:`hist_sketch`)
+    makes each row contribute its weight instead of 1.  Rows with NULL
+    or NEGATIVE weight are dropped: a NULL would silently contribute 0
+    (neither a count of 1 nor an error), and a negative weight breaks
+    the one guarantee CMS makes — :func:`cms_lookup` never
+    UNDER-estimates, which holds only while every cell increment is
+    >= 0 (the MIN over rows then upper-bounds the true count).
+    Zero-weight rows survive and contribute 0, matching hist_sketch."""
     v = F.col(value_col).cast("string")
-    w = F.col(weight_col).cast("long") if weight_col else F.lit(1).cast("long")
+    if weight_col is not None:
+        _check_int_weight_col(df, weight_col, "cms_build")
+        wgt = F.col(weight_col).cast("long")
+        df = df.filter(wgt.isNotNull() & (wgt >= 0))
+        w = wgt
+    else:
+        w = F.lit(1).cast("long")
     return (
         df.filter(v.isNotNull())
         # one md5 per input row, materialized BEFORE the explode...
@@ -713,35 +760,7 @@ def hist_sketch(
     if n_bins < 1:
         raise ValueError(f"hist_sketch: need n_bins >= 1, got {n_bins}")
     if weight_col is not None:
-        from pyspark.sql.types import (
-            ByteType, DecimalType, IntegerType, LongType, ShortType,
-        )
-
-        if weight_col not in df.columns:
-            # a schema[...] lookup would raise a bare KeyError; name
-            # the available columns instead
-            raise ValueError(
-                f"hist_sketch: weight_col {weight_col!r} is not a column "
-                f"of the input (columns: {df.columns})"
-            )
-        wt = df.schema[weight_col].dataType
-        # DECIMAL(p<=18, 0) is exact integers within long range — the
-        # long cast is identical in both engines, so it is as safe as
-        # the native integer types
-        if isinstance(wt, DecimalType) and wt.scale == 0 and wt.precision <= 18:
-            pass
-        elif not isinstance(wt, (ByteType, ShortType, IntegerType, LongType)):
-            # a fractional weight would cast differently in the two
-            # engines (Spark truncates toward zero, DuckDB rounds; NaN
-            # and huge doubles diverge harder) — exactly the
-            # cross-engine class the bin clamp exists to eliminate, so
-            # refuse it here rather than let the hash gate explain it
-            raise ValueError(
-                f"hist_sketch: weight_col {weight_col!r} must be an "
-                f"integer type (got {wt.simpleString()}); cast with an "
-                f"explicit rounding rule first — fractional weights "
-                f"truncate/round differently across engines"
-            )
+        _check_int_weight_col(df, weight_col, "hist_sketch")
     group_cols = group_cols or []
     w = (hi - lo) / n_bins
     v = F.col(value_col).cast("double")
@@ -1107,12 +1126,21 @@ def bloom_merge(*sketches: DataFrame, require_meta: bool = True) -> DataFrame:
     The guard is in-plan (no extra action): the merged meta row carries
     a count of contributing shards, and raises at evaluation when it
     differs from the number of merged sketches — every shard must bring
-    exactly one parameter row.  (If NO shard has one, there is no
-    word = -1 row to guard; that case stays covered by the probe's
-    ``validate="strict"``, which rejects meta-less sketches outright.)
-    ``require_meta=False`` restores the raw OR for deliberately
-    parameter-less sketches (the hazard is then the caller's to
-    manage)."""
+    exactly one parameter row.  It lives in a FILTER predicate, not the
+    ``bits`` projection, so Catalyst cannot column-prune it away: any
+    action that consumes the merged frame's rows trips it, including a
+    bits-free ``.count()`` or a projection that drops bits (r6 advice —
+    the projection-embedded guard was prunable by bits-free consumers).
+    Remaining limitation, inherent to lazy in-plan guards: a consumer
+    that itself filters the word = -1 row out BEFORE acting (e.g.
+    ``merged.filter("word >= 0")``) discards the guarded row unevaluated
+    — that re-creates a parameter-less sketch deliberately, which is the
+    documented ``require_meta=False`` risk surface.  (If NO shard has a
+    parameter row, there is no word = -1 row to guard; that case stays
+    covered by the probe's ``validate="strict"``, which rejects
+    meta-less sketches outright.)  ``require_meta=False`` restores the
+    raw OR for deliberately parameter-less sketches (the hazard is then
+    the caller's to manage)."""
     out = sketches[0]
     for extra in sketches[1:]:
         out = out.unionByName(extra)
@@ -1133,9 +1161,9 @@ def bloom_merge(*sketches: DataFrame, require_meta: bool = True) -> DataFrame:
                 f"built with different (m, k, prehashed) would silently "
                 f"produce false negatives — pass require_meta=False to "
                 f"merge parameter-less sketches at your own risk"
-            )).cast("long"),
-        ).otherwise(F.col("bits"))
-        merged = merged.withColumn("bits", guard)
+            )).cast("boolean"),
+        ).otherwise(F.lit(True))
+        merged = merged.filter(guard)
     return merged.drop("__bloom_shards")
 
 

@@ -325,7 +325,7 @@ def footer_stats(dir_path: str, ts_col: str = "last_ts") -> tuple[int, int | Non
             )
         file_mx, need_fallback = None, False
         for g in range(md.num_row_groups):
-            st = md.row_group(g).column(ci).statistics if ci is not None else None
+            st = md.row_group(g).column(ci).statistics
             if st is None or not st.has_min_max:
                 need_fallback = True
                 break

@@ -149,6 +149,95 @@ def test_asof_name_collision_suffix(spark):
     assert row["rv"] == 9.0 and row["rv_right"] == 1.0
 
 
+@pytest.mark.parametrize("direction", ["backward", "forward"])
+@pytest.mark.parametrize("tolerance", [None, 50])
+@pytest.mark.parametrize("shard_span", [7, 100, 5000])
+def test_asof_presplit_matches_merge_asof(spark, direction, tolerance, shard_span):
+    """The hot-key presplit variant is semantics-identical to
+    as_of_join / pandas merge_asof for every shard width: tiny (carry
+    chains across many shards), moderate, and wider than the whole
+    timeline (degenerates to one shard = the plain path)."""
+    from flink_rtcef_spark.operators.joins import as_of_join_presplit
+
+    left, right = _random_frames(seed=13)
+    ours = (
+        as_of_join_presplit(
+            spark.createDataFrame(left),
+            spark.createDataFrame(right),
+            on="k", shard_span=shard_span, left_ts="t", right_cols=["rv"],
+            direction=direction, tolerance=tolerance,
+        )
+        .toPandas()
+        .sort_values(["k", "t", "lv"])
+        .reset_index(drop=True)
+    )
+    expected = (
+        pd.merge_asof(
+            left.sort_values("t", kind="mergesort"),
+            right.sort_values("t", kind="mergesort"),
+            on="t", by="k", direction=direction,
+            tolerance=tolerance,
+        )
+        .sort_values(["k", "t", "lv"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_series_equal(
+        ours["rv"], expected["rv"], check_names=False
+    )
+    assert ours["t_right"].isna().equals(ours["rv"].isna())
+
+
+def test_asof_presplit_hot_key(spark):
+    """One key owning ~90% of both sides — the distribution the
+    presplit exists for — still matches the unsharded operator row for
+    row (left rows whose shard has no right row take the carry-in
+    path; empty left shards inherit across multiple shard gaps)."""
+    from flink_rtcef_spark.operators.joins import as_of_join_presplit
+
+    rng = np.random.default_rng(3)
+    n = 3000
+    left = pd.DataFrame(
+        {
+            "k": np.where(rng.random(n) < 0.9, 0, rng.integers(1, 5, n)),
+            "t": rng.integers(0, 10_000, n),
+            "lv": np.arange(n),
+        }
+    )
+    # sparse right side: long stretches of left-only shards
+    right = pd.DataFrame(
+        {
+            "k": np.where(rng.random(60) < 0.9, 0, rng.integers(1, 5, 60)),
+            "t": rng.integers(0, 10_000, 60),
+            "rv": rng.integers(0, 100, 60).astype("float64"),
+        }
+    ).drop_duplicates(["k", "t"])
+    ldf, rdf = spark.createDataFrame(left), spark.createDataFrame(right)
+    plain = (
+        as_of_join(ldf, rdf, on="k", left_ts="t", right_cols=["rv"])
+        .toPandas().sort_values(["k", "t", "lv"]).reset_index(drop=True)
+    )
+    sharded = (
+        as_of_join_presplit(
+            ldf, rdf, on="k", shard_span=250, left_ts="t", right_cols=["rv"]
+        )
+        .toPandas().sort_values(["k", "t", "lv"]).reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(sharded, plain)
+
+
+def test_asof_presplit_guards(spark):
+    from flink_rtcef_spark.operators.joins import as_of_join_presplit
+
+    left = spark.createDataFrame([(1, 5)], "k int, t int")
+    right = spark.createDataFrame([(1, 4, 1.0)], "k int, t int, rv double")
+    with pytest.raises(ValueError, match="shard_span"):
+        as_of_join_presplit(left, right, on="k", shard_span=0, left_ts="t")
+    tleft = left.withColumn("t", F.timestamp_seconds("t"))
+    tright = right.withColumn("t", F.timestamp_seconds("t"))
+    with pytest.raises(ValueError, match="unix_millis"):
+        as_of_join_presplit(tleft, tright, on="k", shard_span=10, left_ts="t")
+
+
 def test_range_join_binned_matches_plain_range_join(spark, duck):
     """Binned rewrite == DuckDB's inequality join, on value intervals
     over the events table (no equi key: the naive Spark plan here is a

@@ -117,6 +117,58 @@ def test_hist_weighted_parity_signed_weights_fuzz(spark, rows, n_bins):
         )
 
 
+@settings(max_examples=6, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.sampled_from(["a", "b", "c", "dd", "ee"]),
+            # SIGNED weights: NULL must not silently contribute 0 and
+            # negative must not break the CMS upper bound — both are
+            # dropped, same contract as hist_sketch
+            st.one_of(st.none(), st.integers(-5, 7)),
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_cms_weighted_signed_weights_fuzz(spark, rows):
+    """Weighted CMS == CMS of the kept-weight expansion (exact sketch
+    identity — NULL/negative-weight rows dropped), and cms_lookup never
+    under-estimates the kept weighted count for ANY signed input."""
+    from flink_rtcef_spark.operators.sketch import (
+        cms_build,
+        cms_lookup,
+    )
+
+    df = spark.createDataFrame(rows, "v string, w int")
+    weighted = cms_build(df, "v", weight_col="w")
+
+    kept = [(v,) for v, w in rows if w is not None and w > 0 for _ in range(w)]
+    expanded = cms_build(
+        spark.createDataFrame(kept, "v string")
+        if kept
+        else spark.createDataFrame([], "v string"),
+        "v",
+    )
+    # zero-weight rows contribute cnt=0 cells in the weighted build;
+    # the expansion has no rows for them at all
+    assert sorted(map(tuple, weighted.filter("cnt > 0").collect())) == sorted(
+        map(tuple, expanded.collect())
+    )
+
+    true_counts: dict = {}
+    for v, w in rows:
+        if w is not None and w > 0:
+            true_counts[v] = true_counts.get(v, 0) + w
+    probes = spark.createDataFrame([(v,) for v in set(x for x, _ in rows)], "v string")
+    est = {
+        r["v"]: r["cms_count"]
+        for r in cms_lookup(weighted, probes, "v").collect()
+    }
+    for v, true in true_counts.items():
+        assert est[v] >= true, (v, est[v], true)  # the one-sided guarantee
+
+
 @settings(max_examples=8, deadline=None)
 @given(values_strategy, st.integers(2, 32))
 def test_hist_quantile_error_bound_fuzz(spark, vals, n_bins):

@@ -162,6 +162,38 @@ def test_cms_weighted(spark):
     assert got["a"] >= 12 and got["b"] >= 1
 
 
+def test_cms_weight_col_guard_edges(spark):
+    """cms_build shares hist_sketch's weight contract: a missing
+    weight column is a diagnosable ValueError, a fractional weight
+    type is refused (truncate/round diverges across engines), and
+    NULL / negative weights are dropped rather than silently summed
+    (a negative increment would let cms_lookup UNDER-estimate — the
+    one error direction the sketch promises never to make)."""
+    import pytest
+
+    df = spark.createDataFrame(
+        [("a", 5), ("a", None), ("a", -3), ("b", 0)], "v string, w int"
+    )
+    with pytest.raises(ValueError, match="not a column"):
+        cms_build(df, "v", weight_col="w_typo")
+    frac = df.withColumn("w", df.w.cast("double"))
+    with pytest.raises(ValueError, match="integer type"):
+        cms_build(frac, "v", weight_col="w")
+    # NULL and negative dropped: sketch == sketch of just ("a", 5) plus
+    # b's zero-weight cells at cnt=0
+    sk = cms_build(df, "v", weight_col="w")
+    only_a = cms_build(
+        spark.createDataFrame([("a", 5)], "v string, w int"), "v", weight_col="w"
+    )
+    assert sorted(map(tuple, sk.filter("cnt > 0").collect())) == sorted(
+        map(tuple, only_a.collect())
+    )
+    probes = spark.createDataFrame([("a",), ("b",)], "v string")
+    est = {r["v"]: r["cms_count"] for r in cms_lookup(sk, probes, "v").collect()}
+    assert est["a"] >= 5  # upper bound intact despite the -3 row
+    assert est["b"] >= 0
+
+
 def test_hll_nulls_ignored_and_empty_is_zero(spark):
     """COUNT DISTINCT semantics: NULL values don't count, and the
     estimate over an empty frame is exactly 0."""
@@ -727,6 +759,13 @@ def test_bloom_merge_requires_meta_row_per_shard(spark):
     naked = b.filter("word >= 0")
     with pytest.raises(SparkRuntimeException, match="parameter"):
         bloom_merge(a, naked).collect()
+    # the guard is a filter predicate, so bits-free consumers cannot
+    # column-prune it away (r6 advice: the projection-embedded guard
+    # only fired when bits was evaluated)
+    with pytest.raises(SparkRuntimeException, match="parameter"):
+        bloom_merge(a, naked).count()
+    with pytest.raises(SparkRuntimeException, match="parameter"):
+        bloom_merge(a, naked).select("word").collect()
     # ... and the guard travels through the probe path too
     with pytest.raises(SparkRuntimeException, match="parameter"):
         bloom_filter_members(

@@ -29,7 +29,14 @@ checkpoint RESTART over pre-seeded state (so the seed batch's cost
 never pollutes the small-batch measurement); the ~0.3 s stream startup
 is included in every variant equally.
 
-Usage: python tools/bench_stream_keys.py [--quick]
+Both questions are measured for BOTH streaming fast paths: the SDFA
+detection path (streaming/fastpath.py — fixed-width automaton state)
+and the register/NSRA path (streaming/fastpath_register.py — pickled
+configuration-set state, wider per key), sharing the bucketed state
+protocol since the r6 refactor.  The register rows answer the r6
+verdict's "measure the register path's own key scaling" item.
+
+Usage: python tools/bench_stream_keys.py [--quick] [--detect-only|--register-only]
   --quick drops the 1M-key and 10M-event points (CI-sized smoke).
 """
 
@@ -50,6 +57,16 @@ from flink_rtcef_spark.session import get_spark
 SCHEMA = "k string, ts long, id long, event_type string"
 PAT = ";(IsEventTypePredicate(A),IsEventTypePredicate(B)){partitionBy:k}"
 DECLS = "~(IsEventTypePredicate(A),IsEventTypePredicate(B))"
+# register (SREMO/NSRA) twin: same A-then-B sequence shape, but the
+# second step compares against the STORED register (GTAttr), so the
+# per-key state is a pickled configuration set (valuations), not a
+# fixed-width automaton quintuple — the wider-state path the r6
+# verdict asked to measure (streaming/fastpath_register.py)
+REG_SCHEMA = SCHEMA + ", value double"
+REG_PAT = (
+    ';(IsEventTypePredicate(A)["x"],^(IsEventTypePredicate(B),'
+    'GTAttr(value,"x"))){partitionBy:k}{window:4}'
+)
 NUM_BUCKETS = 256
 CLUSTER_BUCKETS = 4
 BATCHES = 8
@@ -60,21 +77,44 @@ def _key(i: int) -> str:
     return f"k{i:08d}"
 
 
-def _write_rows(spark, rows, path):
-    spark.createDataFrame(rows, SCHEMA).coalesce(1).write.mode(
+def _compile(path: str):
+    if path == "register":
+        from flink_rtcef_spark.plans.nsra import compile_register_pattern
+
+        return compile_register_pattern(REG_PAT)
+    from flink_rtcef_spark.plans.compiler import compile_pattern
+
+    return compile_pattern(PAT, DECLS)
+
+
+def _write_rows(spark, rows, out_path, path="detect"):
+    schema = REG_SCHEMA if path == "register" else SCHEMA
+    if path == "register":
+        rows = [r + (float(r[2] % 10),) for r in rows]
+    spark.createDataFrame(rows, schema).coalesce(1).write.mode(
         "overwrite"
-    ).parquet(path)
+    ).parquet(out_path)
 
 
-def _run_stream(spark, src_glob, state_dir, ckpt_dir, compiled):
-    from flink_rtcef_spark.streaming.fastpath import start_fastpath_detections
+def _run_stream(spark, src_glob, state_dir, ckpt_dir, compiled, path="detect"):
+    if path == "register":
+        from flink_rtcef_spark.streaming.fastpath_register import (
+            start_fastpath_register as starter,
+        )
 
+        schema = REG_SCHEMA
+    else:
+        from flink_rtcef_spark.streaming.fastpath import (
+            start_fastpath_detections as starter,
+        )
+
+        schema = SCHEMA
     stream = (
-        spark.readStream.schema(SCHEMA)
+        spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", 1)
         .parquet(src_glob)
     )
-    q = start_fastpath_detections(
+    q = starter(
         stream, compiled,
         state_dir=state_dir, checkpoint_dir=ckpt_dir,
         key_col="k", ts_col="ts", id_col="id",
@@ -84,23 +124,22 @@ def _run_stream(spark, src_glob, state_dir, ckpt_dir, compiled):
     assert q.awaitTermination(1200), "stream did not drain"
 
 
-def key_cardinality_point(spark, live_keys: int, mode: str) -> dict:
+def key_cardinality_point(spark, live_keys: int, mode: str, path: str = "detect") -> dict:
     """Seed ``live_keys`` open runs, then time 8 x 10k-event batches
     whose keys are bucket-clustered or uniform.  The phase is re-run
     (median of 3) by restoring the post-seed state dir + checkpoint
     from a copy, so every run advances the same 8 batches over the
     same seeded state."""
-    from flink_rtcef_spark.plans.compiler import compile_pattern
     from flink_rtcef_spark.streaming import state_table as stt
 
-    compiled = compile_pattern(PAT, DECLS)
-    work = tempfile.mkdtemp(prefix=f"skey_{mode}_{live_keys}_")
+    compiled = _compile(path)
+    work = tempfile.mkdtemp(prefix=f"skey_{path}_{mode}_{live_keys}_")
     src = f"{work}/src"
 
     # seed: one A per key — every key carries an open partial match
     seed = [(_key(i), 1_000_000 + (i % 977), i, "A") for i in range(live_keys)]
-    _write_rows(spark, seed, f"{src}/c0")
-    _run_stream(spark, f"{src}/c*", f"{work}/state", f"{work}/ckpt", compiled)
+    _write_rows(spark, seed, f"{src}/c0", path)
+    _run_stream(spark, f"{src}/c*", f"{work}/state", f"{work}/ckpt", compiled, path)
     with open(f"{work}/state/v1/meta.json") as f:
         m1 = json.load(f)
     assert m1["state_rows"] == live_keys, m1["state_rows"]
@@ -121,7 +160,7 @@ def key_cardinality_point(spark, live_keys: int, mode: str) -> dict:
              live_keys + b * BATCH_ROWS + j, "C")
             for j in range(BATCH_ROWS)
         ]
-        _write_rows(spark, rows, f"{src}/c{b + 1}")
+        _write_rows(spark, rows, f"{src}/c{b + 1}", path)
 
     # snapshot post-seed state+checkpoint; each timed run starts fresh
     shutil.copytree(f"{work}/state", f"{work}/state0")
@@ -133,7 +172,7 @@ def key_cardinality_point(spark, live_keys: int, mode: str) -> dict:
         shutil.copytree(f"{work}/state0", f"{work}/state")
         shutil.copytree(f"{work}/ckpt0", f"{work}/ckpt")
         _run_stream(
-            spark, f"{src}/c*", f"{work}/state", f"{work}/ckpt", compiled
+            spark, f"{src}/c*", f"{work}/state", f"{work}/ckpt", compiled, path
         )
 
     run()  # warm-up
@@ -150,6 +189,7 @@ def key_cardinality_point(spark, live_keys: int, mode: str) -> dict:
         stt.bucket_of_key(k, NUM_BUCKETS) for k in pool[:BATCH_ROWS]
     })
     out = {
+        "path": path,
         "mode": mode,
         "live_keys": live_keys,
         "batches": BATCHES,
@@ -164,15 +204,13 @@ def key_cardinality_point(spark, live_keys: int, mode: str) -> dict:
     return out
 
 
-def sustained_point(spark, n_events: int, n_keys: int) -> dict:
+def sustained_point(spark, n_events: int, n_keys: int, path: str = "detect") -> dict:
     """Sustained fast-path throughput: n_events over 8 microbatches,
     key cardinality scaled with the data (sf-table shape)."""
     from pyspark.sql import functions as F
 
-    from flink_rtcef_spark.plans.compiler import compile_pattern
-
-    compiled = compile_pattern(PAT, DECLS)
-    work = tempfile.mkdtemp(prefix=f"ssust_{n_events}_")
+    compiled = _compile(path)
+    work = tempfile.mkdtemp(prefix=f"ssust_{path}_{n_events}_")
     src = f"{work}/src"
     per = n_events // BATCHES
     base = spark.range(n_events).select(
@@ -185,6 +223,8 @@ def sustained_point(spark, n_events: int, n_keys: int) -> dict:
         .when(F.col("id") % 3 == 1, "B")
         .otherwise("C").alias("event_type"),
     )
+    if path == "register":
+        base = base.withColumn("value", (F.col("id") % 10).cast("double"))
     for b in range(BATCHES):
         base.filter(
             (F.col("id") >= b * per) & (F.col("id") < (b + 1) * per)
@@ -196,7 +236,7 @@ def sustained_point(spark, n_events: int, n_keys: int) -> dict:
         shutil.rmtree(f"{work}/state", ignore_errors=True)
         shutil.rmtree(f"{work}/ckpt", ignore_errors=True)
         _run_stream(
-            spark, f"{src}/c*", f"{work}/state", f"{work}/ckpt", compiled
+            spark, f"{src}/c*", f"{work}/state", f"{work}/ckpt", compiled, path
         )
 
     run()  # warm-up
@@ -207,6 +247,7 @@ def sustained_point(spark, n_events: int, n_keys: int) -> dict:
         ts.append(time.perf_counter() - t0)
     wall = statistics.median(ts)
     out = {
+        "path": path,
         "events": n_events,
         "keys": n_keys,
         "batches": BATCHES,
@@ -223,22 +264,30 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     out: dict = {"num_buckets": NUM_BUCKETS}
 
+    paths = ("detect", "register")
+    if "--detect-only" in sys.argv:
+        paths = ("detect",)
+    if "--register-only" in sys.argv:
+        paths = ("register",)
+
     key_points = [100_000] if quick else [100_000, 1_000_000]
     out["key_cardinality"] = []
-    for lk in key_points:
-        for mode in ("clustered", "uniform"):
-            p = key_cardinality_point(spark, lk, mode)
-            out["key_cardinality"].append(p)
-            print(f"# {p}", flush=True)
+    for path in paths:
+        for lk in key_points:
+            for mode in ("clustered", "uniform"):
+                p = key_cardinality_point(spark, lk, mode, path)
+                out["key_cardinality"].append(p)
+                print(f"# {p}", flush=True)
 
     sus_points = [(1_000_000, 15_000)] if quick else [
         (1_000_000, 15_000), (10_000_000, 150_000)
     ]
     out["sustained"] = []
-    for n_ev, n_k in sus_points:
-        p = sustained_point(spark, n_ev, n_k)
-        out["sustained"].append(p)
-        print(f"# {p}", flush=True)
+    for path in paths:
+        for n_ev, n_k in sus_points:
+            p = sustained_point(spark, n_ev, n_k, path)
+            out["sustained"].append(p)
+            print(f"# {p}", flush=True)
 
     print(json.dumps(out))
 

@@ -273,6 +273,48 @@ def main() -> None:
     out["asof_rows_per_sec"] = round(n_purch / dt)
     note("asof_rows_per_sec")
 
+    # -- r7: the hot-key cliff (verdict item 4).  The merge-scan as-of
+    # windows over partitionBy(key): ONE key owning a large row share
+    # (a celebrity user at 100 TB) serializes that key's whole
+    # timeline into a single task.  Remap ~25% of both sides onto one
+    # key (>>100x the median user's density) and measure the plain
+    # operator against the time-sharded presplit variant (1-day
+    # shards), which spreads the hot key over timeline/shard tasks.
+    from flink_rtcef_spark.operators.joins import as_of_join_presplit
+
+    def _hot(df, mod, hits):
+        # remap hits/mod of the key space onto one key
+        return df.withColumn(
+            "user_id",
+            F.when(
+                F.crc32(F.col("user_id").cast("string")) % mod < hits,
+                F.lit(-1),
+            ).otherwise(F.col("user_id")),
+        )
+
+    for tag, mod, hits in (("hot25", 4, 1), ("hot90", 10, 9)):
+        hot_p, hot_c = _hot(purchases, mod, hits), _hot(clicks, mod, hits)
+        hot_rows = hot_p.filter(F.col("user_id") == -1).count()
+        dt = _median3(
+            lambda: as_of_join(
+                hot_p, hot_c, on="user_id", left_ts="ts_ms",
+                right_ts="t_ms", right_cols=["click_value"],
+            ).count()
+        )
+        out[f"asof_skew_{tag}_left_rows"] = hot_rows
+        note(f"asof_skew_{tag}_left_rows")
+        out[f"asof_skew_{tag}_plain_sec"] = round(dt, 3)
+        note(f"asof_skew_{tag}_plain_sec")
+        dt = _median3(
+            lambda: as_of_join_presplit(
+                hot_p, hot_c, on="user_id", shard_span=86_400_000,
+                left_ts="ts_ms", right_ts="t_ms",
+                right_cols=["click_value"],
+            ).count()
+        )
+        out[f"asof_skew_{tag}_presplit_sec"] = round(dt, 3)
+        note(f"asof_skew_{tag}_presplit_sec")
+
     points = ev.filter(F.col("event_type") == "click").select(
         "user_id", F.unix_millis("ts").alias("t_ms")
     )
