@@ -43,6 +43,56 @@ _MATCH = "__asof_match"
 _SIDE = "__asof_side"
 
 
+def _asof_sides(left, right, keys, left_ts, rts, right_cols, direction):
+    """Shared as-of prologue: the right side reduced to (keys, __t,
+    payload struct, side tag) and the left side widened with the same
+    columns — the merged-order encoding both the plain and the
+    presplit operators window over.  Returns (l, r, right_cols)."""
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
+    if right_cols is None:
+        right_cols = [c for c in right.columns if c not in (*keys, rts)]
+    payload = F.struct(
+        F.col(rts).cast(dict(right.dtypes)[rts]).alias("__ts"),
+        *[F.col(c).alias(c) for c in right_cols],
+    )
+    backward = direction == "backward"
+    r = right.select(
+        *[F.col(k) for k in keys],
+        F.col(rts).alias("__t"),
+        payload.alias(_MATCH),
+        F.lit(0 if backward else 1).alias(_SIDE),
+    )
+    l = left.select(
+        "*",
+        F.col(left_ts).alias("__t"),
+        F.lit(None).cast(r.schema[_MATCH].dataType).alias(_MATCH),
+        F.lit(1 if backward else 0).alias(_SIDE),
+    )
+    return l, r, right_cols
+
+
+def _asof_finish(out, left, right_cols, rts, suffix, tolerance, direction):
+    """Shared as-of epilogue: tolerance masking + the carried-columns
+    select with suffix collision handling."""
+    if tolerance is not None:
+        in_tol = (
+            F.col(f"{_MATCH}.__ts") >= F.col("__t") - tolerance
+            if direction == "backward"
+            else F.col(f"{_MATCH}.__ts") <= F.col("__t") + tolerance
+        )
+        out = out.withColumn(_MATCH, F.when(in_tol, F.col(_MATCH)))
+    left_names = set(left.columns)
+    carried = [
+        F.col(f"{_MATCH}.__ts").alias(rts + suffix),
+        *[
+            F.col(f"{_MATCH}.{c}").alias(c + suffix if c in left_names else c)
+            for c in right_cols
+        ],
+    ]
+    return out.select(*[F.col(c) for c in left.columns], *carried)
+
+
 def as_of_join(
     left: DataFrame,
     right: DataFrame,
@@ -77,28 +127,10 @@ def as_of_join(
     still wins the match (a per-column ``last(ignorenulls)`` would skip
     it and stitch together columns from different right rows).
     """
-    if direction not in ("backward", "forward"):
-        raise ValueError(f"direction must be backward|forward, got {direction!r}")
     keys = [on] if isinstance(on, str) else list(on)
     rts = right_ts or left_ts
-    if right_cols is None:
-        right_cols = [c for c in right.columns if c not in (*keys, rts)]
-
-    payload = F.struct(
-        F.col(rts).cast(dict(right.dtypes)[rts]).alias("__ts"),
-        *[F.col(c).alias(c) for c in right_cols],
-    )
-    r = right.select(
-        *[F.col(k) for k in keys],
-        F.col(rts).alias("__t"),
-        payload.alias(_MATCH),
-        F.lit(0 if direction == "backward" else 1).alias(_SIDE),
-    )
-    l = left.select(
-        "*",
-        F.col(left_ts).alias("__t"),
-        F.lit(None).cast(r.schema[_MATCH].dataType).alias(_MATCH),
-        F.lit(1 if direction == "backward" else 0).alias(_SIDE),
+    l, r, right_cols = _asof_sides(
+        left, right, keys, left_ts, rts, right_cols, direction
     )
     merged = l.unionByName(r.select(*keys, "__t", _MATCH, _SIDE), allowMissingColumns=True)
 
@@ -116,23 +148,7 @@ def as_of_join(
     out = merged.withColumn(_MATCH, matched).filter(
         F.col(_SIDE) == (1 if direction == "backward" else 0)
     )
-    if tolerance is not None:
-        in_tol = (
-            F.col(f"{_MATCH}.__ts") >= F.col("__t") - tolerance
-            if direction == "backward"
-            else F.col(f"{_MATCH}.__ts") <= F.col("__t") + tolerance
-        )
-        out = out.withColumn(_MATCH, F.when(in_tol, F.col(_MATCH)))
-
-    left_names = set(left.columns)
-    carried = [
-        F.col(f"{_MATCH}.__ts").alias(rts + suffix),
-        *[
-            F.col(f"{_MATCH}.{c}").alias(c + suffix if c in left_names else c)
-            for c in right_cols
-        ],
-    ]
-    return out.select(*[F.col(c) for c in left.columns], *carried)
+    return _asof_finish(out, left, right_cols, rts, suffix, tolerance, direction)
 
 
 def as_of_join_presplit(
@@ -176,10 +192,11 @@ def as_of_join_presplit(
     day of a user's events).
 
     Numeric timestamps only (``unix_millis`` first for TIMESTAMP
-    columns — the shard id is ``floor(ts / shard_span)``).
+    columns — the shard id is ``floor(ts / shard_span)``).  Duplicate
+    right timestamps within one (key, shard): the carried pick is
+    arbitrary among them, same as the plain operator's window (which
+    takes whichever sorts last in partition order).
     """
-    if direction not in ("backward", "forward"):
-        raise ValueError(f"direction must be backward|forward, got {direction!r}")
     if shard_span <= 0:
         # floor(col/0) is NULL in Spark -> every row lands in a NULL
         # shard and the join silently degenerates
@@ -193,25 +210,9 @@ def as_of_join_presplit(
                 f"and needs a numeric timestamp — convert with unix_millis "
                 f"first (got {dict(df.dtypes)[c]})"
             )
-    if right_cols is None:
-        right_cols = [c for c in right.columns if c not in (*keys, rts)]
-
-    payload = F.struct(
-        F.col(rts).cast(dict(right.dtypes)[rts]).alias("__ts"),
-        *[F.col(c).alias(c) for c in right_cols],
-    )
     backward = direction == "backward"
-    r = right.select(
-        *[F.col(k) for k in keys],
-        F.col(rts).alias("__t"),
-        payload.alias(_MATCH),
-        F.lit(0 if backward else 1).alias(_SIDE),
-    )
-    l = left.select(
-        "*",
-        F.col(left_ts).alias("__t"),
-        F.lit(None).cast(r.schema[_MATCH].dataType).alias(_MATCH),
-        F.lit(1 if backward else 0).alias(_SIDE),
+    l, r, right_cols = _asof_sides(
+        left, right, keys, left_ts, rts, right_cols, direction
     )
     shard = F.floor(F.col("__t") / F.lit(shard_span)).alias("__shard")
     merged = l.unionByName(
@@ -231,11 +232,12 @@ def as_of_join_presplit(
     )
 
     # phase 2: per-(key, shard) boundary payload -> carry across shards.
-    # max/min over (ts, payload) structs orders by __ts first — the
-    # shard's last/first right row (ties broken by payload, which the
-    # unsharded window leaves unspecified too).
-    edge = (F.max if backward else F.min)(
-        F.struct(F.col("__t"), F.col(_MATCH))
+    # max_by/min_by on __t alone: the payload is carried, never
+    # compared (a map-typed payload column would make a struct-ordered
+    # max raise); ties at equal __t pick arbitrarily, exactly like the
+    # unsharded window's partition-order last
+    edge = (F.max_by if backward else F.min_by)(
+        F.col(_MATCH), F.col("__t")
     ).alias("__edge")
     shard_edges = (
         r.withColumn("__shard", shard).groupBy(*keys, "__shard").agg(edge)
@@ -250,9 +252,13 @@ def as_of_join_presplit(
         .groupBy(*keys, "__shard")
         .agg(F.lit(None).cast(shard_edges.schema["__edge"].dataType).alias("__edge"))
     )
+    # each (key, shard) group holds at most ONE non-NULL edge (one row
+    # from shard_edges, possibly one NULL from left_shards), so
+    # first(ignorenulls) merges them deterministically — and unlike
+    # max/min it never orders the payload type
     all_edges = shard_edges.unionByName(left_shards).groupBy(
         *keys, "__shard"
-    ).agg((F.max if backward else F.min)("__edge").alias("__edge"))
+    ).agg(F.first("__edge", ignorenulls=True).alias("__edge"))
     cw = W.partitionBy(*keys).orderBy("__shard")
     carry = (
         F.last("__edge", ignorenulls=True).over(
@@ -264,29 +270,13 @@ def as_of_join_presplit(
         )
     )
     carries = all_edges.select(
-        *keys, "__shard", carry[_MATCH].alias("__carry")
+        *keys, "__shard", carry.alias("__carry")
     )
 
     out = out.join(carries, [*keys, "__shard"], "left").withColumn(
         _MATCH, F.coalesce(F.col(_MATCH), F.col("__carry"))
     )
-    if tolerance is not None:
-        in_tol = (
-            F.col(f"{_MATCH}.__ts") >= F.col("__t") - tolerance
-            if backward
-            else F.col(f"{_MATCH}.__ts") <= F.col("__t") + tolerance
-        )
-        out = out.withColumn(_MATCH, F.when(in_tol, F.col(_MATCH)))
-
-    left_names = set(left.columns)
-    carried = [
-        F.col(f"{_MATCH}.__ts").alias(rts + suffix),
-        *[
-            F.col(f"{_MATCH}.{c}").alias(c + suffix if c in left_names else c)
-            for c in right_cols
-        ],
-    ]
-    return out.select(*[F.col(c) for c in left.columns], *carried)
+    return _asof_finish(out, left, right_cols, rts, suffix, tolerance, direction)
 
 
 def range_join_binned(

@@ -43,6 +43,15 @@ def _purge_orphaned_location(spark: SparkSession, table: str) -> None:
     orphan here makes killed runs self-healing.  A directory belonging
     to a *registered* table is never touched (normal overwrite/append
     semantics apply to it).
+
+    Only ``write_bucketed(mode="overwrite")`` calls this: a caller who
+    asked for ``error``/``append`` semantics opted into failing loudly
+    on pre-existing data, so their orphans stay (with the in-memory
+    catalog every prior session's table is "orphaned" — clobbering is
+    only licensed when the caller declared overwrite intent).  Like
+    ``saveAsTable`` overwrite itself, this assumes one writer per
+    table name at a time; two sessions racing the same name could
+    already clobber each other at the commit level.
     """
     if "." in table:
         db, tbl = table.rsplit(".", 1)
@@ -72,7 +81,8 @@ def write_bucketed(
     The one-time shuffle this write pays is the shuffle every future
     join on ``bucket_cols`` skips.
     """
-    _purge_orphaned_location(df.sparkSession, table)
+    if mode == "overwrite":
+        _purge_orphaned_location(df.sparkSession, table)
     bucket_cols = [bucket_cols] if isinstance(bucket_cols, str) else list(bucket_cols)
     writer = (
         df.write.mode(mode)

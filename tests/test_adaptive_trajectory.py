@@ -33,6 +33,7 @@ supplying the floor:
 from __future__ import annotations
 
 import csv
+import shutil
 import tempfile
 from pathlib import Path
 
@@ -41,9 +42,17 @@ from pyspark.sql import functions as F
 
 MARITIME_CSV = "/root/reference/data/maritime.csv"
 BASELINE_CSV = "/root/reference/data/baseline_metrics.csv"
+PATTERN_SRE = "/root/reference/data/pattern.sre"
+DECLS_SRE = "/root/reference/data/declarations.sre"
 
+# every reference artifact the module reads must exist, or a partially
+# present /root/reference would ERROR the fixture instead of skipping
 pytestmark = pytest.mark.skipif(
-    not Path(MARITIME_CSV).exists(), reason="reference sample not present"
+    not all(
+        Path(p).exists()
+        for p in (MARITIME_CSV, BASELINE_CSV, PATTERN_SRE, DECLS_SRE)
+    ),
+    reason="reference sample/baseline artifacts not present",
 )
 
 
@@ -58,8 +67,8 @@ def trajectory(spark):
     from flink_rtcef_spark.streaming.loop import RTCEFLoop
     from flink_rtcef_spark.streaming.observer import Observer
 
-    pattern = Path("/root/reference/data/pattern.sre").read_text().strip()
-    decls = Path("/root/reference/data/declarations.sre").read_text()
+    pattern = Path(PATTERN_SRE).read_text().strip()
+    decls = Path(DECLS_SRE).read_text()
     events = (
         read_maritime_csv(spark, MARITIME_CSV)
         .withColumn("id", F.monotonically_increasing_id())
@@ -78,13 +87,13 @@ def trajectory(spark):
         max_order=2, horizon=10, method="classify_nextk",
         confidence_threshold=0.1, spread=5,
     )
+    lake = tempfile.mkdtemp(prefix="traj_lake_")
     loop = RTCEFLoop(
         spark=spark,
         compiled=compiled,
         initial_model=initial,
         collector=BucketCollector(
-            base_path=tempfile.mkdtemp(prefix="traj_lake_"),
-            bucket_size=86400, last_k=7,
+            base_path=lake, bucket_size=86400, last_k=7,
         ),
         factory=factory,
         observer=Observer(
@@ -95,6 +104,7 @@ def trajectory(spark):
     )
     points = loop.replay(events, batch_seconds=14 * 86400)
     events.unpersist()
+    shutil.rmtree(lake, ignore_errors=True)
     return points
 
 

@@ -225,6 +225,33 @@ def test_asof_presplit_hot_key(spark):
     pd.testing.assert_frame_equal(sharded, plain)
 
 
+def test_asof_presplit_unorderable_payload(spark):
+    """A map-typed right payload column rides through BOTH operators:
+    the presplit carry uses max_by/first over the payload (carried,
+    never compared), so unorderable types must not raise (a
+    struct-ordered max over the payload would)."""
+    from flink_rtcef_spark.operators.joins import as_of_join_presplit
+
+    left = spark.createDataFrame([(1, 10), (1, 25), (2, 5)], "k int, t int")
+    right = spark.createDataFrame(
+        [(1, 8, {"a": "x"}), (1, 20, {"b": "y"})],
+        "k int, t int, attrs map<string,string>",
+    )
+    for fn, kw in (
+        (as_of_join, {}),
+        (as_of_join_presplit, {"shard_span": 7}),
+    ):
+        rows = {
+            (r["k"], r["t"]): r["attrs"]
+            for r in fn(
+                left, right, on="k", left_ts="t", right_cols=["attrs"], **kw
+            ).collect()
+        }
+        assert rows[(1, 10)] == {"a": "x"}
+        assert rows[(1, 25)] == {"b": "y"}
+        assert rows[(2, 5)] is None
+
+
 def test_asof_presplit_guards(spark):
     from flink_rtcef_spark.operators.joins import as_of_join_presplit
 

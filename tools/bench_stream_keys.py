@@ -264,6 +264,8 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     out: dict = {"num_buckets": NUM_BUCKETS}
 
+    if "--detect-only" in sys.argv and "--register-only" in sys.argv:
+        raise SystemExit("--detect-only and --register-only are mutually exclusive")
     paths = ("detect", "register")
     if "--detect-only" in sys.argv:
         paths = ("detect",)
