@@ -106,7 +106,8 @@ def as_of_join(
 ) -> DataFrame:
     """For every left row, the single right row with the nearest
     ``right_ts`` at-or-before (``backward``) / at-or-after (``forward``)
-    the row's ``left_ts``, within the same ``on`` key.
+    / on either side (``nearest``, distance ties to the backward match
+    as in pandas) the row's ``left_ts``, within the same ``on`` key.
 
     Matches pandas ``merge_asof`` semantics (inclusive match at equal
     timestamps; unmatched rows keep NULL right columns) and DuckDB's
@@ -127,8 +128,16 @@ def as_of_join(
     still wins the match (a per-column ``last(ignorenulls)`` would skip
     it and stitch together columns from different right rows).
     """
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(
+            f"direction must be backward|forward|nearest, got {direction!r}"
+        )
     keys = [on] if isinstance(on, str) else list(on)
     rts = right_ts or left_ts
+    if direction == "nearest":
+        return _as_of_join_nearest(
+            left, right, keys, left_ts, rts, right_cols, tolerance, suffix
+        )
     l, r, right_cols = _asof_sides(
         left, right, keys, left_ts, rts, right_cols, direction
     )
@@ -149,6 +158,79 @@ def as_of_join(
         F.col(_SIDE) == (1 if direction == "backward" else 0)
     )
     return _asof_finish(out, left, right_cols, rts, suffix, tolerance, direction)
+
+
+def _as_of_join_nearest(
+    left, right, keys, left_ts, rts, right_cols, tolerance, suffix
+):
+    """``direction="nearest"``: the closer of the backward and forward
+    matches, distance ties to the backward one (pandas semantics,
+    pinned by the merge_asof parity test).
+
+    Same single shuffle + single sort as the directional paths: the
+    right side enters the merged order TWICE — a backward-eligible
+    copy sorting before left rows at equal __t (feeds a running
+    ``last``) and a forward-eligible copy sorting after (feeds a
+    running ``first``) — then the two candidates resolve per left row
+    with a distance comparison.  Cost vs directional: the shuffle
+    carries the right payload twice and the sort runs over |L|+2|R|
+    rows; no extra shuffle or join."""
+    if right_cols is None:
+        right_cols = [c for c in right.columns if c not in (*keys, rts)]
+    payload = F.struct(
+        F.col(rts).cast(dict(right.dtypes)[rts]).alias("__ts"),
+        *[F.col(c).alias(c) for c in right_cols],
+    )
+    ptype_cols = [F.col(k) for k in keys]
+    rb = right.select(
+        *ptype_cols, F.col(rts).alias("__t"),
+        payload.alias("__mb"), F.lit(0).alias(_SIDE),
+    )
+    rf = right.select(
+        *ptype_cols, F.col(rts).alias("__t"),
+        payload.alias("__mf"), F.lit(2).alias(_SIDE),
+    )
+    null_payload = F.lit(None).cast(rb.schema["__mb"].dataType)
+    l = left.select(
+        "*",
+        F.col(left_ts).alias("__t"),
+        null_payload.alias("__mb"),
+        null_payload.alias("__mf"),
+        F.lit(1).alias(_SIDE),
+    )
+    merged = l.unionByName(
+        rb, allowMissingColumns=True
+    ).unionByName(rf, allowMissingColumns=True)
+
+    w = W.partitionBy(*keys).orderBy("__t", _SIDE)
+    bwd = F.last("__mb", ignorenulls=True).over(
+        w.rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    fwd = F.first("__mf", ignorenulls=True).over(
+        w.rowsBetween(W.currentRow, W.unboundedFollowing)
+    )
+    out = (
+        merged.withColumn("__b", bwd)
+        .withColumn("__f", fwd)
+        .filter(F.col(_SIDE) == 1)
+    )
+    dist_b = F.col("__t") - F.col("__b.__ts")
+    dist_f = F.col("__f.__ts") - F.col("__t")
+    chosen = (
+        F.when(F.col("__b").isNull(), F.col("__f"))
+        .when(F.col("__f").isNull(), F.col("__b"))
+        .when(dist_b <= dist_f, F.col("__b"))  # tie -> backward (pandas)
+        .otherwise(F.col("__f"))
+    )
+    out = out.withColumn(_MATCH, chosen)
+    if tolerance is not None:
+        # two-sided bound (works for numeric ts AND timestamp+INTERVAL,
+        # where an abs() over the difference would not)
+        in_tol = (
+            F.col(f"{_MATCH}.__ts") >= F.col("__t") - tolerance
+        ) & (F.col(f"{_MATCH}.__ts") <= F.col("__t") + tolerance)
+        out = out.withColumn(_MATCH, F.when(in_tol, F.col(_MATCH)))
+    return _asof_finish(out, left, right_cols, rts, suffix, None, "backward")
 
 
 def as_of_join_presplit(

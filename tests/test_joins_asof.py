@@ -86,7 +86,7 @@ def _random_frames(seed: int, n_left: int = 400, n_right: int = 300):
     return left, right
 
 
-@pytest.mark.parametrize("direction", ["backward", "forward"])
+@pytest.mark.parametrize("direction", ["backward", "forward", "nearest"])
 @pytest.mark.parametrize("tolerance", [None, 50])
 def test_asof_matches_pandas_merge_asof(spark, direction, tolerance):
     left, right = _random_frames(seed=7)
@@ -133,11 +133,25 @@ def test_asof_null_payload_still_wins(spark):
 def test_asof_equal_ts_inclusive(spark):
     left = spark.createDataFrame([(1, 5)], "k int, t int")
     right = spark.createDataFrame([(1, 5, 1.0)], "k int, t int, rv double")
-    for direction in ("backward", "forward"):
+    for direction in ("backward", "forward", "nearest"):
         row = as_of_join(
             left, right, on="k", left_ts="t", direction=direction
         ).collect()[0]
         assert row["rv"] == 1.0, direction
+
+
+def test_asof_nearest_tie_prefers_backward(spark):
+    """Equidistant matches resolve to the backward row, the pandas
+    merge_asof tie rule (pinned empirically: left t=10 against right
+    t=5/t=15 picks t=5)."""
+    left = spark.createDataFrame([(1, 10)], "k int, t int")
+    right = spark.createDataFrame(
+        [(1, 5, 1.0), (1, 15, 2.0)], "k int, t int, rv double"
+    )
+    row = as_of_join(
+        left, right, on="k", left_ts="t", direction="nearest"
+    ).collect()[0]
+    assert row["rv"] == 1.0 and row["t_right"] == 5
 
 
 def test_asof_name_collision_suffix(spark):
