@@ -331,6 +331,35 @@ def test_asof_plan_single_exchange(spark):
     assert "Join" not in plan, plan
 
 
+def test_asof_nearest_plan_single_exchange(spark):
+    """nearest keeps the directional paths' plan shape: the tripled
+    union (left + two right copies) still hash-partitions ONCE for the
+    shared window sort — no join, no broadcast."""
+    left, right = _random_frames(seed=3)
+    plan = as_of_join(
+        spark.createDataFrame(left), spark.createDataFrame(right),
+        on="k", left_ts="t", direction="nearest",
+    )._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "Join" not in plan, plan
+
+
+def test_asof_presplit_plan_no_nested_loop(spark):
+    """The presplit variant pays exactly one equi-join (the carry-in
+    on (key, shard)) on top of the window exchanges — never a
+    BroadcastNestedLoopJoin, whatever the optimizer picks for the
+    small carry side."""
+    left, right = _random_frames(seed=3)
+    from flink_rtcef_spark.operators.joins import as_of_join_presplit
+
+    plan = as_of_join_presplit(
+        spark.createDataFrame(left), spark.createDataFrame(right),
+        on="k", shard_span=100, left_ts="t",
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
 # ------------------------------------------------------ overlap join --
 def _interval_fixture(spark, n=400, seed=5):
     import random
