@@ -8,6 +8,8 @@ import duckdb
 import numpy as np
 import pandas as pd
 import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
 
 from pyspark.sql import functions as F
 
@@ -358,6 +360,74 @@ def test_asof_presplit_plan_no_nested_loop(spark):
     )._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 60)),
+        min_size=1, max_size=25,
+    ),
+    st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 60)),
+        min_size=0, max_size=25,
+    ),
+    st.sampled_from(["backward", "forward", "nearest"]),
+    st.sampled_from([None, 7]),
+)
+def test_asof_fuzz_matches_merge_asof(spark, lrows, rrows, direction, tolerance):
+    """Randomized as-of parity vs pandas merge_asof: tiny key space
+    forces duplicate left timestamps, empty-right keys, and distance
+    ties; the presplit variant (odd shard width) must agree wherever
+    it supports the direction."""
+    from flink_rtcef_spark.operators.joins import as_of_join_presplit
+
+    left = pd.DataFrame(lrows, columns=["k", "t"]).astype("int64")
+    left["lv"] = range(len(left))
+    right = (
+        pd.DataFrame(rrows, columns=["k", "t"])
+        .astype("int64")
+        .drop_duplicates(["k", "t"])
+    )
+    right["rv"] = [float(i) for i in range(len(right))]
+
+    expected = (
+        pd.merge_asof(
+            left.sort_values(["t", "lv"], kind="mergesort"),
+            right.sort_values("t", kind="mergesort"),
+            on="t", by="k", direction=direction, tolerance=tolerance,
+        )
+        .sort_values(["k", "t", "lv"])
+        .reset_index(drop=True)
+    )
+    ldf = spark.createDataFrame(left)
+    rdf = (
+        spark.createDataFrame(right)
+        if len(right)
+        else spark.createDataFrame([], "k bigint, t bigint, rv double")
+    )
+    variants = [
+        lambda: as_of_join(
+            ldf, rdf, on="k", left_ts="t", right_cols=["rv"],
+            direction=direction, tolerance=tolerance,
+        )
+    ]
+    if direction != "nearest":
+        variants.append(
+            lambda: as_of_join_presplit(
+                ldf, rdf, on="k", shard_span=13, left_ts="t",
+                right_cols=["rv"], direction=direction, tolerance=tolerance,
+            )
+        )
+    for fn in variants:
+        ours = (
+            fn().toPandas()
+            .sort_values(["k", "t", "lv"])
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_series_equal(
+            ours["rv"], expected["rv"], check_names=False
+        )
 
 
 # ------------------------------------------------------ overlap join --
