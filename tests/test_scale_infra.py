@@ -99,6 +99,34 @@ def test_write_bucketed_heals_orphaned_location(spark):
         spark.sql("DROP TABLE IF EXISTS t_bkt_orphan")
 
 
+def test_write_bucketed_error_mode_never_purges(spark):
+    """The orphan purge is licensed ONLY by overwrite intent: a caller
+    using mode="error"/"append" asked to fail loudly on pre-existing
+    data, so their orphaned directory must survive and the write must
+    raise — not be silently clobbered (r7 review finding)."""
+    import os
+
+    import pytest
+
+    db_loc = spark.catalog.getDatabase("default").locationUri
+    orphan = os.path.join(db_loc.removeprefix("file:"), "t_bkt_keep")
+    spark.sql("DROP TABLE IF EXISTS t_bkt_keep")
+    os.makedirs(orphan, exist_ok=True)
+    marker = os.path.join(orphan, "precious.parquet")
+    with open(marker, "wb") as f:
+        f.write(b"must not be deleted")
+    try:
+        ev = spark.read.parquet(f"{SF}/events.parquet").select("user_id", "value")
+        with pytest.raises(Exception, match="LOCATION_ALREADY_EXISTS|already exists"):
+            write_bucketed(ev, "t_bkt_keep", "user_id", 4, mode="error")
+        assert os.path.exists(marker), "error-mode write deleted the directory"
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_bkt_keep")
+        import shutil
+
+        shutil.rmtree(orphan, ignore_errors=True)
+
+
 def test_streaming_exact_dedup_drops_cross_batch_duplicates(spark, tmp_path):
     """Duplicate documents re-delivered across microbatches (within the
     horizon) collapse to their first arrival; distinct docs all pass."""
