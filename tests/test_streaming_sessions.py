@@ -78,11 +78,26 @@ def test_session_end_is_last_plus_gap(spark):
 def test_streaming_sessions_equal_batch(spark, tmp_path):
     src = tmp_path / "ev_in"
     df = _events(spark)
-    df.repartition(3).write.mode("overwrite").parquet(str(src))
+    # TIME-ORDERED chunks, written sequentially (the repo's standard
+    # replay pattern): a plain repartition(3) write put arbitrary time
+    # mixtures in each part file, and the file source replays by
+    # mtime — when a chunk fell more than the 30-minute watermark
+    # behind an earlier-replayed late-time chunk, its events were
+    # dropped as late and the test flaked (sessions 2 vs 4)
+    chunked = df.withColumn(
+        "__c", F.ntile(3).over(W.orderBy("ts", "event_id"))
+    )
+    for c in range(1, 4):
+        (
+            chunked.filter(F.col("__c") == c).drop("__c")
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(str(src / f"c{c}"))
+        )
     stream = (
         spark.readStream.schema("user_id string, event_id long, ts timestamp")
         .option("maxFilesPerTrigger", 1)
-        .parquet(str(src))
+        .parquet(str(src / "c*"))
     )
     q = (
         sessionized(stream, gap="10 minutes", watermark="30 minutes")
