@@ -42,6 +42,27 @@ from pyspark.sql.window import Window as W
 _MATCH = "__asof_match"
 _SIDE = "__asof_side"
 
+_INTEGRAL = ("tinyint", "smallint", "int", "bigint")
+
+
+def _floor_div(col: Column, width: int, dtype: str) -> Column:
+    """``floor(col / width)`` computed EXACTLY for integral columns.
+
+    ``F.floor(col / lit(width))`` divides as float64, which loses
+    integer resolution above 2**53 — epoch-micro/nano timestamps (plain
+    longs, so they pass the numeric-dtype guard) can land in the wrong
+    shard/bin near boundaries and silently change join results.  For
+    integral columns: subtract ``pmod`` (in decimal, so LONG_MIN-side
+    inputs can't wrap) to reach the largest multiple of ``width`` at or
+    below the value, then divide — an exact multiple divides exactly in
+    decimal arithmetic at any result scale.  Fractional columns keep
+    the float64 floor (their own resolution is the binding limit)."""
+    w = F.lit(width)
+    if dtype in _INTEGRAL:
+        mult = col.cast("decimal(38,0)") - F.pmod(col, w)
+        return (mult / w).cast("long")
+    return F.floor(col / w)
+
 
 def _asof_sides(left, right, keys, left_ts, rts, right_cols, direction):
     """Shared as-of prologue: the right side reduced to (keys, __t,
@@ -266,6 +287,15 @@ def as_of_join_presplit(
        shard the latest payload of all EARLIER shards, joined back on
        (key, shard).
 
+    ``direction="nearest"`` composes both: phase 1 computes the
+    shard-local backward AND forward candidates (the right side enters
+    the merged order twice, as in the plain nearest path), phase 2
+    carries the last backward edge and the first forward edge per
+    shard, and each left row resolves
+    ``coalesce(local, carried)`` per direction by distance (ties to
+    backward, pandas semantics) — so the hot-key escape hatch covers
+    the full :func:`as_of_join` direction surface.
+
     Cost vs the unsharded join: one extra shuffle of the per-shard
     aggregate (rows = touched shards, not events) + the carry-in
     equi-join on (key, shard) — both negligible; the win is that the
@@ -274,10 +304,12 @@ def as_of_join_presplit(
     day of a user's events).
 
     Numeric timestamps only (``unix_millis`` first for TIMESTAMP
-    columns — the shard id is ``floor(ts / shard_span)``).  Duplicate
-    right timestamps within one (key, shard): the carried pick is
-    arbitrary among them, same as the plain operator's window (which
-    takes whichever sorts last in partition order).
+    columns — the shard id is ``floor(ts / shard_span)``, computed with
+    exact integer arithmetic for integral columns so epoch-micro/nano
+    longs above 2**53 shard exactly).  Duplicate right timestamps
+    within one (key, shard): the carried pick is arbitrary among them,
+    same as the plain operator's window (which takes whichever sorts
+    last in partition order).
     """
     if shard_span <= 0:
         # floor(col/0) is NULL in Spark -> every row lands in a NULL
@@ -292,14 +324,21 @@ def as_of_join_presplit(
                 f"and needs a numeric timestamp — convert with unix_millis "
                 f"first (got {dict(df.dtypes)[c]})"
             )
+    if direction == "nearest":
+        return _as_of_presplit_nearest(
+            left, right, keys, shard_span, left_ts, rts, right_cols,
+            tolerance, suffix,
+        )
     backward = direction == "backward"
     l, r, right_cols = _asof_sides(
         left, right, keys, left_ts, rts, right_cols, direction
     )
-    shard = F.floor(F.col("__t") / F.lit(shard_span)).alias("__shard")
     merged = l.unionByName(
         r.select(*keys, "__t", _MATCH, _SIDE), allowMissingColumns=True
-    ).withColumn("__shard", shard)
+    )
+    ts_dtype = dict(merged.dtypes)["__t"]
+    shard = _floor_div(F.col("__t"), shard_span, ts_dtype).alias("__shard")
+    merged = merged.withColumn("__shard", shard)
 
     # phase 1: the merged-order window, partitioned by (key, shard)
     w = W.partitionBy(*keys, "__shard").orderBy("__t", _SIDE)
@@ -361,6 +400,126 @@ def as_of_join_presplit(
     return _asof_finish(out, left, right_cols, rts, suffix, tolerance, direction)
 
 
+def _as_of_presplit_nearest(
+    left, right, keys, shard_span, left_ts, rts, right_cols, tolerance, suffix
+):
+    """``as_of_join_presplit(direction="nearest")``: the plain nearest
+    encoding (right side enters the merged order twice — a
+    backward-eligible copy feeding a running ``last`` and a
+    forward-eligible copy feeding a running ``first``) with the window
+    partitioned by (key, time-shard), plus a two-sided carry: per
+    (key, shard) the LAST backward edge and FIRST forward edge, carried
+    across shards in both directions.  A left row resolves
+    ``coalesce(shard-local, carried)`` per direction, then picks by
+    distance with ties to backward (pandas semantics).  Exactness
+    argument per direction is the directional presplit's: a shard-local
+    candidate is the global one by time contiguity, and when absent the
+    carried edge is."""
+    if right_cols is None:
+        right_cols = [c for c in right.columns if c not in (*keys, rts)]
+    payload = F.struct(
+        F.col(rts).cast(dict(right.dtypes)[rts]).alias("__ts"),
+        *[F.col(c).alias(c) for c in right_cols],
+    )
+    rb = right.select(
+        *[F.col(k) for k in keys], F.col(rts).alias("__t"),
+        payload.alias("__mb"), F.lit(0).alias(_SIDE),
+    )
+    rf = right.select(
+        *[F.col(k) for k in keys], F.col(rts).alias("__t"),
+        payload.alias("__mf"), F.lit(2).alias(_SIDE),
+    )
+    null_payload = F.lit(None).cast(rb.schema["__mb"].dataType)
+    l = left.select(
+        "*",
+        F.col(left_ts).alias("__t"),
+        null_payload.alias("__mb"),
+        null_payload.alias("__mf"),
+        F.lit(1).alias(_SIDE),
+    )
+    merged = l.unionByName(rb, allowMissingColumns=True).unionByName(
+        rf, allowMissingColumns=True
+    )
+    ts_dtype = dict(merged.dtypes)["__t"]
+    shard = _floor_div(F.col("__t"), shard_span, ts_dtype).alias("__shard")
+    merged = merged.withColumn("__shard", shard)
+
+    # phase 1: shard-local candidates from one (key, shard) window sort
+    w = W.partitionBy(*keys, "__shard").orderBy("__t", _SIDE)
+    bwd = F.last("__mb", ignorenulls=True).over(
+        w.rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    fwd = F.first("__mf", ignorenulls=True).over(
+        w.rowsBetween(W.currentRow, W.unboundedFollowing)
+    )
+    out = (
+        merged.withColumn("__b", bwd)
+        .withColumn("__f", fwd)
+        .filter(F.col(_SIDE) == 1)
+    )
+
+    # phase 2: per-(key, shard) boundary payloads, both directions.
+    # max_by/min_by on __t alone (payload carried, never compared —
+    # map-typed payloads must not be struct-ordered); left-touched
+    # shards union in as NULL edges so shard gaps still get carry rows
+    shard_edges = (
+        rb.withColumn("__shard", shard)
+        .groupBy(*keys, "__shard")
+        .agg(
+            F.max_by(F.col("__mb"), F.col("__t")).alias("__eb"),
+            F.min_by(F.col("__mb"), F.col("__t")).alias("__ef"),
+        )
+    )
+    left_shards = (
+        merged.filter(F.col(_SIDE) == 1)
+        .groupBy(*keys, "__shard")
+        .agg(
+            null_payload.alias("__eb"),
+            null_payload.alias("__ef"),
+        )
+    )
+    all_edges = (
+        shard_edges.unionByName(left_shards)
+        .groupBy(*keys, "__shard")
+        .agg(
+            F.first("__eb", ignorenulls=True).alias("__eb"),
+            F.first("__ef", ignorenulls=True).alias("__ef"),
+        )
+    )
+    cw = W.partitionBy(*keys).orderBy("__shard")
+    carry_b = F.last("__eb", ignorenulls=True).over(
+        cw.rowsBetween(W.unboundedPreceding, -1)
+    )
+    carry_f = F.first("__ef", ignorenulls=True).over(
+        cw.rowsBetween(1, W.unboundedFollowing)
+    )
+    carries = all_edges.select(
+        *keys, "__shard", carry_b.alias("__cb"), carry_f.alias("__cf")
+    )
+    out = out.join(carries, [*keys, "__shard"], "left")
+
+    b = F.coalesce(F.col("__b"), F.col("__cb"))
+    f = F.coalesce(F.col("__f"), F.col("__cf"))
+    dist_b = F.col("__t") - b["__ts"]
+    dist_f = f["__ts"] - F.col("__t")
+    chosen = (
+        F.when(b.isNull(), f)
+        .when(f.isNull(), b)
+        .when(dist_b <= dist_f, b)  # tie -> backward (pandas)
+        .otherwise(f)
+    )
+    out = out.withColumn(_MATCH, chosen)
+    if tolerance is not None:
+        # two-sided bound after the choose — equivalent to pandas'
+        # choose-within-tolerance because the bound is symmetric (the
+        # plain nearest path pins this; same argument here)
+        in_tol = (
+            F.col(f"{_MATCH}.__ts") >= F.col("__t") - tolerance
+        ) & (F.col(f"{_MATCH}.__ts") <= F.col("__t") + tolerance)
+        out = out.withColumn(_MATCH, F.when(in_tol, F.col(_MATCH)))
+    return _asof_finish(out, left, right_cols, rts, suffix, None, "backward")
+
+
 def range_join_binned(
     left: DataFrame,
     right: DataFrame,
@@ -383,20 +542,25 @@ def range_join_binned(
     dedup is needed.  ``how="left"`` keeps unmatched left rows.
 
     Numeric point/bound columns only (timestamps: convert with
-    ``unix_millis`` first).
+    ``unix_millis`` first).  Bin ids use exact integer arithmetic for
+    integral columns (see :func:`_floor_div`) so epoch-micro/nano longs
+    above 2**53 bin exactly.
     """
     if bin_width <= 0:
         # floor(col/0) is NULL in Spark, which would silently drop
         # every row instead of erroring
         raise ValueError(f"bin_width must be > 0, got {bin_width}")
     keys = [] if on is None else ([on] if isinstance(on, str) else list(on))
-    bw = F.lit(bin_width)
-    lb = left.withColumn("__bin", F.floor(F.col(left_point) / bw))
+    ldt, rdt = dict(left.dtypes), dict(right.dtypes)
+    lb = left.withColumn(
+        "__bin", _floor_div(F.col(left_point), bin_width, ldt[left_point])
+    )
     rb = right.withColumn(
         "__bin",
         F.explode(
             F.sequence(
-                F.floor(F.col(right_lo) / bw), F.floor(F.col(right_hi) / bw)
+                _floor_div(F.col(right_lo), bin_width, rdt[right_lo]),
+                _floor_div(F.col(right_hi), bin_width, rdt[right_hi]),
             )
         ),
     )
@@ -426,6 +590,7 @@ def interval_overlap_join(
     right_hi: str,
     bin_width: int,
     on: str | list[str] | None = None,
+    how: str = "inner",
 ) -> DataFrame:
     """Join every pair of OVERLAPPING intervals (``left_lo <= right_hi
     AND right_lo <= left_hi``), optionally within equal ``on`` keys —
@@ -442,34 +607,83 @@ def interval_overlap_join(
     is span/bin_width + 1 per row: choose ``bin_width`` near the
     typical span.
 
+    ``how="left"`` keeps unmatched left intervals with NULL right
+    columns (API parity with :func:`range_join_binned`).  Because the
+    LEFT side is replicated across bins here, left retention needs a
+    per-left-row "matched anywhere?" signal: a synthetic row id rides
+    through the explode, the overlap+once predicates move into the
+    join condition, and a window over the id keeps matched rows as-is
+    plus exactly ONE null-extended row (in the interval's first bin)
+    for rows no copy of which matched.  Costs one extra shuffle (the
+    id window) over the inner plan; matched pairs are bit-identical to
+    ``how="inner"``.
+
     Numeric bounds only (timestamps: ``unix_millis`` first); intervals
     are closed on both ends, matching the SQL BETWEEN-style oracle.
+    Bin ids use exact integer arithmetic for integral columns (see
+    :func:`_floor_div`).
     """
     if bin_width <= 0:
         # floor(col/0) is NULL -> sequence/explode silently drops every
         # row instead of erroring
         raise ValueError(f"bin_width must be > 0, got {bin_width}")
+    if how not in ("inner", "left"):
+        raise ValueError(f"how must be inner|left, got {how!r}")
     keys = [] if on is None else ([on] if isinstance(on, str) else list(on))
-    bw = F.lit(bin_width)
-    lb = left.withColumn(
+    ldt, rdt = dict(left.dtypes), dict(right.dtypes)
+    lsrc = left
+    if how == "left":
+        # id + first-covered-bin computed BEFORE the explode, so every
+        # bin copy of a left row agrees on them
+        lsrc = left.withColumn(
+            "__lid", F.monotonically_increasing_id()
+        ).withColumn(
+            "__bin0", _floor_div(F.col(left_lo), bin_width, ldt[left_lo])
+        )
+    lb = lsrc.withColumn(
         "__bin",
         F.explode(
-            F.sequence(F.floor(F.col(left_lo) / bw), F.floor(F.col(left_hi) / bw))
+            F.sequence(
+                _floor_div(F.col(left_lo), bin_width, ldt[left_lo]),
+                _floor_div(F.col(left_hi), bin_width, ldt[left_hi]),
+            )
         ),
     )
     rb = right.withColumn(
         "__bin",
         F.explode(
-            F.sequence(F.floor(F.col(right_lo) / bw), F.floor(F.col(right_hi) / bw))
+            F.sequence(
+                _floor_div(F.col(right_lo), bin_width, rdt[right_lo]),
+                _floor_div(F.col(right_hi), bin_width, rdt[right_hi]),
+            )
         ),
     )
+    if how == "left":
+        rb = rb.withColumn("__rhit", F.lit(True))
     cond = [lb["__bin"] == rb["__bin"]]
     cond += [lb[k] == rb[k] for k in keys]
     overlaps = (lb[left_lo] <= rb[right_hi]) & (rb[right_lo] <= lb[left_hi])
-    once = lb["__bin"] == F.floor(
-        F.greatest(lb[left_lo], rb[right_lo]) / bw
+    lo_dtype = (
+        ldt[left_lo]
+        if ldt[left_lo] in _INTEGRAL and rdt[right_lo] in _INTEGRAL
+        else "double"
     )
-    joined = lb.join(rb, cond, "inner").filter(overlaps & once)
+    once = lb["__bin"] == _floor_div(
+        F.greatest(lb[left_lo], rb[right_lo]), bin_width, lo_dtype
+    )
+    if how == "inner":
+        joined = lb.join(rb, cond, "inner").filter(overlaps & once)
+    else:
+        joined = lb.join(rb, [*cond, overlaps, once], "left")
+        # matched rows pass through; a left row NONE of whose bin
+        # copies matched keeps exactly one null-extended row — the copy
+        # in its first covered bin (window result must be projected
+        # before the filter: Spark forbids windows inside WHERE)
+        any_hit = F.max(rb["__rhit"]).over(W.partitionBy(lb["__lid"]))
+        joined = joined.withColumn("__anyhit", any_hit).filter(
+            rb["__rhit"].isNotNull()
+            | (F.col("__anyhit").isNull() & (lb["__bin"] == lb["__bin0"]))
+        )
     right_out = [
         rb[c].alias(c if c not in left.columns else c + "_right")
         for c in right.columns

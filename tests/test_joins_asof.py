@@ -165,7 +165,7 @@ def test_asof_name_collision_suffix(spark):
     assert row["rv"] == 9.0 and row["rv_right"] == 1.0
 
 
-@pytest.mark.parametrize("direction", ["backward", "forward"])
+@pytest.mark.parametrize("direction", ["backward", "forward", "nearest"])
 @pytest.mark.parametrize("tolerance", [None, 50])
 @pytest.mark.parametrize("shard_span", [7, 100, 5000])
 def test_asof_presplit_matches_merge_asof(spark, direction, tolerance, shard_span):
@@ -203,11 +203,13 @@ def test_asof_presplit_matches_merge_asof(spark, direction, tolerance, shard_spa
     assert ours["t_right"].isna().equals(ours["rv"].isna())
 
 
-def test_asof_presplit_hot_key(spark):
+@pytest.mark.parametrize("direction", ["backward", "forward", "nearest"])
+def test_asof_presplit_hot_key(spark, direction):
     """One key owning ~90% of both sides — the distribution the
     presplit exists for — still matches the unsharded operator row for
     row (left rows whose shard has no right row take the carry-in
-    path; empty left shards inherit across multiple shard gaps)."""
+    path; empty left shards inherit across multiple shard gaps), for
+    every direction the plain operator supports."""
     from flink_rtcef_spark.operators.joins import as_of_join_presplit
 
     rng = np.random.default_rng(3)
@@ -229,12 +231,16 @@ def test_asof_presplit_hot_key(spark):
     ).drop_duplicates(["k", "t"])
     ldf, rdf = spark.createDataFrame(left), spark.createDataFrame(right)
     plain = (
-        as_of_join(ldf, rdf, on="k", left_ts="t", right_cols=["rv"])
+        as_of_join(
+            ldf, rdf, on="k", left_ts="t", right_cols=["rv"],
+            direction=direction,
+        )
         .toPandas().sort_values(["k", "t", "lv"]).reset_index(drop=True)
     )
     sharded = (
         as_of_join_presplit(
-            ldf, rdf, on="k", shard_span=250, left_ts="t", right_cols=["rv"]
+            ldf, rdf, on="k", shard_span=250, left_ts="t",
+            right_cols=["rv"], direction=direction,
         )
         .toPandas().sort_values(["k", "t", "lv"]).reset_index(drop=True)
     )
@@ -256,6 +262,10 @@ def test_asof_presplit_unorderable_payload(spark):
     for fn, kw in (
         (as_of_join, {}),
         (as_of_join_presplit, {"shard_span": 7}),
+        # nearest picks the same matches here (8 is nearer 10 than 20;
+        # 20 is the only candidate for 25) and exercises the two-sided
+        # carry's max_by/min_by over the unorderable payload
+        (as_of_join_presplit, {"shard_span": 7, "direction": "nearest"}),
     ):
         rows = {
             (r["k"], r["t"]): r["attrs"]
@@ -410,15 +420,12 @@ def test_asof_fuzz_matches_merge_asof(spark, lrows, rrows, direction, tolerance)
         lambda: as_of_join(
             ldf, rdf, on="k", left_ts="t", right_cols=["rv"],
             direction=direction, tolerance=tolerance,
-        )
+        ),
+        lambda: as_of_join_presplit(
+            ldf, rdf, on="k", shard_span=13, left_ts="t",
+            right_cols=["rv"], direction=direction, tolerance=tolerance,
+        ),
     ]
-    if direction != "nearest":
-        variants.append(
-            lambda: as_of_join_presplit(
-                ldf, rdf, on="k", shard_span=13, left_ts="t",
-                right_cols=["rv"], direction=direction, tolerance=tolerance,
-            )
-        )
     for fn in variants:
         ours = (
             fn().toPandas()
@@ -497,6 +504,150 @@ def test_interval_overlap_join_bin_width_invariant(spark):
     assert results[0] == results[1] == results[2]
 
 
+@pytest.mark.parametrize("direction", ["backward", "forward", "nearest"])
+def test_asof_presplit_exact_shards_above_2_53(spark, direction):
+    """Epoch-nano-scale timestamps (longs above 2**53, where float64
+    spacing is 256) must shard EXACTLY: the former double division
+    could misplace rows across shard boundaries and silently change
+    matches near them (r7 ADVICE).  Rows are packed tightly around
+    shard boundaries at t0 ~ 2**60 so any misplacement flips a match;
+    presplit must equal the plain operator row for row."""
+    from flink_rtcef_spark.operators.joins import as_of_join_presplit
+
+    t0 = 1 << 60
+    span = 1000
+    rng = np.random.default_rng(11)
+    # left/right timestamps within +-3 of multiples of span around t0
+    edges = t0 + rng.integers(0, 50, 200) * span
+    left = pd.DataFrame(
+        {
+            "k": rng.integers(0, 3, 200),
+            "t": edges + rng.integers(-3, 4, 200),
+            "lv": np.arange(200),
+        }
+    )
+    redges = t0 + rng.integers(0, 50, 80) * span
+    right = pd.DataFrame(
+        {
+            "k": rng.integers(0, 3, 80),
+            "t": redges + rng.integers(-3, 4, 80),
+            "rv": rng.integers(0, 100, 80).astype("float64"),
+        }
+    ).drop_duplicates(["k", "t"])
+    ldf, rdf = spark.createDataFrame(left), spark.createDataFrame(right)
+    plain = (
+        as_of_join(
+            ldf, rdf, on="k", left_ts="t", right_cols=["rv"],
+            direction=direction,
+        )
+        .toPandas().sort_values(["k", "t", "lv"]).reset_index(drop=True)
+    )
+    sharded = (
+        as_of_join_presplit(
+            ldf, rdf, on="k", shard_span=span, left_ts="t",
+            right_cols=["rv"], direction=direction,
+        )
+        .toPandas().sort_values(["k", "t", "lv"]).reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(sharded, plain)
+
+
+def test_floor_div_exact_vs_python(spark):
+    """_floor_div == Python // for integral columns across signs and
+    magnitudes, including values float64 cannot represent."""
+    from flink_rtcef_spark.operators.joins import _floor_div
+
+    vals = [
+        0, 1, -1, 999, -999, 1000, -1000, 1001, -1001,
+        (1 << 60) + 1, (1 << 60) - 1, -(1 << 60) - 1,
+        (1 << 62) + 257, -(1 << 62) - 257,
+    ]
+    for width in (7, 1000, 10**12):
+        df = spark.createDataFrame([(v,) for v in vals], "v long")
+        got = {
+            r["v"]: r["b"]
+            for r in df.select(
+                "v", _floor_div(F.col("v"), width, "bigint").alias("b")
+            ).collect()
+        }
+        assert got == {v: v // width for v in vals}, width
+
+
+def test_interval_overlap_join_left_matches_duckdb(spark):
+    """how="left" == the all-pairs SQL LEFT JOIN: matched pairs
+    identical to inner, plus exactly ONE null-extended row per
+    unmatched left interval."""
+    import duckdb
+
+    from flink_rtcef_spark.operators.joins import interval_overlap_join
+
+    la, rb = _interval_fixture(spark, n=150, seed=21)
+    out = interval_overlap_join(
+        la, rb, "a_lo", "a_hi", "b_lo", "b_hi", bin_width=256,
+        on="key", how="left",
+    ).toPandas()
+    con = duckdb.connect()
+    con.register("la", la.toPandas())
+    con.register("rb", rb.toPandas())
+    want = con.execute(
+        "SELECT a_id, b_id FROM la LEFT JOIN rb ON la.key = rb.key "
+        "AND a_lo <= b_hi AND b_lo <= a_hi"
+    ).df()
+    got_pairs = sorted(
+        (int(r.a_id), -1 if pd.isna(r.b_id) else int(r.b_id))
+        for r in out.itertuples()
+    )
+    want_pairs = sorted(
+        (int(r.a_id), -1 if pd.isna(r.b_id) else int(r.b_id))
+        for r in want.itertuples()
+    )
+    assert got_pairs == want_pairs
+    # some left rows genuinely unmatched, and each appears exactly once
+    unmatched = out[out["b_id"].isna()]
+    assert len(unmatched) > 0
+    assert unmatched["a_id"].is_unique
+    # exactly-once under left semantics: matched pairs == inner result
+    inner = interval_overlap_join(
+        la, rb, "a_lo", "a_hi", "b_lo", "b_hi", bin_width=256, on="key"
+    ).count()
+    assert len(out) - len(unmatched) == inner
+
+
+def test_interval_overlap_join_left_null_right_bounds_retained(spark):
+    """An unmatched left interval keeps NULL right columns even when
+    its span covers many bins (the null row must emit from exactly one
+    copy — the first covered bin)."""
+    from flink_rtcef_spark.operators.joins import interval_overlap_join
+
+    la = spark.createDataFrame(
+        [(1, 0, 5000), (2, 10_000, 10_050)], "a_id long, a_lo long, a_hi long"
+    )
+    rb = spark.createDataFrame(
+        [(9, 100, 200)], "b_id long, b_lo long, b_hi long"
+    )
+    out = (
+        interval_overlap_join(
+            la, rb, "a_lo", "a_hi", "b_lo", "b_hi", bin_width=64, how="left"
+        )
+        .toPandas()
+        .sort_values("a_id")
+        .reset_index(drop=True)
+    )
+    assert len(out) == 2
+    assert out.loc[0, "b_id"] == 9
+    assert pd.isna(out.loc[1, "b_id"]) and pd.isna(out.loc[1, "b_lo"])
+
+
+def test_interval_overlap_join_how_guard(spark):
+    from flink_rtcef_spark.operators.joins import interval_overlap_join
+
+    la, rb = _interval_fixture(spark, n=5)
+    with pytest.raises(ValueError, match="how"):
+        interval_overlap_join(
+            la, rb, "a_lo", "a_hi", "b_lo", "b_hi", bin_width=64, how="full"
+        )
+
+
 def test_interval_overlap_join_no_nested_loop(spark, tmp_path):
     """The plan is an equi-join on the bin id — no BNLJ/cartesian."""
     from flink_rtcef_spark.operators.joins import interval_overlap_join
@@ -507,11 +658,13 @@ def test_interval_overlap_join_no_nested_loop(spark, tmp_path):
     la2, rb2 = spark.read.parquet(str(tmp_path / "la")), spark.read.parquet(
         str(tmp_path / "rb")
     )
-    out = interval_overlap_join(
-        la2, rb2, "a_lo", "a_hi", "b_lo", "b_hi", bin_width=256, on="key"
-    )
-    plan = out._sc._jvm.PythonSQLUtils.explainString(
-        out._jdf.queryExecution(), "formatted"
-    )
-    assert "BroadcastNestedLoopJoin" not in plan
-    assert "CartesianProduct" not in plan
+    for how in ("inner", "left"):
+        out = interval_overlap_join(
+            la2, rb2, "a_lo", "a_hi", "b_lo", "b_hi", bin_width=256,
+            on="key", how=how,
+        )
+        plan = out._sc._jvm.PythonSQLUtils.explainString(
+            out._jdf.queryExecution(), "formatted"
+        )
+        assert "BroadcastNestedLoopJoin" not in plan, how
+        assert "CartesianProduct" not in plan, how
