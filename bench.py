@@ -88,6 +88,47 @@ def _median3(fn) -> float:
     return statistics.median(_timed(fn) for _ in range(3))
 
 
+def host_canary(spark) -> dict:
+    """Fixed-size CPU-bound calibration jobs emitted with every bench
+    record, so a BENCH_rN wall can be normalized against host-speed
+    drift in one division (r7: the driver's artifact recorded a 1.84x
+    headline 'regression' that a re-run on identical code disproved —
+    the host, not the code, was slow).
+
+    Two canaries because the suite has two cost regimes:
+    - ``host_canary_numpy_sec``: seeded 1024^2 float64 GEMM, best of 5
+      — pins single-core BLAS/Python speed (driver-side kernels,
+      toPandas paths like embedding_near_dup).
+    - ``host_canary_spark_sec``: a fixed 20M-row range -> hash agg ->
+      count, median of 3 warm runs — pins the JVM + scheduler +
+      shuffle path the headline queries run on.
+
+    Interpretation (docs/BENCH_SF1.md §canary): compare rounds on
+    wall / canary ratios; a headline move with a matching canary move
+    is host drift, not a code change.
+    """
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    rng = np.random.default_rng(0)
+    a = rng.standard_normal((1024, 1024))
+    b = rng.standard_normal((1024, 1024))
+    (a @ b).sum()  # warm (BLAS thread pool spin-up)
+    gemm = min(_timed(lambda: (a @ b).sum()) for _ in range(5))
+
+    def spark_job():
+        spark.range(20_000_000).groupBy(
+            (F.col("id") % 1000).alias("g")
+        ).count().count()
+
+    spark_job()  # warm
+    sj = _median3(spark_job)
+    return {
+        "host_canary_numpy_sec": round(gemm, 4),
+        "host_canary_spark_sec": round(sj, 3),
+    }
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").split("sf")[-1]
@@ -95,6 +136,7 @@ def main() -> None:
     spark = get_spark("bench")
     # warm the JVM + parquet footers with a trivial action
     spark.read.parquet(f"{sf_dir}/region.parquet").count()
+    canary = host_canary(spark)
 
     timings: dict[str, float] = {}
     spread: dict[str, list[float]] = {}
@@ -139,6 +181,7 @@ def main() -> None:
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "cep_events_per_sec": marginal,
                 "cep_marginal_events_per_sec": marginal,
+                **canary,
                 **hot,
                 **stream,
                 **asof,
@@ -165,6 +208,7 @@ def main() -> None:
                 "streaming_cep_events_per_sec": stream.get(
                     "streaming_cep_events_per_sec"
                 ),
+                **canary,
                 "queries": timings,
             }
         )

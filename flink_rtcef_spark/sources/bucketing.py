@@ -28,7 +28,35 @@ bucketed reads) fails loudly instead of silently re-shuffling.
 
 from __future__ import annotations
 
+import logging
+
 from pyspark.sql import DataFrame, SparkSession
+
+_LOG = logging.getLogger(__name__)
+
+# filenames Spark's file committer writes: anything else in an
+# "orphaned" directory means the location is NOT leftover task output
+# and must not be deleted
+_SPARK_DEBRIS_PREFIXES = ("part-", "_SUCCESS", "_committed_", "_started_")
+
+
+def _is_spark_task_debris(fs, path) -> bool:
+    """True iff every top-level entry under ``path`` is something
+    Spark's output committer writes (part files + their hidden .crc
+    shadows, commit markers, a ``_temporary`` staging dir).  An empty
+    directory counts as debris (a write killed before its first task
+    file)."""
+    for st in fs.listStatus(path):
+        name = st.getPath().getName()
+        if st.isDirectory():
+            if name != "_temporary":
+                return False
+            continue
+        # local-FS checksum shadows: ".part-...parquet.crc"
+        base = name.removeprefix(".").removesuffix(".crc")
+        if not base.startswith(_SPARK_DEBRIS_PREFIXES):
+            return False
+    return True
 
 
 def _purge_orphaned_location(spark: SparkSession, table: str) -> None:
@@ -52,6 +80,16 @@ def _purge_orphaned_location(spark: SparkSession, table: str) -> None:
     ``saveAsTable`` overwrite itself, this assumes one writer per
     table name at a time; two sessions racing the same name could
     already clobber each other at the commit level.
+
+    Two guards narrow the blast radius of that single-writer
+    assumption (a concurrent session mid-``saveAsTable`` — directory
+    written, catalog entry not yet committed — looks identical to an
+    orphan from here): the purge only fires when the directory's
+    contents are recognizably Spark task output
+    (:func:`_is_spark_task_debris` — part files, commit markers,
+    ``_temporary``; anything else raises instead of deleting), and the
+    purged path is logged as a WARNING first so a clobbered concurrent
+    writer is diagnosable from the log.
     """
     if "." in table:
         db, tbl = table.rsplit(".", 1)
@@ -63,8 +101,23 @@ def _purge_orphaned_location(spark: SparkSession, table: str) -> None:
     jvm = spark._jvm
     path = jvm.org.apache.hadoop.fs.Path(db_loc.rstrip("/") + "/" + tbl.lower())
     fs = path.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
-    if fs.exists(path):
-        fs.delete(path, True)
+    if not fs.exists(path):
+        return
+    if not _is_spark_task_debris(fs, path):
+        raise RuntimeError(
+            f"refusing to purge {path}: the catalog has no table "
+            f"{db}.{tbl} but the directory holds files Spark's committer "
+            "does not write — not leftover task output.  Remove the "
+            "directory manually (or point the write elsewhere) if it "
+            "really is stale."
+        )
+    _LOG.warning(
+        "write_bucketed(mode='overwrite'): purging orphaned location %s "
+        "(directory exists but catalog has no table %s.%s — leftover "
+        "output of a killed write, or a concurrent writer mid-commit)",
+        path, db, tbl,
+    )
+    fs.delete(path, True)
 
 
 def write_bucketed(

