@@ -98,17 +98,31 @@ def _make_partition_runner(compiled):
 
     def run_partition(batches):
         open_key = None
-        carry = None          # (configs, counter)
+        carry = None          # (configs, counter), unpickled
+        raw = None            # (blob, counter) NOT unpickled — see below
         last_ts = -1
         out: list[tuple] = []
 
         def close_key():
-            if open_key is not None:
-                configs, counter = carry
+            if open_key is None:
+                return
+            if raw is not None:
+                # state-only key (no events this batch): the carry-out
+                # IS the carry-in, byte for byte — skip the
+                # loads+dumps round trip entirely.  At 1M uniform live
+                # keys this is the dominant per-batch cost (the batch
+                # touches every bucket, so every carried key rides
+                # through here, but only ~1% have events).
                 out.append(
-                    (1, open_key, None, None, int(counter), None, None,
-                     pickle.dumps(configs), int(last_ts))
+                    (1, open_key, None, None, raw[1], None, None,
+                     raw[0], int(last_ts))
                 )
+                return
+            configs, counter = carry
+            out.append(
+                (1, open_key, None, None, int(counter), None, None,
+                 pickle.dumps(configs), int(last_ts))
+            )
 
         for pdf in batches:
             if len(pdf) == 0:
@@ -134,15 +148,18 @@ def _make_partition_runner(compiled):
                     end += 1
                 if k != open_key:
                     close_key()
-                    open_key, carry, last_ts = k, ({}, 0), -1
+                    open_key, carry, raw, last_ts = k, ({}, 0), None, -1
                 if is_state[start]:
-                    carry = (
-                        pickle.loads(bytes(c_blob[start])),
-                        int(c_counter[start]),
-                    )
+                    # defer the unpickle: a key whose group holds only
+                    # its state row passes through close_key verbatim
+                    raw = (bytes(c_blob[start]), int(c_counter[start]))
+                    carry = None
                     last_ts = int(c_last_ts[start])
                     start += int(is_state[start:end].sum())
                 if start < end:
+                    if raw is not None:
+                        carry = (pickle.loads(raw[0]), raw[1])
+                        raw = None
                     seg = slice(start, end)
                     tss = all_tss[seg].astype(np.int64)
                     rows, carry = _run_nsra_segment(
@@ -310,6 +327,7 @@ def make_foreach_batch_register(
             F.lit(-1).cast("long").alias("last_ts"),
         )
         unioned = wide_events
+        passive = None
         carried = stt.read_state_spark(
             spark, meta, state_dir, touched, _OUT_SCHEMA
         )
@@ -318,12 +336,23 @@ def make_foreach_batch_register(
                 carried = carried.filter(
                     ~(F.lit(int(wm)) > F.col("last_ts") + F.lit(state_ttl_ms))
                 )
+            # PASSIVE/ACTIVE split: a carried key with no events this
+            # batch writes back verbatim, so it never needs the
+            # shuffle+sort+Arrow+Python pass at all — only keys the
+            # batch actually touches ride the kernel.  Uniform keys
+            # over a large live population are the case this pays for
+            # (10k batch keys vs 1M carried rows: the kernel sees 1%
+            # of the state); the batch-key side is a distinct over the
+            # batch, small enough that AQE broadcasts it.
+            batch_keys = events.select("key").distinct()
+            passive = carried.join(batch_keys, "key", "left_anti")
+            active = carried.join(batch_keys, "key", "left_semi")
             ev_types = dict(wide_events.dtypes)
             attr_nulls = [
                 F.lit(None).cast(ev_types[a]).alias(a) for a in attrs
             ]
             unioned = wide_events.unionByName(
-                carried.select(
+                active.select(
                     "key",
                     F.lit(_STATE_TS).alias("ts"),
                     F.lit(0).cast("long").alias("event_id"),
@@ -339,6 +368,8 @@ def make_foreach_batch_register(
             .sortWithinPartitions("key", "ts", "event_id")
             .mapInPandas(runner, schema=_OUT_SCHEMA)
         )
+        if passive is not None:
+            out = out.unionByName(passive)
         # group sizing, salted partitioned write, footer-stat manifest
         # recovery: the shared distributed tail (stt)
         touched_rows, max_lt, g_new = stt.write_distributed_output(
