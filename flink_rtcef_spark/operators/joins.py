@@ -64,11 +64,26 @@ def _floor_div(col: Column, width: int, dtype: str) -> Column:
     return F.floor(col / w)
 
 
-def _asof_sides(left, right, keys, left_ts, rts, right_cols, direction):
+def _right_side_tag(direction: str, allow_exact: bool) -> int:
+    """Sort tag for right rows in the merged order (left rows are
+    always 1): equal-timestamp matching is purely a question of
+    whether a right row sorts inside the left row's window frame.
+    Backward frame is (unbounded preceding, current): right sorts
+    BEFORE left (0) to include equal timestamps, AFTER (2) to exclude
+    them.  Forward frame is (current, unbounded following): the
+    mirror."""
+    if direction == "backward":
+        return 0 if allow_exact else 2
+    return 2 if allow_exact else 0
+
+
+def _asof_sides(left, right, keys, left_ts, rts, right_cols, direction,
+                allow_exact=True):
     """Shared as-of prologue: the right side reduced to (keys, __t,
     payload struct, side tag) and the left side widened with the same
     columns — the merged-order encoding both the plain and the
-    presplit operators window over.  Returns (l, r, right_cols)."""
+    presplit operators window over.  Returns (l, r, right_cols).
+    Left rows always carry side tag 1."""
     if direction not in ("backward", "forward"):
         raise ValueError(f"direction must be backward|forward, got {direction!r}")
     if right_cols is None:
@@ -77,18 +92,17 @@ def _asof_sides(left, right, keys, left_ts, rts, right_cols, direction):
         F.col(rts).cast(dict(right.dtypes)[rts]).alias("__ts"),
         *[F.col(c).alias(c) for c in right_cols],
     )
-    backward = direction == "backward"
     r = right.select(
         *[F.col(k) for k in keys],
         F.col(rts).alias("__t"),
         payload.alias(_MATCH),
-        F.lit(0 if backward else 1).alias(_SIDE),
+        F.lit(_right_side_tag(direction, allow_exact)).alias(_SIDE),
     )
     l = left.select(
         "*",
         F.col(left_ts).alias("__t"),
         F.lit(None).cast(r.schema[_MATCH].dataType).alias(_MATCH),
-        F.lit(1 if backward else 0).alias(_SIDE),
+        F.lit(1).alias(_SIDE),
     )
     return l, r, right_cols
 
@@ -124,6 +138,7 @@ def as_of_join(
     direction: str = "backward",
     tolerance: Column | int | float | None = None,
     suffix: str = "_right",
+    allow_exact_matches: bool = True,
 ) -> DataFrame:
     """For every left row, the single right row with the nearest
     ``right_ts`` at-or-before (``backward``) / at-or-after (``forward``)
@@ -133,6 +148,10 @@ def as_of_join(
     Matches pandas ``merge_asof`` semantics (inclusive match at equal
     timestamps; unmatched rows keep NULL right columns) and DuckDB's
     ``ASOF LEFT JOIN`` (pinned in tests/test_joins_asof.py).
+    ``allow_exact_matches=False`` excludes equal-timestamp right rows
+    (strictly-before/strictly-after), exactly as in ``merge_asof`` —
+    implemented purely in the merged order's tie-break tag, so the
+    plan shape is unchanged.
 
     ``right_cols`` — right payload columns to carry (default: all
     non-key, non-timestamp columns).  Carried columns are renamed with
@@ -157,16 +176,19 @@ def as_of_join(
     rts = right_ts or left_ts
     if direction == "nearest":
         return _as_of_join_nearest(
-            left, right, keys, left_ts, rts, right_cols, tolerance, suffix
+            left, right, keys, left_ts, rts, right_cols, tolerance, suffix,
+            allow_exact_matches,
         )
     l, r, right_cols = _asof_sides(
-        left, right, keys, left_ts, rts, right_cols, direction
+        left, right, keys, left_ts, rts, right_cols, direction,
+        allow_exact_matches,
     )
     merged = l.unionByName(r.select(*keys, "__t", _MATCH, _SIDE), allowMissingColumns=True)
 
-    # backward: right rows sort BEFORE left rows at equal __t, matched
-    # by last() over (unbounded preceding, current); forward: right rows
-    # sort AFTER, matched by first() over (current, unbounded following)
+    # backward: eligible right rows sort BEFORE left rows (see
+    # _right_side_tag for the equal-__t tie-break), matched by last()
+    # over (unbounded preceding, current); forward: AFTER, matched by
+    # first() over (current, unbounded following)
     w = W.partitionBy(*keys).orderBy("__t", _SIDE)
     if direction == "backward":
         frame = w.rowsBetween(W.unboundedPreceding, W.currentRow)
@@ -175,14 +197,13 @@ def as_of_join(
         frame = w.rowsBetween(W.currentRow, W.unboundedFollowing)
         matched = F.first(_MATCH, ignorenulls=True).over(frame)
 
-    out = merged.withColumn(_MATCH, matched).filter(
-        F.col(_SIDE) == (1 if direction == "backward" else 0)
-    )
+    out = merged.withColumn(_MATCH, matched).filter(F.col(_SIDE) == 1)
     return _asof_finish(out, left, right_cols, rts, suffix, tolerance, direction)
 
 
 def _as_of_join_nearest(
-    left, right, keys, left_ts, rts, right_cols, tolerance, suffix
+    left, right, keys, left_ts, rts, right_cols, tolerance, suffix,
+    allow_exact=True,
 ):
     """``direction="nearest"``: the closer of the backward and forward
     matches, distance ties to the backward one (pandas semantics,
@@ -205,11 +226,13 @@ def _as_of_join_nearest(
     ptype_cols = [F.col(k) for k in keys]
     rb = right.select(
         *ptype_cols, F.col(rts).alias("__t"),
-        payload.alias("__mb"), F.lit(0).alias(_SIDE),
+        payload.alias("__mb"),
+        F.lit(_right_side_tag("backward", allow_exact)).alias(_SIDE),
     )
     rf = right.select(
         *ptype_cols, F.col(rts).alias("__t"),
-        payload.alias("__mf"), F.lit(2).alias(_SIDE),
+        payload.alias("__mf"),
+        F.lit(_right_side_tag("forward", allow_exact)).alias(_SIDE),
     )
     null_payload = F.lit(None).cast(rb.schema["__mb"].dataType)
     l = left.select(
@@ -265,6 +288,7 @@ def as_of_join_presplit(
     direction: str = "backward",
     tolerance: Column | int | float | None = None,
     suffix: str = "_right",
+    allow_exact_matches: bool = True,
 ) -> DataFrame:
     """Hot-key-safe :func:`as_of_join`: same semantics, but each key's
     merged timeline is SHARDED into contiguous ``shard_span``-wide time
@@ -327,11 +351,12 @@ def as_of_join_presplit(
     if direction == "nearest":
         return _as_of_presplit_nearest(
             left, right, keys, shard_span, left_ts, rts, right_cols,
-            tolerance, suffix,
+            tolerance, suffix, allow_exact_matches,
         )
     backward = direction == "backward"
     l, r, right_cols = _asof_sides(
-        left, right, keys, left_ts, rts, right_cols, direction
+        left, right, keys, left_ts, rts, right_cols, direction,
+        allow_exact_matches,
     )
     merged = l.unionByName(
         r.select(*keys, "__t", _MATCH, _SIDE), allowMissingColumns=True
@@ -348,9 +373,7 @@ def as_of_join_presplit(
     else:
         frame = w.rowsBetween(W.currentRow, W.unboundedFollowing)
         local = F.first(_MATCH, ignorenulls=True).over(frame)
-    out = merged.withColumn(_MATCH, local).filter(
-        F.col(_SIDE) == (1 if backward else 0)
-    )
+    out = merged.withColumn(_MATCH, local).filter(F.col(_SIDE) == 1)
 
     # phase 2: per-(key, shard) boundary payload -> carry across shards.
     # max_by/min_by on __t alone: the payload is carried, never
@@ -369,7 +392,7 @@ def as_of_join_presplit(
     # would miss and wrongly yield NULL), so union left-touched shards
     # in as NULL edges first (one aggregated row per touched shard)
     left_shards = (
-        merged.filter(F.col(_SIDE) == (1 if backward else 0))
+        merged.filter(F.col(_SIDE) == 1)
         .groupBy(*keys, "__shard")
         .agg(F.lit(None).cast(shard_edges.schema["__edge"].dataType).alias("__edge"))
     )
@@ -401,7 +424,8 @@ def as_of_join_presplit(
 
 
 def _as_of_presplit_nearest(
-    left, right, keys, shard_span, left_ts, rts, right_cols, tolerance, suffix
+    left, right, keys, shard_span, left_ts, rts, right_cols, tolerance,
+    suffix, allow_exact=True,
 ):
     """``as_of_join_presplit(direction="nearest")``: the plain nearest
     encoding (right side enters the merged order twice — a
@@ -423,11 +447,13 @@ def _as_of_presplit_nearest(
     )
     rb = right.select(
         *[F.col(k) for k in keys], F.col(rts).alias("__t"),
-        payload.alias("__mb"), F.lit(0).alias(_SIDE),
+        payload.alias("__mb"),
+        F.lit(_right_side_tag("backward", allow_exact)).alias(_SIDE),
     )
     rf = right.select(
         *[F.col(k) for k in keys], F.col(rts).alias("__t"),
-        payload.alias("__mf"), F.lit(2).alias(_SIDE),
+        payload.alias("__mf"),
+        F.lit(_right_side_tag("forward", allow_exact)).alias(_SIDE),
     )
     null_payload = F.lit(None).cast(rb.schema["__mb"].dataType)
     l = left.select(

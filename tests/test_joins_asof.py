@@ -156,6 +156,31 @@ def test_asof_nearest_tie_prefers_backward(spark):
     assert row["rv"] == 1.0 and row["t_right"] == 5
 
 
+def test_asof_strict_excludes_equal_ts(spark):
+    """allow_exact_matches=False: a right row AT the left timestamp is
+    skipped and the match falls to the strictly-earlier/later row —
+    for every direction and for the presplit twin (the nearest case
+    also flips its tie: with the equal-ts backward row excluded, the
+    equidistant strict pair resolves backward-first as in pandas)."""
+    from flink_rtcef_spark.operators.joins import as_of_join_presplit
+
+    left = spark.createDataFrame([(1, 10)], "k int, t int")
+    right = spark.createDataFrame(
+        [(1, 4, 1.0), (1, 10, 2.0), (1, 16, 3.0)], "k int, t int, rv double"
+    )
+    want = {"backward": 1.0, "forward": 3.0, "nearest": 1.0}
+    for direction, rv in want.items():
+        for fn, kw in (
+            (as_of_join, {}),
+            (as_of_join_presplit, {"shard_span": 7}),
+        ):
+            row = fn(
+                left, right, on="k", left_ts="t", direction=direction,
+                allow_exact_matches=False, **kw,
+            ).collect()[0]
+            assert row["rv"] == rv, (direction, fn.__name__, row)
+
+
 def test_asof_name_collision_suffix(spark):
     left = spark.createDataFrame([(1, 5, 9.0)], "k int, t int, rv double")
     right = spark.createDataFrame([(1, 4, 1.0)], "k int, t int, rv double")
@@ -384,12 +409,16 @@ def test_asof_presplit_plan_no_nested_loop(spark):
     ),
     st.sampled_from(["backward", "forward", "nearest"]),
     st.sampled_from([None, 7]),
+    st.booleans(),
 )
-def test_asof_fuzz_matches_merge_asof(spark, lrows, rrows, direction, tolerance):
+def test_asof_fuzz_matches_merge_asof(
+    spark, lrows, rrows, direction, tolerance, allow_exact
+):
     """Randomized as-of parity vs pandas merge_asof: tiny key space
-    forces duplicate left timestamps, empty-right keys, and distance
-    ties; the presplit variant (odd shard width) must agree wherever
-    it supports the direction."""
+    forces duplicate left timestamps, empty-right keys, equal-ts
+    left/right collisions (the allow_exact_matches discriminator),
+    and distance ties; the presplit variant (odd shard width) must
+    agree on the full parameter surface."""
     from flink_rtcef_spark.operators.joins import as_of_join_presplit
 
     left = pd.DataFrame(lrows, columns=["k", "t"]).astype("int64")
@@ -406,6 +435,7 @@ def test_asof_fuzz_matches_merge_asof(spark, lrows, rrows, direction, tolerance)
             left.sort_values(["t", "lv"], kind="mergesort"),
             right.sort_values("t", kind="mergesort"),
             on="t", by="k", direction=direction, tolerance=tolerance,
+            allow_exact_matches=allow_exact,
         )
         .sort_values(["k", "t", "lv"])
         .reset_index(drop=True)
@@ -420,10 +450,12 @@ def test_asof_fuzz_matches_merge_asof(spark, lrows, rrows, direction, tolerance)
         lambda: as_of_join(
             ldf, rdf, on="k", left_ts="t", right_cols=["rv"],
             direction=direction, tolerance=tolerance,
+            allow_exact_matches=allow_exact,
         ),
         lambda: as_of_join_presplit(
             ldf, rdf, on="k", shard_span=13, left_ts="t",
             right_cols=["rv"], direction=direction, tolerance=tolerance,
+            allow_exact_matches=allow_exact,
         ),
     ]
     for fn in variants:
