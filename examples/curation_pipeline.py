@@ -149,6 +149,40 @@ def main() -> None:
         + ", ".join(f"{t['node']} ({t['rank']:.6f})" for t in top)
     )
 
+    # 0c. temporal feature join: every document enriched with the most
+    # recent per-host PageRank SNAPSHOT at its crawl time — the as-of
+    # join shape (snapshots recompute periodically, docs arrive
+    # continuously; an equi join against all snapshots would shuffle
+    # |docs| x |snapshots| rows).  Composed query audited in
+    # docs/PLAN_AUDIT.md §composed; docs crawled before the first
+    # snapshot keep NULL rank (left semantics).
+    from flink_rtcef_spark.queries.pipeline import pagerank_asof_enrich
+
+    enriched = pagerank_asof_enrich(spark, args.sf_dir)
+    cov = enriched.agg(
+        F.count("*").alias("n"),
+        F.count("host_rank").alias("ranked"),
+        F.min(F.when(F.col("host_rank").isNotNull(), F.col("crawl_day"))).alias(
+            "first_ranked_day"
+        ),
+    ).collect()[0]
+    # docs before the first snapshot day (5) never carry a rank; docs
+    # at/after day 25 always do (the day-25 snapshot is the full
+    # graph; earlier snapshots are growing subsets, so a host can
+    # legitimately be missing from them)
+    assert cov["first_ranked_day"] == 5, cov
+    assert enriched.filter(
+        (F.col("crawl_day") < 5) & F.col("host_rank").isNotNull()
+    ).count() == 0
+    assert enriched.filter(
+        (F.col("crawl_day") >= 25) & F.col("host_rank").isNull()
+    ).count() == 0
+    print(
+        f"  {'pagerank as-of enrichment':<28} {cov['n']:>6} docs -> "
+        f"{cov['ranked']} with a snapshot rank "
+        f"({cov['n'] - cov['ranked']} pre-first-snapshot)"
+    )
+
     # 1. boilerplate lines shared by >5% of docs
     docs = remove_boilerplate_lines(docs, max_df=max(5, n // 20)).join(
         load_table(spark, args.sf_dir, "documents").drop("text"), "doc_id"

@@ -1649,3 +1649,68 @@ def decontam_bloom_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     return contamination_hits_bloom(
         corpus, benchmark, n=8, bloom_m=1 << 20, bloom_k=4
     )
+
+
+# ------------------------------------------------------------------
+# Composed (non-registry) pipeline queries: multi-operator chains the
+# curation example drives end-to-end.  NOT @query-registered (the
+# driver registry is capped at 50 — tests/test_retired_queries.py);
+# tools/plan_audit.py audits their plan shapes in its own section.
+def pagerank_asof_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal feature join for the curation chain: enrich every
+    document with the most recent per-host PageRank SNAPSHOT at its
+    crawl time, via ``as_of_join`` (operators/joins.py).
+
+    A production crawl recomputes PageRank periodically while
+    documents arrive continuously; joining each doc to the snapshot
+    in force when it was crawled is an as-of shape, not an equi join
+    (the naive alternative — join all snapshots then window-filter —
+    shuffles |docs| x |snapshots| rows).  Fixture derivation: three
+    snapshots over growing edge subsets (the crawl graph as of each
+    snapshot date), synthetic deterministic crawl days; both stand in
+    for real crawl metadata, the operators are the real path.
+
+    Plan shape: 3 pagerank loops (each edges-persist + 5 bounded
+    iterations), each snapshot lineage-cut at its boundary (a 5-iter
+    loop never reaches pagerank's internal checkpoint, and the as-of
+    subtree must not inline three iterative plans), one union of 3
+    tiny (hosts x 1) snapshot frames, then the as-of's single hash
+    Exchange on host + merged-order window.  Docs crawled before the
+    first snapshot keep NULL rank (left semantics) — the example
+    asserts the coverage split.
+    """
+    from flink_rtcef_spark.operators.joins import as_of_join
+    from flink_rtcef_spark.operators.webgraph import pagerank
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.col("source").alias("host"),
+        # synthetic crawl day in [0, 30), deterministic per doc
+        (F.col("doc_id") % 30).cast("long").alias("crawl_day"),
+    )
+    edges = host_graph_edges(spark, sf_dir).withColumn(
+        "w", (F.abs(F.hash("src", "dst")) % 5 + 1).cast("double")
+    )
+    snaps = []
+    for snap_day, frac in ((5, 4), (15, 7), (25, 10)):
+        # the crawl graph as of snap_day: a deterministic, growing
+        # subset of the edges (hash mod 10 < frac)
+        sub = edges.filter((F.abs(F.hash("src", "dst")) % 10) < frac)
+        snaps.append(
+            pagerank(sub, n_iter=5, weight="w")
+            .localCheckpoint(eager=True)
+            .select(
+                F.col("node").alias("host"),
+                F.lit(snap_day).cast("long").alias("snap_day"),
+                F.col("rank").alias("host_rank"),
+            )
+        )
+    snapshots = snaps[0].unionByName(snaps[1]).unionByName(snaps[2])
+    return as_of_join(
+        docs, snapshots, on="host",
+        left_ts="crawl_day", right_ts="snap_day",
+        right_cols=["host_rank"],
+    )
+
+
+COMPOSED = {"pagerank_asof_enrich": pagerank_asof_enrich}

@@ -524,3 +524,37 @@ def test_ann_ivfpq_recall_and_pruned_scan(spark, planted_embeddings, tmp_path):
     )
     assert approx2 == approx  # the pruned read serves identical results
     encoded.unpersist()
+
+
+def test_pagerank_asof_enrich_snapshot_semantics(spark):
+    """The composed curation-chain query (queries/pipeline.py COMPOSED):
+    every document joins the LATEST pagerank snapshot at-or-before its
+    crawl day (snapshots at days 5/15/25 over GROWING edge subsets —
+    a host can be absent from early snapshots, and the day-25 snapshot
+    covers every host), docs before the first snapshot keep NULL rank,
+    and row count is exactly |docs| (as-of never fans out)."""
+    from flink_rtcef_spark.queries.pipeline import pagerank_asof_enrich
+    from flink_rtcef_spark.sources.io import load_table
+    from tests.conftest import SF_SMOKE
+
+    out = pagerank_asof_enrich(spark, SF_SMOKE).toPandas()
+    n_docs = load_table(spark, SF_SMOKE, "documents").count()
+    assert len(out) == n_docs
+
+    ranked = out[out["host_rank"].notna()]
+    assert len(ranked) > 0.6 * n_docs
+    # the matched snapshot day is always the latest one <= crawl_day:
+    # the subsets grow (day-5 hosts are a subset of day-15's, etc.),
+    # so a non-null match in a bracket must come from that bracket's
+    # own snapshot, never an older one
+    for lo, hi in ((5, 15), (15, 25), (25, 31)):
+        seg = ranked[(ranked["crawl_day"] >= lo) & (ranked["crawl_day"] < hi)]
+        assert len(seg) > 0
+        assert (seg["snap_day_right"] == lo).all(), (lo, hi)
+    # before the first snapshot: always NULL
+    early = out[out["crawl_day"] < 5]
+    assert early["host_rank"].isna().all()
+    # the day-25 snapshot is the FULL graph, so every doc crawled at or
+    # after day 25 must be ranked
+    late = out[out["crawl_day"] >= 25]
+    assert late["host_rank"].notna().all()
