@@ -134,7 +134,7 @@ def _asof_finish(out, left, right_cols, rts, suffix, tolerance, direction):
 def as_of_join(
     left: DataFrame,
     right: DataFrame,
-    on: str | list[str],
+    on: str | list[str] | None,
     left_ts: str = "ts",
     right_ts: str | None = None,
     right_cols: list[str] | None = None,
@@ -147,6 +147,13 @@ def as_of_join(
     ``right_ts`` at-or-before (``backward``) / at-or-after (``forward``)
     / on either side (``nearest``, distance ties to the backward match
     as in pandas) the row's ``left_ts``, within the same ``on`` key.
+
+    ``on=None`` is the GLOBAL as-of (pandas ``merge_asof`` without
+    ``by``): one shared timeline.  Here the window has no partition
+    key, so the merged sort runs in a single task — fine for
+    dimension-sized inputs; for a large global timeline use
+    :func:`as_of_join_presplit` with ``on=None``, whose time shards
+    ARE the parallelism.
 
     Matches pandas ``merge_asof`` semantics (inclusive match at equal
     timestamps; unmatched rows keep NULL right columns) and DuckDB's
@@ -175,7 +182,7 @@ def as_of_join(
         raise ValueError(
             f"direction must be backward|forward|nearest, got {direction!r}"
         )
-    keys = [on] if isinstance(on, str) else list(on)
+    keys = [] if on is None else [on] if isinstance(on, str) else list(on)
     rts = right_ts or left_ts
     if direction == "nearest":
         return _as_of_join_nearest(
@@ -330,6 +337,12 @@ def as_of_join_presplit(
     ``shard_span`` so a hot key's densest shard fits a task (e.g. one
     day of a user's events).
 
+    ``on=None`` (global as-of, pandas ``merge_asof`` without ``by``)
+    is where this operator earns its keep even WITHOUT skew: the plain
+    global as-of sorts the whole merged timeline in one task, while
+    here the time shards are the partition key — the single global
+    timeline parallelizes across the cluster.
+
     Numeric timestamps only (``unix_millis`` first for TIMESTAMP
     columns — the shard id is ``floor(ts / shard_span)``, computed with
     exact integer arithmetic for integral columns so epoch-micro/nano
@@ -342,7 +355,7 @@ def as_of_join_presplit(
         # floor(col/0) is NULL in Spark -> every row lands in a NULL
         # shard and the join silently degenerates
         raise ValueError(f"shard_span must be > 0, got {shard_span}")
-    keys = [on] if isinstance(on, str) else list(on)
+    keys = [] if on is None else [on] if isinstance(on, str) else list(on)
     rts = right_ts or left_ts
     for df, c in ((left, left_ts), (right, rts)):
         if dict(df.dtypes)[c] in ("timestamp", "timestamp_ntz", "date"):

@@ -156,6 +156,51 @@ def test_asof_nearest_tie_prefers_backward(spark):
     assert row["rv"] == 1.0 and row["t_right"] == 5
 
 
+@pytest.mark.parametrize("direction", ["backward", "forward", "nearest"])
+def test_asof_global_on_none_matches_merge_asof(spark, direction):
+    """on=None = pandas merge_asof without `by` (one global timeline),
+    for the plain operator AND the presplit (whose time shards make
+    the global case parallel — the plan must hash-partition on the
+    shard id, not collapse to a single partition)."""
+    from flink_rtcef_spark.operators.joins import as_of_join_presplit
+
+    left, right = _random_frames(seed=29)
+    right = right.drop_duplicates(["t"])  # global match must be unique
+    expected = (
+        pd.merge_asof(
+            left.sort_values(["t", "lv"], kind="mergesort"),
+            right.sort_values("t", kind="mergesort").drop(columns=["k"]),
+            on="t", direction=direction,
+        )
+        .sort_values(["k", "t", "lv"])
+        .reset_index(drop=True)
+    )
+    ldf = spark.createDataFrame(left)
+    rdf = spark.createDataFrame(right.drop(columns=["k"]))
+    for fn, kw in (
+        (as_of_join, {}),
+        (as_of_join_presplit, {"shard_span": 100}),
+    ):
+        ours = (
+            fn(
+                ldf, rdf, on=None, left_ts="t", right_cols=["rv"],
+                direction=direction, **kw,
+            )
+            .toPandas()
+            .sort_values(["k", "t", "lv"])
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_series_equal(
+            ours["rv"], expected["rv"], check_names=False
+        )
+    # the presplit global plan parallelizes on the shard id
+    plan = as_of_join_presplit(
+        ldf, rdf, on=None, shard_span=100, left_ts="t",
+        right_cols=["rv"], direction=direction,
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "hashpartitioning(__shard" in plan, plan
+
+
 def test_asof_strict_excludes_equal_ts(spark):
     """allow_exact_matches=False: a right row AT the left timestamp is
     skipped and the match falls to the strictly-earlier/later row —
