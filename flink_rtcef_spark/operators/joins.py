@@ -46,25 +46,65 @@ _INTEGRAL = ("tinyint", "smallint", "int", "bigint")
 
 
 def _floor_div(col: Column, width: int, dtype: str) -> Column:
-    """``floor(col / width)`` computed EXACTLY for integral columns.
+    """``floor(col / width)`` computed EXACTLY in 64-bit integers for
+    EVERY numeric dtype.
 
     ``F.floor(col / lit(width))`` divides as float64, which loses
     integer resolution above 2**53 — epoch-micro/nano timestamps (plain
     longs, so they pass the numeric-dtype guard) can land in the wrong
-    shard/bin near boundaries and silently change join results.  For
-    integral columns: subtract ``pmod`` to reach the largest multiple
+    shard/bin near boundaries and silently change join results.
+    Integral columns: subtract ``pmod`` to reach the largest multiple
     of ``width`` at or below the value, then integer-divide — an exact
     multiple makes truncating ``div`` equal floor, all in 64-bit
     integer arithmetic (an earlier decimal(38,0) formulation was exact
-    too but cost ~35% on the binned-join queries).  Bound: the
-    subtraction wraps for values within ``width`` of LONG_MIN — five
-    orders of magnitude beyond any epoch-nano timestamp.  Fractional
-    columns keep the float64 floor (their own resolution is the
-    binding limit)."""
+    too but cost ~35% on the binned-join queries).  Fractional columns
+    go through ``floor(col)`` (bigint, exact for |value| < 2**63) and
+    then the SAME integer path — valid because
+    ``floor(x/w) == floor(floor(x)/w)`` for integer ``w > 0``.  One
+    shared arithmetic matters when an operator mixes dtypes: an r8
+    ADVICE probe showed double-floor bins and exact-long bins of the
+    SAME instant can disagree by several bins above 2**53, so an
+    integral side and a fractional side would never equi-join near
+    boundaries.  Bounds: the pmod subtraction wraps for values within
+    ``width`` of LONG_MIN, and fractional values at or beyond 2**63
+    overflow the bigint cast to NULL (dropping the row from
+    sequence/explode) — both five-plus orders of magnitude beyond any
+    epoch-nano timestamp."""
     w = F.lit(width)
-    if dtype in _INTEGRAL:
-        return F.call_function("div", col - F.pmod(col, w), w)
-    return F.floor(col / w)
+    if dtype not in _INTEGRAL:
+        col = F.floor(col)
+    return F.call_function("div", col - F.pmod(col, w), w)
+
+
+def _make_bin(width: int, *dtypes: str):
+    """Bin-id function over a COMMON comparison space for an operator
+    whose participating numeric columns have the given dtypes.
+
+    When every column is integral, bins use the exact 64-bit path of
+    :func:`_floor_div` directly.  When ANY column is fractional, Spark
+    evaluates the operator's residual comparisons by coercing the
+    integral side to double — so bins must live in that same coerced
+    space, or an integral-side bin computed exactly and a
+    fractional-side bin computed on float64 can disagree by several
+    bins above 2**53 and the pair never equi-joins (r8 ADVICE, probed:
+    a long lo at 2**60+1003 bins to ...4797 exactly while the double
+    the predicate compares it to is 2**60+1024, bin ...4800).  Each
+    column is coerced to double FIRST (identical to the predicate's
+    coercion) and then binned exactly on that coerced value, making
+    the binned join's matches equal the raw-predicate join's for every
+    dtype mix; the integer-resolution loss above 2**53 in the mixed
+    case is Spark's own comparison semantics, not an artifact of the
+    binning."""
+    exact = all(d in _INTEGRAL for d in dtypes)
+
+    def bin_(col: Column, dtype: str) -> Column:
+        if exact:
+            return _floor_div(col, width, dtype)
+        if dtype in _INTEGRAL:
+            col = col.cast("double")
+        return _floor_div(col, width, "double")
+
+    return bin_
 
 
 def _right_side_tag(direction: str, allow_exact: bool) -> int:
@@ -290,7 +330,7 @@ def _as_of_join_nearest(
 def as_of_join_presplit(
     left: DataFrame,
     right: DataFrame,
-    on: str | list[str],
+    on: str | list[str] | None,
     shard_span: int,
     left_ts: str = "ts",
     right_ts: str | None = None,
@@ -584,9 +624,12 @@ def range_join_binned(
     dedup is needed.  ``how="left"`` keeps unmatched left rows.
 
     Numeric point/bound columns only (timestamps: convert with
-    ``unix_millis`` first).  Bin ids use exact integer arithmetic for
-    integral columns (see :func:`_floor_div`) so epoch-micro/nano longs
-    above 2**53 bin exactly.
+    ``unix_millis`` first).  Bin ids use exact 64-bit integer
+    arithmetic when every point/bound column is integral, so
+    epoch-micro/nano longs above 2**53 bin exactly; a mixed
+    integral/fractional column set bins (and matches) in Spark's own
+    coerced-double comparison space instead (see :func:`_make_bin`) —
+    identical results to the raw-predicate join in every case.
     """
     if bin_width <= 0:
         # floor(col/0) is NULL in Spark, which would silently drop
@@ -594,15 +637,14 @@ def range_join_binned(
         raise ValueError(f"bin_width must be > 0, got {bin_width}")
     keys = [] if on is None else ([on] if isinstance(on, str) else list(on))
     ldt, rdt = dict(left.dtypes), dict(right.dtypes)
-    lb = left.withColumn(
-        "__bin", _floor_div(F.col(left_point), bin_width, ldt[left_point])
-    )
+    bin_ = _make_bin(bin_width, ldt[left_point], rdt[right_lo], rdt[right_hi])
+    lb = left.withColumn("__bin", bin_(F.col(left_point), ldt[left_point]))
     rb = right.withColumn(
         "__bin",
         F.explode(
             F.sequence(
-                _floor_div(F.col(right_lo), bin_width, rdt[right_lo]),
-                _floor_div(F.col(right_hi), bin_width, rdt[right_hi]),
+                bin_(F.col(right_lo), rdt[right_lo]),
+                bin_(F.col(right_hi), rdt[right_hi]),
             )
         ),
     )
@@ -660,10 +702,25 @@ def interval_overlap_join(
     id window) over the inner plan; matched pairs are bit-identical to
     ``how="inner"``.
 
+    ``how="left"`` determinism assumption: the row id is
+    ``monotonically_increasing_id()`` computed before the explode, so
+    every bin copy of a left row agrees on it within one execution —
+    but the id depends on the left input's partition layout.  If a
+    shuffle-fetch failure forces Spark to RECOMPUTE the left scan
+    between the join and window stages AND the left plan is
+    nondeterministic (e.g. fed by a shuffle whose order isn't pinned),
+    ids can be reassigned and null-extended rows duplicated/dropped.
+    Parquet/file scans (the normal case) replay deterministically; for
+    a nondeterministic left input, ``persist()``/``localCheckpoint()``
+    it first so retries replay the same rows-to-ids assignment.
+
     Numeric bounds only (timestamps: ``unix_millis`` first); intervals
     are closed on both ends, matching the SQL BETWEEN-style oracle.
-    Bin ids use exact integer arithmetic for integral columns (see
-    :func:`_floor_div`).
+    Bin ids use exact 64-bit integer arithmetic when every bound
+    column is integral; a mixed integral/fractional bound set bins
+    (and matches) in Spark's coerced-double comparison space instead
+    (see :func:`_make_bin`) — identical results to the raw-predicate
+    join in every case.
     """
     if bin_width <= 0:
         # floor(col/0) is NULL -> sequence/explode silently drops every
@@ -673,21 +730,22 @@ def interval_overlap_join(
         raise ValueError(f"how must be inner|left, got {how!r}")
     keys = [] if on is None else ([on] if isinstance(on, str) else list(on))
     ldt, rdt = dict(left.dtypes), dict(right.dtypes)
+    bin_ = _make_bin(
+        bin_width, ldt[left_lo], ldt[left_hi], rdt[right_lo], rdt[right_hi]
+    )
     lsrc = left
     if how == "left":
         # id + first-covered-bin computed BEFORE the explode, so every
         # bin copy of a left row agrees on them
         lsrc = left.withColumn(
             "__lid", F.monotonically_increasing_id()
-        ).withColumn(
-            "__bin0", _floor_div(F.col(left_lo), bin_width, ldt[left_lo])
-        )
+        ).withColumn("__bin0", bin_(F.col(left_lo), ldt[left_lo]))
     lb = lsrc.withColumn(
         "__bin",
         F.explode(
             F.sequence(
-                _floor_div(F.col(left_lo), bin_width, ldt[left_lo]),
-                _floor_div(F.col(left_hi), bin_width, ldt[left_hi]),
+                bin_(F.col(left_lo), ldt[left_lo]),
+                bin_(F.col(left_hi), ldt[left_hi]),
             )
         ),
     )
@@ -695,8 +753,8 @@ def interval_overlap_join(
         "__bin",
         F.explode(
             F.sequence(
-                _floor_div(F.col(right_lo), bin_width, rdt[right_lo]),
-                _floor_div(F.col(right_hi), bin_width, rdt[right_hi]),
+                bin_(F.col(right_lo), rdt[right_lo]),
+                bin_(F.col(right_hi), rdt[right_hi]),
             )
         ),
     )
@@ -705,13 +763,14 @@ def interval_overlap_join(
     cond = [lb["__bin"] == rb["__bin"]]
     cond += [lb[k] == rb[k] for k in keys]
     overlaps = (lb[left_lo] <= rb[right_hi]) & (rb[right_lo] <= lb[left_hi])
-    lo_dtype = (
-        ldt[left_lo]
-        if ldt[left_lo] in _INTEGRAL and rdt[right_lo] in _INTEGRAL
-        else "double"
-    )
-    once = lb["__bin"] == _floor_div(
-        F.greatest(lb[left_lo], rb[right_lo]), bin_width, lo_dtype
+    # intersection-start bin == max of the two lo bins (floor-div is
+    # monotone), each computed in the operator's shared bin space — so
+    # the dedup bin always agrees with the covering bins, where a
+    # greatest()-then-divide could use a different coercion than the
+    # covering-bin computation and disagree above 2**53
+    once = lb["__bin"] == F.greatest(
+        bin_(lb[left_lo], ldt[left_lo]),
+        bin_(rb[right_lo], rdt[right_lo]),
     )
     if how == "inner":
         joined = lb.join(rb, cond, "inner").filter(overlaps & once)

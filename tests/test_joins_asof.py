@@ -581,6 +581,43 @@ def test_interval_overlap_join_bin_width_invariant(spark):
     assert results[0] == results[1] == results[2]
 
 
+def test_interval_overlap_join_mixed_dtypes_above_2_53(spark):
+    """Mixed integral/fractional bounds above 2**53 (r8 ADVICE): the
+    integral side's covering bins use exact 64-bit division while a
+    greatest()-then-divide dedup bin would coerce the long to float64
+    (spacing 256 at 2**60) and land in a different width-10 bin —
+    silently dropping pairs.  The fix computes the dedup bin as
+    max(bin(l_lo), bin(r_lo)), each side via its own exact path, so
+    the binned join must equal Spark's own all-pairs predicate."""
+    from flink_rtcef_spark.operators.joins import interval_overlap_join
+
+    t0 = 1 << 60
+    rows_l = [
+        (i, t0 + i * 1000 + 3, t0 + i * 1000 + 7) for i in range(40)
+    ]
+    rows_r = [
+        (100 + i, float(t0 + i * 1000), float(t0 + i * 1000 + 500))
+        for i in range(40)
+    ]
+    la = spark.createDataFrame(rows_l, "a_id long, a_lo long, a_hi long")
+    rb = spark.createDataFrame(rows_r, "b_id long, b_lo double, b_hi double")
+    got = {
+        (r["a_id"], r["b_id"])
+        for r in interval_overlap_join(
+            la, rb, "a_lo", "a_hi", "b_lo", "b_hi", bin_width=10
+        ).collect()
+    }
+    want = {
+        (r["a_id"], r["b_id"])
+        for r in la.crossJoin(rb)
+        .filter(
+            (F.col("a_lo") <= F.col("b_hi")) & (F.col("b_lo") <= F.col("a_hi"))
+        )
+        .collect()
+    }
+    assert got == want and len(want) >= 40
+
+
 @pytest.mark.parametrize("direction", ["backward", "forward", "nearest"])
 def test_asof_presplit_exact_shards_above_2_53(spark, direction):
     """Epoch-nano-scale timestamps (longs above 2**53, where float64
