@@ -42,6 +42,7 @@ import pyarrow as pa
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 from flink_rtcef_spark.operators.cep_register import _run_nsra_segment
 from flink_rtcef_spark.streaming import state_table as stt
@@ -328,6 +329,7 @@ def make_foreach_batch_register(
         )
         unioned = wide_events
         passive = None
+        flagged = None
         carried = stt.read_state_spark(
             spark, meta, state_dir, touched, _OUT_SCHEMA
         )
@@ -344,9 +346,21 @@ def make_foreach_batch_register(
             # (10k batch keys vs 1M carried rows: the kernel sees 1%
             # of the state); the batch-key side is a distinct over the
             # batch, small enough that AQE broadcasts it.
-            batch_keys = events.select("key").distinct()
-            passive = carried.join(batch_keys, "key", "left_anti")
-            active = carried.join(batch_keys, "key", "left_semi")
+            # ONE state scan (r8 ADVICE): an anti- plus a semi-join
+            # would read the touched buckets' parquet twice, so
+            # left-join a hit flag instead and persist the flagged
+            # frame — the split becomes two cache filters, and the
+            # count() materializes the cache before the write job's
+            # two consumers can race to recompute the scan.
+            batch_keys = events.select("key").distinct().withColumn(
+                "__hit", F.lit(True)
+            )
+            flagged = carried.join(batch_keys, "key", "left").persist(
+                StorageLevel.MEMORY_AND_DISK
+            )
+            flagged.count()
+            passive = flagged.filter(F.col("__hit").isNull()).drop("__hit")
+            active = flagged.filter(F.col("__hit").isNotNull()).drop("__hit")
             ev_types = dict(wide_events.dtypes)
             attr_nulls = [
                 F.lit(None).cast(ev_types[a]).alias(a) for a in attrs
@@ -363,18 +377,22 @@ def make_foreach_batch_register(
                 )
             )
         parts = ["key"] if num_partitions is None else [num_partitions, "key"]
-        out = (
-            unioned.repartition(*parts)
-            .sortWithinPartitions("key", "ts", "event_id")
-            .mapInPandas(runner, schema=_OUT_SCHEMA)
-        )
-        if passive is not None:
-            out = out.unionByName(passive)
-        # group sizing, salted partitioned write, footer-stat manifest
-        # recovery: the shared distributed tail (stt)
-        touched_rows, max_lt, g_new = stt.write_distributed_output(
-            out, meta, touched, events_total, state_dir, batch_id
-        )
+        try:
+            out = (
+                unioned.repartition(*parts)
+                .sortWithinPartitions("key", "ts", "event_id")
+                .mapInPandas(runner, schema=_OUT_SCHEMA)
+            )
+            if passive is not None:
+                out = out.unionByName(passive)
+            # group sizing, salted partitioned write, footer-stat
+            # manifest recovery: the shared distributed tail (stt)
+            touched_rows, max_lt, g_new = stt.write_distributed_output(
+                out, meta, touched, events_total, state_dir, batch_id
+            )
+        finally:
+            if flagged is not None:
+                flagged.unpersist()
         _finish_batch(
             spark, batch_id, meta, touched_rows, max_lt, "arrow", g_new
         )
