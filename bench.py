@@ -17,6 +17,13 @@ per-batch fixed cost and the amortized per-event rate are separable).
 Headline set = one query per operator class that dominates cost at
 scale (scan+agg, joins, windows, CEP, dedup, similarity).  Each query
 is fully materialized via count() (no driver collect of payloads).
+
+r9 additions (r8 verdict #1/#2): every headline query also records
+``queries_cpu_sec`` — the process-subtree CPU burned by its
+median-wall run (see _subtree_cpu_sec; wall-up-cpu-flat == host
+contention, not a code regression) — and ``queries_all_1shot`` times
+every registry query outside the headline set once, so no
+driver-checked query is perf-blind.
 """
 
 from __future__ import annotations
@@ -81,6 +88,60 @@ def _timed(fn) -> float:
     return time.time() - t0
 
 
+def _subtree_cpu_sec() -> float:
+    """CPU seconds (utime+stime+cutime+cstime) summed over this process
+    and every live descendant — in local mode that is the Spark JVM and
+    its reused Python workers, i.e. everything a query burns.  Read
+    from /proc (Linux), so it costs ~1 ms per call.
+
+    Purpose (r8 verdict #1): the start-of-run host canary cannot see
+    contention that ARRIVES mid-run — BENCH_r08 recorded a healthy
+    canary yet 9.5 s for a query the judge measured at 1.4 s.  A
+    per-query (wall, cpu) pair makes that failure mode legible: under
+    external contention the query's own CPU stays put while its wall
+    inflates, so wall-up-cpu-flat reads as "host was busy", not "code
+    got slower" (docs/BENCH_SF1.md §r9-cpu).  Reaped-child time lands
+    in the parent's cutime, so worker churn between snapshots is
+    counted (small double-count bound: a worker's pre-snapshot CPU
+    re-appears in cutime if it dies mid-query — workers are reused, so
+    in practice this is ~0)."""
+    tck = os.sysconf("SC_CLK_TCK")
+    procs: dict[int, tuple[int, int]] = {}
+    for pid in os.listdir("/proc"):
+        if not pid.isdigit():
+            continue
+        try:
+            with open(f"/proc/{pid}/stat", "rb") as f:
+                stat = f.read().decode("latin1")
+        except OSError:
+            continue
+        rest = stat[stat.rindex(")") + 2 :].split()
+        # fields after comm: state ppid ... utime(11) stime(12)
+        # cutime(13) cstime(14)
+        procs[int(pid)] = (
+            int(rest[1]),
+            int(rest[11]) + int(rest[12]) + int(rest[13]) + int(rest[14]),
+        )
+    children: dict[int, list[int]] = {}
+    for pid, (ppid, _) in procs.items():
+        children.setdefault(ppid, []).append(pid)
+    total, stack = 0, [os.getpid()]
+    while stack:
+        p = stack.pop()
+        if p in procs:
+            total += procs[p][1]
+            stack.extend(children.get(p, []))
+    return total / tck
+
+
+def _timed_cpu(fn) -> tuple[float, float]:
+    """(wall_sec, subtree_cpu_sec) for one invocation."""
+    c0 = _subtree_cpu_sec()
+    t0 = time.time()
+    fn()
+    return time.time() - t0, _subtree_cpu_sec() - c0
+
+
 def _median3(fn) -> float:
     """Median of 3 runs — the first doubles as plan/shuffle warm-up, and
     the median discards it when cold-start dominated (hot-key fixtures
@@ -140,17 +201,41 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     spread: dict[str, list[float]] = {}
+    cpu: dict[str, float] = {}
     total = 0.0
     for name in HEADLINE:
         fn = q.QUERIES.get(name)
         if fn is None:
             continue
         fn(spark, sf_dir).count()  # warm-up: plan compile + shuffle files
-        runs = sorted(_timed(lambda: fn(spark, sf_dir).count()) for _ in range(N_ITER))
-        med = round(statistics.median(runs), 3)
-        timings[name] = med
-        spread[name] = [round(runs[0], 3), round(runs[-1], 3)]
-        total += med
+        runs = sorted(
+            _timed_cpu(lambda: fn(spark, sf_dir).count()) for _ in range(N_ITER)
+        )
+        med_wall, med_cpu = runs[N_ITER // 2]  # run with the median wall
+        timings[name] = round(med_wall, 3)
+        spread[name] = [round(runs[0][0], 3), round(runs[-1][0], 3)]
+        cpu[name] = round(med_cpu, 3)
+        total += timings[name]
+
+    # 1-SHOT walls for every registry query OUTSIDE the headline set
+    # (r8 verdict #2: 20 of the 50 driver-checked queries had no
+    # recorded timing at all, so a regression there reached the
+    # correctness gate but never a perf trace).  No warm-up discard —
+    # treat these as coarse canaries, not comparators; the paired
+    # cpu_sec tells contention from code as for the headline set.
+    all_wall: dict[str, float] = {}
+    all_cpu: dict[str, float] = {}
+    for name, fn in q.QUERIES.items():
+        if name in timings:
+            continue
+        try:
+            w1, c1 = _timed_cpu(lambda: fn(spark, sf_dir).count())
+        except Exception as e:  # never let one query kill the artifact
+            all_wall[name] = -1.0
+            print(f"# queries_all {name} failed: {e}", file=sys.stderr)
+            continue
+        all_wall[name] = round(w1, 3)
+        all_cpu[name] = round(c1, 3)
 
     # CEP throughput (the reference's profiler metric:
     # events/s = streamSize / execTime, WtProfiler.scala:207) measured
@@ -169,39 +254,48 @@ def main() -> None:
     knn = knn_fixture(spark, sf_dir)
     pr = pagerank_fixture(spark, sf_dir)
 
+    full = {
+        "metric": "headline_query_wall_seconds",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": timings,
+        "queries_spread": spread,
+        "queries_cpu_sec": cpu,
+        "queries_all_1shot": all_wall,
+        "queries_all_cpu_sec": all_cpu,
+        "iterations": N_ITER,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "cep_events_per_sec": marginal,
+        "cep_marginal_events_per_sec": marginal,
+        **canary,
+        **hot,
+        **stream,
+        **asof,
+        **knn,
+        **pr,
+        "weak_scaling_10x": scale,
+    }
+    print(json.dumps(full))
+    # The driver captures only a 2000-char stdout tail (BENCH_r08
+    # "tail" is exactly 2000), so the full record — including the
+    # per-query cpu_sec maps the r8 verdict asked for — is also
+    # written to a repo-root file the end-of-round snapshot commits.
+    try:
+        with open(Path(__file__).resolve().parent / "BENCH_FULL_LAST.json", "w") as f:
+            json.dump(full, f, indent=1)
+            f.write("\n")
+    except OSError as e:  # never fail the artifact over the side file
+        print(f"# BENCH_FULL_LAST.json not written: {e}", file=sys.stderr)
+    # Emit a compact one-line summary LAST so the tail always contains
+    # a parseable record with a wall for EVERY registry query (compact
+    # separators + coarse rounding keep ~63 queries under the cap;
+    # cpu_sec lives in line 1 and BENCH_FULL_LAST.json).
     print(
         json.dumps(
             {
                 "metric": "headline_query_wall_seconds",
                 "value": round(total, 3),
                 "unit": "sec",
-                "queries": timings,
-                "queries_spread": spread,
-                "iterations": N_ITER,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-                "cep_events_per_sec": marginal,
-                "cep_marginal_events_per_sec": marginal,
-                **canary,
-                **hot,
-                **stream,
-                **asof,
-                **knn,
-                **pr,
-                "weak_scaling_10x": scale,
-            }
-        )
-    )
-    # The driver captures only a ~2000-char stdout tail; the full JSON
-    # above routinely overflows it (BENCH_r03 recorded "parsed": null).
-    # Emit a compact one-line summary LAST so the tail always contains a
-    # parseable record with the headline numbers.
-    print(
-        json.dumps(
-            {
-                "metric": "headline_query_wall_seconds",
-                "value": round(total, 3),
-                "unit": "sec",
-                "headline_total_sec": round(total, 3),
                 "n_queries": len(timings),
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "cep_events_per_sec": marginal,
@@ -209,8 +303,12 @@ def main() -> None:
                     "streaming_cep_events_per_sec"
                 ),
                 **canary,
-                "queries": timings,
-            }
+                "queries": {k: round(v, 2) for k, v in timings.items()},
+                "queries_all_1shot": {
+                    k: round(v, 2) for k, v in all_wall.items()
+                },
+            },
+            separators=(",", ":"),
         )
     )
 
