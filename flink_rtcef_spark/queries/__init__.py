@@ -36,7 +36,12 @@ def query(name: str, oracle: str | None = None):
 
 
 def load_all() -> None:
-    """Import every query module (side effect: registration)."""
+    """Import every query module (side effect: registration).
+
+    ``cap_probe`` MUST stay last: it appends the retired queries after
+    the curated 50 to measure the driver's registry cap (r8 verdict
+    item 4) — append position is what makes the probe safe."""
     from flink_rtcef_spark.queries import relational  # noqa: F401
     from flink_rtcef_spark.queries import cep_queries  # noqa: F401
     from flink_rtcef_spark.queries import pipeline  # noqa: F401
+    from flink_rtcef_spark.queries import cap_probe  # noqa: F401

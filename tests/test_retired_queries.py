@@ -36,15 +36,27 @@ DRIVER_CAP = 50
 
 
 def test_registry_holds_driver_cap():
+    """r9 shape: the curated 50 occupy the first DRIVER_CAP insertion
+    slots UNCHANGED (so even a still-capped driver checks exactly the
+    r8 set), and every entry beyond the cap is a cap-probe entry —
+    retired queries gated at sf0.01 in this module (or, for the
+    composed ``pagerank_asof_enrich``, pytest-gated in
+    tests/test_pipeline_ops.py).  Nothing can sit in the registry
+    outside the hard signal."""
     from flink_rtcef_spark import queries as q
+    from flink_rtcef_spark.queries.cap_probe import _PROBE
 
     q.load_all()
-    assert len(q.QUERIES) <= DRIVER_CAP, (
-        f"registry has {len(q.QUERIES)} entries but the driver checks only "
-        f"{DRIVER_CAP}; queries beyond the cap silently lose the per-round "
-        f"hard correctness signal — retire one into this module instead "
-        f"(remove its @query decorator, add an sf0.01 gate here)"
+    names = list(q.QUERIES)
+    probe_names = [n for n, _, _ in _PROBE]
+    # probe entries append strictly AFTER the curated cap
+    assert names[DRIVER_CAP:] == probe_names, (
+        "registry tail is not exactly the cap probe; a new @query landed "
+        "beyond the driver cap and would silently lose the per-round hard "
+        "correctness signal — retire one into this module instead"
     )
+    assert not set(names[:DRIVER_CAP]) & set(probe_names)
+
 
 TIME_BUCKETING_SQL = """
     SELECT (epoch_ms(ts) // 86400000) * 86400 AS bucket_id,
@@ -63,6 +75,22 @@ UNION_ASSEMBLY_SQL = """
     SELECT event_type, COUNT(*) AS n, ROUND(SUM(value), 4) AS sum_value
     FROM assembled GROUP BY event_type
 """
+
+
+def test_cap_probe_oracles_match_retired_gates():
+    """The cap probe re-registers each retired query with an oracle;
+    a drifted copy would make the driver check DIFFERENT SQL than the
+    retired gate here.  Pin the two relational SQLs this module also
+    owns (the rest are imported from their source modules by both)."""
+    from flink_rtcef_spark.queries import cap_probe
+
+    assert cap_probe.TIME_BUCKETING_SQL.split() == TIME_BUCKETING_SQL.split()
+    assert cap_probe.UNION_ASSEMBLY_SQL.split() == UNION_ASSEMBLY_SQL.split()
+    assert (
+        cap_probe.PIVOT_EVENT_COUNTS_SQL.split()
+        == PIVOT_EVENT_COUNTS_SQL.split()
+    )
+    assert cap_probe.LAG_DELTA_SQL.split() == LAG_DELTA_SQL.split()
 
 
 @pytest.fixture(scope="module")
