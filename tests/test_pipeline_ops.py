@@ -526,6 +526,30 @@ def test_ann_ivfpq_recall_and_pruned_scan(spark, planted_embeddings, tmp_path):
     encoded.unpersist()
 
 
+def test_pagerank_asof_enrich_plan_shape(spark):
+    """r8 verdict #5: the composed chain's per-snapshot lineage cut is
+    load-bearing — without it the as-of subtree inlines THREE iterative
+    pagerank plans and the audit read 91 Exchanges / 31 BNLJ
+    (docs/r8-notes.md §8).  That failure mode was only prevented by
+    code structure; gate the physical plan so a regression is loud.
+    The expected shape (docs/PLAN_AUDIT.md §composed) is 1 Exchange /
+    1 Sort / 1 Window / 0 BNLJ; the bound leaves slack of one Exchange
+    for Spark-version plan drift."""
+    import re
+
+    from flink_rtcef_spark.queries.pipeline import pagerank_asof_enrich
+    from tests.conftest import SF_SMOKE
+
+    df = pagerank_asof_enrich(spark, SF_SMOKE)
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    n_ex = len(re.findall(r"\(\d+\) Exchange", plan))
+    n_bnlj = len(re.findall(r"\(\d+\) BroadcastNestedLoopJoin", plan))
+    assert n_bnlj == 0, f"composed plan has {n_bnlj} BNLJ nodes"
+    assert 1 <= n_ex <= 2, f"composed plan has {n_ex} Exchanges (want 1)"
+
+
 def test_pagerank_asof_enrich_snapshot_semantics(spark):
     """The composed curation-chain query (queries/pipeline.py COMPOSED):
     every document joins the LATEST pagerank snapshot at-or-before its
