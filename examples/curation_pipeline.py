@@ -61,9 +61,17 @@ from flink_rtcef_spark.sources.bucketing import write_partitioned
 from flink_rtcef_spark.sources.io import load_table
 
 
+_stage_clock = [time.time()]
+
+
 def stage(name: str, df, prev_n: int) -> int:
+    # wall attributed to a stage = everything since the previous
+    # stage's count() returned (plan build + this count) — the number
+    # the BENCH_SF1 composed-chain row ranks stages by
     n = df.count()
-    print(f"  {name:<28} {prev_n:>6} -> {n:>6}")
+    dt = time.time() - _stage_clock[0]
+    print(f"  {name:<28} {prev_n:>6} -> {n:>6}  ({dt:6.1f}s)")
+    _stage_clock[0] = time.time()
     return n
 
 

@@ -357,6 +357,66 @@ def main() -> None:
     out["overlap_orders_per_sec"] = round(n_orders / dt)
     note("overlap_orders_per_sec")
 
+    # -- r9 (r8 verdict #3): decade rows for the surfaces r8 shipped
+    # with parity tests only — presplit direction="nearest", the
+    # GLOBAL (on=None) as-of, and interval_overlap_join(how="left").
+    # nearest doubles the right side's presence in the merged order
+    # (backward + forward candidate per row), so its premium over
+    # backward is the thing to watch per decade.
+    dt = _median3(
+        lambda: as_of_join(
+            purchases, clicks, on="user_id", left_ts="ts_ms",
+            right_ts="t_ms", right_cols=["click_value"],
+            direction="nearest",
+        ).count()
+    )
+    out["asof_nearest_plain_sec"] = round(dt, 3)
+    note("asof_nearest_plain_sec")
+    dt = _median3(
+        lambda: as_of_join_presplit(
+            purchases, clicks, on="user_id", shard_span=86_400_000,
+            left_ts="ts_ms", right_ts="t_ms", right_cols=["click_value"],
+            direction="nearest",
+        ).count()
+    )
+    out["asof_nearest_presplit_sec"] = round(dt, 3)
+    note("asof_nearest_presplit_sec")
+
+    # GLOBAL as-of (on=None): the whole dataset is ONE timeline, so
+    # the plain operator's window serializes every row into a single
+    # task — the presplit's time shards are the documented scale path
+    # for exactly this case, and this pair MEASURES that claim: the
+    # plain wall grows with total rows on one core while the presplit
+    # spreads the timeline over (rows/shard_span) tasks.
+    dt = _median3(
+        lambda: as_of_join(
+            purchases, clicks, on=None, left_ts="ts_ms",
+            right_ts="t_ms", right_cols=["click_value"],
+        ).count()
+    )
+    out["asof_global_plain_sec"] = round(dt, 3)
+    note("asof_global_plain_sec")
+    dt = _median3(
+        lambda: as_of_join_presplit(
+            purchases, clicks, on=None, shard_span=86_400_000,
+            left_ts="ts_ms", right_ts="t_ms", right_cols=["click_value"],
+        ).count()
+    )
+    out["asof_global_presplit_sec"] = round(dt, 3)
+    note("asof_global_presplit_sec")
+
+    dt = _median3(
+        lambda: interval_overlap_join(
+            _iv("a"), _iv("b"), "a_lo", "a_hi", "b_lo", "b_hi",
+            bin_width=604800000, on="o_custkey", how="left",
+        ).filter(
+            F.col("b_orderkey").isNull()
+            | (F.col("a_orderkey") < F.col("b_orderkey"))
+        ).count()
+    )
+    out["overlap_left_join_sec"] = round(dt, 3)
+    note("overlap_left_join_sec")
+
     print(json.dumps(out))
 
 
