@@ -159,19 +159,9 @@ def presplit_detections(
         schema += ", state_exact boolean, is_cert boolean"
         columns += ["state_exact", "is_cert"]
 
-    def run_shard(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(["ts", "event_id"], kind="mergesort")
-        key = pdf["key"].iloc[0]
-        shard = int(pdf["shard"].iloc[0])
-        offset = int(pdf["offset"].iloc[0])
-        is_first = bool(pdf["is_first"].iloc[0])
-        syms = pdf["symbol"].to_numpy()
-        tss = pdf["ts"].to_numpy()
-        ids = pdf["event_id"].to_numpy()
-        warm = pdf["warm"].to_numpy()
-        n_warm = int(warm.sum())
-
-        # soundness certificate over the warm-up prefix
+    def segment_cert(is_first, syms, n_warm):
+        """(reset_seen, conv_idx) soundness certificate over the
+        warm-up prefix of one segment."""
         reset_seen = False
         conv_idx = -1  # first index after which the state map is constant
         if is_first:
@@ -193,23 +183,12 @@ def presplit_detections(
                 if (vec == vec[0]).all():
                     conv_idx = j + 1  # exact from event j on
                     break  # constant maps stay constant under composition
+        return reset_seen, conv_idx
 
-        init = (0, offset, -1, -1, 0)
-        if window == 0 and n_states <= 64:
-            # same O(n·S·log n) prefix-composition fast path as the
-            # unsharded kernel — the shard is one key segment
-            kconst = np.zeros(len(syms), dtype=np.int8)
-            krows, _ = _run_sdfa_batch_vectorized(
-                kconst, syms, tss, ids, delta, take, finals, resets,
-                carry_key=0, carry=init,
-            )
-            rows = [r[1:] for r in krows]
-        else:
-            rows, _ = _run_sdfa_segment(
-                syms, tss, ids, delta, take, finals, window, window_type,
-                resets, init=init,
-            )
-
+    def finalize_segment(key, shard, is_first, syms, tss, n_warm, rows):
+        """Certificate + emit-range filter for one segment whose kernel
+        detections (already counter-offset-adjusted) are ``rows``."""
+        reset_seen, conv_idx = segment_cert(is_first, syms, n_warm)
         shard_start = shard * int(shard_span)
         state_exact = (
             is_first
@@ -250,9 +229,147 @@ def presplit_detections(
             out = [
                 (key, shard, *r, exact) for r in rows if r[1] >= shard_start
             ]
+        return out
+
+    use_batched_kernel = window == 0 and n_states <= 64
+
+    def run_segment(key, shard, offset, is_first, syms, tss, ids, n_warm):
+        """One (key, shard) segment -> list of output tuples.  Rows
+        arrive already sorted by (ts, event_id) — the partition sort
+        established the order, so no per-group pandas sort."""
+        init = (0, offset, -1, -1, 0)
+        if use_batched_kernel:
+            # same O(n·S·log n) prefix-composition fast path as the
+            # unsharded kernel — the shard is one key segment
+            kconst = np.zeros(len(syms), dtype=np.int8)
+            krows, _ = _run_sdfa_batch_vectorized(
+                kconst, syms, tss, ids, delta, take, finals, resets,
+                carry_key=0, carry=init,
+            )
+            rows = [r[1:] for r in krows]
+        else:
+            rows, _ = _run_sdfa_segment(
+                syms, tss, ids, delta, take, finals, window, window_type,
+                resets, init=init,
+            )
+        return finalize_segment(key, shard, is_first, syms, tss, n_warm, rows)
+
+    def run_segments_batched(
+        keys_a, shards_a, syms_a, tss_a, ids_a, warm_a, offs_a, first_a,
+        starts, upto,
+    ):
+        """All COMPLETE segments of one Arrow batch (rows [0:upto),
+        segment boundaries ``starts``) through ONE vectorized kernel
+        call, then per-segment certificate/finalize.  Per segment the
+        kernel counts from 1 with a fresh start state — exactly what a
+        per-segment call with carry (0, offset, ...) computes except
+        the uniform counter shift, which is re-added per detection
+        (counter never influences state or detections when window == 0,
+        the only regime this path serves)."""
+        seg_of = np.zeros(upto, dtype=np.int64)
+        seg_of[starts[1:]] = 1
+        seg_of = np.cumsum(seg_of)
+        krows, _ = _run_sdfa_batch_vectorized(
+            seg_of, syms_a[:upto], tss_a[:upto], ids_a[:upto],
+            delta, take, finals, resets, carry_key=None, carry=None,
+        )
+        per_seg: dict[int, list] = {}
+        for kr in krows:
+            per_seg.setdefault(int(kr[0]), []).append(kr[1:])
+        out = []
+        ends = np.append(starts[1:], upto)
+        for si in range(len(starts)):
+            s, e = int(starts[si]), int(ends[si])
+            offset = int(offs_a[s])
+            rows = [
+                (rid, rts, cnt + offset,
+                 (mc + offset) if mc != -1 else -1, nm)
+                for (rid, rts, cnt, mc, nm) in per_seg.get(si, ())
+            ]
+            out.extend(
+                finalize_segment(
+                    keys_a[s], int(shards_a[s]), bool(first_a[s]),
+                    syms_a[s:e], tss_a[s:e], int(warm_a[s:e].sum()), rows,
+                )
+            )
+        return out
+
+    def run_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
+        # Fused segment walk (r9, guide §4.1): one pandas group per
+        # hash BUCKET of (key, shard) segments, then a single sorted
+        # walk over the bucket that feeds every complete segment of the
+        # windowless regime through ONE vectorized kernel call.  The
+        # former per-(key, shard) applyInPandas paid ~6.5 ms of pandas
+        # group machinery per segment — at |keys| x |shards| groups
+        # that overhead WAS the operator (measured 49 CPU-s on a
+        # 7.5k-group sf0.1 run, kernel work itself ~a tenth of it);
+        # bucketing pays it once per task-sized bucket instead.
+        #
+        # Grouping goes through applyInPandas — NOT
+        # repartition + sortWithinPartitions + mapInPandas — because
+        # mapInPandas declares no required distribution: with the
+        # offsets equi-join directly beneath, Catalyst elides the user
+        # repartition (the join's exchange already hash-partitions on
+        # (key, shard)) and AQE's broadcast-join conversion then
+        # local-reads that orphaned exchange, silently splitting
+        # (key, shard) groups across partitions (observed: warm-up
+        # prefixes landing one partition away from their shard).
+        # applyInPandas makes the co-location contractual.
+        if len(pdf) == 0:
+            return pd.DataFrame({c: [] for c in columns})
+        pdf = pdf.sort_values(
+            ["key", "shard", "ts", "event_id"], kind="mergesort"
+        )
+        keys_a = pdf["key"].to_numpy()
+        shards_a = pdf["shard"].to_numpy()
+        syms_a = pdf["symbol"].to_numpy()
+        tss_a = pdf["ts"].to_numpy()
+        ids_a = pdf["event_id"].to_numpy()
+        warm_a = pdf["warm"].to_numpy()
+        offs_a = pdf["offset"].to_numpy()
+        first_a = pdf["is_first"].to_numpy()
+        n = len(keys_a)
+        change = np.empty(n, dtype=bool)
+        change[0] = True
+        change[1:] = (keys_a[1:] != keys_a[:-1]) | (
+            shards_a[1:] != shards_a[:-1]
+        )
+        starts = np.flatnonzero(change)
+        if use_batched_kernel:
+            out = run_segments_batched(
+                keys_a, shards_a, syms_a, tss_a, ids_a,
+                warm_a, offs_a, first_a, starts, n,
+            )
+        else:
+            out = []
+            ends = np.append(starts[1:], n)
+            for si in range(len(starts)):
+                s, e = int(starts[si]), int(ends[si])
+                out.extend(
+                    run_segment(
+                        keys_a[s], int(shards_a[s]),
+                        int(offs_a[s]), bool(first_a[s]),
+                        syms_a[s:e], tss_a[s:e], ids_a[s:e],
+                        int(warm_a[s:e].sum()),
+                    )
+                )
         return pd.DataFrame(out, columns=columns)
 
-    return sharded.groupBy("key", "shard").applyInPandas(run_shard, schema=schema)
+    # scale-adaptive bucket count: the session's shuffle-partition
+    # setting, i.e. exactly the task count the former per-group
+    # shuffle used
+    try:
+        n_buckets = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    except (TypeError, ValueError):
+        n_buckets = df.sparkSession.sparkContext.defaultParallelism
+    return (
+        sharded.withColumn(
+            "_bucket",
+            F.pmod(F.xxhash64("key", "shard"), F.lit(int(n_buckets))),
+        )
+        .groupBy("_bucket")
+        .applyInPandas(run_bucket, schema=schema)
+    )
 
 
 def _windowed_uncertified_keys(

@@ -232,3 +232,48 @@ def test_certified_windowed_routes_per_key_without_probe(spark):
         id_col="id",
     )
     assert _full_rows(cert) == _full_rows(cep.detections(ev))
+
+
+def test_presplit_colocation_survives_aqe_join_rewrite(spark):
+    """Regression (r9): grouping must be CONTRACTUAL, not plan-shaped.
+
+    The former repartition(key, shard) + sortWithinPartitions +
+    mapInPandas walk had its user repartition elided by Catalyst (the
+    offsets equi-join directly beneath already hash-partitions on the
+    same keys) and AQE's broadcast-join conversion then local-read the
+    orphaned join exchange — splitting a (key, shard) group across
+    partitions, so a shard could lose its warm-up prefix entirely
+    (observed at 500k single-key events: strict mode raised with a
+    0-event warm-up).  This fixture reproduces that trigger: one hot
+    key, enough rows that AQE converts the offsets join and rewrites
+    the shuffle, strict certificates on.  It fails on any future
+    regression to a distribution-assuming mapInPandas shape."""
+    n = 500_000
+    et = F.element_at(
+        F.array(F.lit("view"), F.lit("click"), F.lit("purchase")),
+        ((F.xxhash64("id") % 3 + 3) % 3 + 1).cast("int"),
+    )
+    et = F.when(F.col("id") % 500 == 0, F.lit("RESET")).otherwise(et)
+    ev = spark.range(n).select(
+        F.lit("hot").alias("key"),
+        (F.col("id") * 10).alias("ts"),
+        F.col("id"),
+        et.alias("event_type"),
+    )
+    decls = (
+        "+(IsEventTypePredicate(RESET))\n"
+        "~(IsEventTypePredicate(view),IsEventTypePredicate(click),"
+        "IsEventTypePredicate(RESET))"
+    )
+    pat = (
+        ";(IsEventTypePredicate(view),IsEventTypePredicate(click))"
+        "{partitionBy:key}{window:40}"
+    )
+    compiled = compile_pattern(pat, decls)
+    span = n * 10 // 64
+    split = presplit_detections(
+        ev, compiled, shard_span=span, warmup=span // 8, key_col="key",
+        ts_col="ts", id_col="id", strict=True,
+    )
+    plain = BatchCEP(compiled, key_col="key", ts_col="ts", id_col="id").detections(ev)
+    assert split.count() == plain.count()
