@@ -27,8 +27,19 @@ Scale design (100 TB crawl → ~1e8 hosts, ~1e10 host-level edges):
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+# Rank-table size (rows) below which the iteration joins broadcast the
+# o(hosts) rank/contribution frames instead of shuffling them.  The
+# exact n_nodes count (already computed on the driver) makes the
+# router deterministic; 2M rows ≈ 100 MB framed — comfortably inside
+# the guide's few-hundred-MB broadcast comfort zone, far under the
+# 8 GB / 512M-row broadcast cap.  A 100 TB crawl (~1e8 hosts) takes
+# the shuffle path unchanged.
+BROADCAST_RANKS_MAX = int(os.environ.get("SPARK_GRAFT_PAGERANK_BCAST_MAX", "2000000"))
 
 
 def pagerank(
@@ -38,7 +49,8 @@ def pagerank(
     src: str = "src",
     dst: str = "dst",
     weight: str | None = None,
-    checkpoint_every: int = 5,
+    checkpoint_every: int = 1,
+    broadcast_ranks_max: int | None = None,
 ) -> DataFrame:
     """Weighted PageRank over a directed edge list; returns
     ``(node, rank)`` with ranks summing to 1.
@@ -47,6 +59,16 @@ def pagerank(
     legal (their weights add).  Contributions are split proportionally
     to edge weight; the mass of dangling nodes is redistributed
     uniformly, so total rank is conserved exactly (up to fp error).
+
+    Join strategy is size-routed on the exact ``n_nodes`` the driver
+    already computes: when the rank table holds at most
+    ``broadcast_ranks_max`` rows (default :data:`BROADCAST_RANKS_MAX`),
+    every per-iteration join broadcasts the o(hosts) rank/contribution
+    side, so the only per-iteration shuffle is the map-side-combined
+    contribution sum on ``dst``; beyond the bound the original
+    shuffle-join loop runs unchanged (the 1e8-host regime, where a
+    per-iteration multi-GB broadcast would not fit).  The routing
+    changes only physical join strategy, never the computed ranks.
     """
     if n_iter < 1:
         raise ValueError(f"n_iter must be >= 1, got {n_iter}")
@@ -86,19 +108,28 @@ def pagerank(
         > 0
     )
 
+    if broadcast_ranks_max is None:
+        broadcast_ranks_max = BROADCAST_RANKS_MAX
+    use_bcast = n_nodes <= broadcast_ranks_max
+
+    def _b(df: DataFrame) -> DataFrame:
+        return F.broadcast(df) if use_bcast else df
+
     d = float(damping)
     ranks = nodes.withColumn("rank", F.lit(1.0 / n_nodes))
     for i in range(n_iter):
         contrib = (
-            e_norm.join(ranks.withColumnRenamed("node", "src"), "src")
+            e_norm.join(_b(ranks.withColumnRenamed("node", "src")), "src")
             .groupBy(F.col("dst").alias("node"))
             .agg(F.sum(F.col("rank") * F.col("w_norm")).alias("contrib"))
         )
-        new_ranks = nodes.join(contrib, "node", "left")
+        new_ranks = nodes.join(_b(contrib), "node", "left")
         if has_dangling:
             dangling = (
                 ranks.join(
-                    out_w.select(F.col("src").alias("node")), "node", "left_anti"
+                    _b(out_w.select(F.col("src").alias("node"))),
+                    "node",
+                    "left_anti",
                 )
                 .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dang"))
             )
@@ -111,8 +142,15 @@ def pagerank(
             (F.lit((1.0 - d) / n_nodes) + F.lit(d) * mass).alias("rank"),
         )
         if (i + 1) % checkpoint_every == 0 and (i + 1) < n_iter:
-            # cut lineage so the plan doesn't grow exponentially with
-            # iterations (each step references the previous twice)
+            # cut lineage EVERY iteration (r9): each step references the
+            # previous ranks twice (contribution join + dangling mass),
+            # so an uncut plan doubles per iteration — at the former
+            # every-5 cadence the physical plan re-executed up to 2^4
+            # copies of each inter-checkpoint subtree (the measured
+            # domain_pagerank plan held ~290 Exchange references).  One
+            # eager o(hosts)-row materialization per iteration makes
+            # every subtree execute exactly once; the arithmetic —
+            # and therefore the ranks — is unchanged.
             ranks = ranks.localCheckpoint(eager=True)
     return ranks
 
