@@ -229,11 +229,20 @@ def jaccard_verify(
     from pyspark.sql import Window as W
 
     toks = df.select(F.col(id_col), _tokens(text_col).alias("tokens"))
-    sh = toks.select(id_col, F.explode(shingles(n=shingle_n)).alias("sh")).distinct()
-    # per-doc shingle count as a window over the SAME rows — no separate
-    # sizes aggregation + two joins (which would rescan the shingle
-    # subtree twice more); n_a/n_b ride through the pair join for free
-    sh = sh.withColumn("n_sh", F.count(F.lit(1)).over(W.partitionBy(id_col)))
+    # r9 (guide §2.2): ONE doc_id-keyed aggregation builds the distinct
+    # shingle set AND its size — the former explode -> distinct ->
+    # count-window shape paid two Exchanges (hash(doc_id, sh) for the
+    # distinct, hash(doc_id) + Sort for the window) for the same rows.
+    # Per-doc set size is bounded by doc length, so the collect_set
+    # arrays are small everywhere.
+    per_doc = (
+        toks.select(id_col, F.explode(shingles(n=shingle_n)).alias("sh"))
+        .groupBy(id_col)
+        .agg(F.collect_set("sh").alias("_shs"))
+    )
+    sh = per_doc.select(
+        id_col, F.size("_shs").alias("n_sh"), F.explode("_shs").alias("sh")
+    )
     if max_df is not None:
         sh = sh.withColumn(
             "df", F.count(F.lit(1)).over(W.partitionBy("sh"))
@@ -263,20 +272,32 @@ def jaccard_verify(
             )
         )
     else:
-        a, b = sh.alias("a"), sh.alias("b")
+        # r9 (guide §3.1): posting-list pair generation instead of the
+        # shingle self-join — the join built the whole tokenize ->
+        # explode -> aggregate shingle subtree TWICE (once per side,
+        # no exchange reuse across a BroadcastExchange) and shuffled
+        # the shingle rows twice more for the join itself.  Grouping
+        # by shingle once and emitting in-list pairs computes the
+        # identical (id_a < id_b, n_common, n_a, n_b) multiset with
+        # ONE subtree and one hash(sh) Exchange.  Posting-list skew is
+        # the same as the join's (a hot shingle's pairs were one join
+        # task too); ``max_df`` remains the guard for that regime.
+        posting = sh.groupBy("sh").agg(
+            F.collect_list(
+                F.struct(F.col(id_col).alias("id"), F.col("n_sh").alias("n"))
+            ).alias("ps")
+        )
         inter = (
-            a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
-            .select(
-                F.col(f"a.{id_col}").alias("id_a"),
-                F.col(f"b.{id_col}").alias("id_b"),
-                F.col("a.n_sh").alias("n_a"),
-                F.col("b.n_sh").alias("n_b"),
+            posting.select(F.explode("ps").alias("a"), "ps")
+            .select("a", F.explode("ps").alias("b"))
+            .filter(F.col("a.id") < F.col("b.id"))
+            .groupBy(
+                F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b")
             )
-            .groupBy("id_a", "id_b")
             .agg(
                 F.count(F.lit(1)).alias("n_common"),
-                F.first("n_a").alias("n_a"),
-                F.first("n_b").alias("n_b"),
+                F.first("a.n").alias("n_a"),
+                F.first("b.n").alias("n_b"),
             )
         )
     scored = inter.withColumn(
@@ -522,9 +543,18 @@ def connected_components(
     for _ in range(max_iterations):
         # ---- large-star: emit (v, m(u)) for every neighbor v > u,
         # with m(u) = min(N(u) + {u}) ----
+        # r9: the intermediate .distinct() calls (bidir, large, canon)
+        # are dropped — each cost a full shuffle+agg per round, and the
+        # round's EDGE SET is unchanged without them: min/join/filter
+        # are insensitive to row multiplicity, the round output still
+        # passes one distinct, and the duplication factor is bounded by
+        # a small constant (edges enters each round already distinct,
+        # so bidir carries <= 2 copies per undirected edge, never
+        # degree-multiplied).  8 -> 5 Exchanges per round, measured
+        # round walls in OPTIMIZATION_r09.md.
         bidir = edges.union(
             edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
-        ).distinct()
+        )
         mins = bidir.groupBy("u").agg(
             F.least(F.min("v"), F.first("u")).alias("m")
         )
@@ -533,13 +563,12 @@ def connected_components(
             .filter(F.col("v") > F.col("u"))
             .select(F.col("v").alias("u"), F.col("m").alias("v"))
             .filter("u <> v")
-            .distinct()
         )
         # ---- small-star: canonicalize larger->smaller, then link the
         # smaller neighborhood and the center to its minimum ----
         canon = large.select(
             F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
-        ).distinct()
+        )
         mins2 = canon.groupBy("u").agg(F.min("v").alias("m"))
         joined = canon.join(mins2, "u")
         small = (
