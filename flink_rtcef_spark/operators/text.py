@@ -142,33 +142,43 @@ def pack_sequences(
     )
 
     def pack_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
         pdf = pdf.sort_values(["n_tokens", "id"], ascending=[False, True])
         bucket = int(pdf["bucket"].iloc[0])
-        bins: list[int] = []  # remaining capacity per bin
-        assign: list[int] = []
-        for t in pdf["n_tokens"]:
+        n = len(pdf)
+        # remaining capacity / running fill per bin; flatnonzero keeps
+        # the exact first-fit choice (lowest-index bin that fits) while
+        # scanning in C instead of a Python inner loop
+        rem = np.empty(n, dtype=np.int64)
+        fill = np.empty(n, dtype=np.int64)
+        nb = 0
+        assign = np.empty(n, dtype=np.int64)
+        for i, t in enumerate(pdf["n_tokens"].to_numpy()):
             t = int(t)
-            placed = -1
-            for j, rem in enumerate(bins):
-                if t <= rem:
-                    placed = j
-                    bins[j] = rem - t
-                    break
-            if placed == -1:
-                bins.append(max(budget - t, 0))
-                placed = len(bins) - 1
-            assign.append(placed)
+            fits = np.flatnonzero(rem[:nb] >= t)
+            if len(fits):
+                j = int(fits[0])
+                rem[j] -= t
+                fill[j] += t
+            else:
+                j = nb
+                rem[j] = max(budget - t, 0)
+                fill[j] = t
+                nb += 1
+            assign[i] = j
         out = pdf[["id", "n_tokens"]].copy()
         out["pack_id"] = [f"{bucket}/{a}" for a in assign]
+        # pack totals come straight from the packer's own bin state —
+        # identical to the former SUM(n_tokens) GROUP BY pack_id, which
+        # cost an extra Exchange plus a pack_id join of every doc row
+        # (r9, guide §2.1)
+        out["pack_tokens"] = fill[assign]
         return out
 
-    packed = bucketed.groupBy("bucket").applyInPandas(
-        pack_group, schema="id long, n_tokens long, pack_id string"
-    )
-    totals = packed.groupBy("pack_id").agg(F.sum("n_tokens").alias("pack_tokens"))
-    return packed.join(totals, "pack_id").select(
-        "id", "n_tokens", "pack_id", "pack_tokens"
-    )
+    return bucketed.groupBy("bucket").applyInPandas(
+        pack_group, schema="id long, n_tokens long, pack_id string, pack_tokens long"
+    ).select("id", "n_tokens", "pack_id", "pack_tokens")
 
 
 def chunk_documents(
@@ -307,60 +317,58 @@ def repetition_signals(
     count).  At 100 TB this is the same plan as n-gram counting, which
     is the canonical map-side-combinable workload.
     """
-    from pyspark.sql import Window as W
-
+    # r9 (guide §2.2): both gram sizes ride ONE tagged explode and the
+    # per-doc reductions fold into ONE doc aggregate — the former shape
+    # scanned documents three times (one per gram size + the final
+    # frame), paid two (doc, gram) Exchanges, a Sort+Window for the top
+    # gram, and two doc_id joins.  The top gram's deterministic
+    # tie-break (count desc, gram length desc, gram desc) is exactly
+    # lexicographic max of struct(c, glen, gram), so the row_number
+    # window collapses into MAX(struct).  explode_outer keeps gram-less
+    # docs alive, so the resurrecting left joins disappear too.
+    # 1 scan / 2 Exchanges / 0 Sort / 0 Join; values are bit-identical
+    # (same integer counts, same final divisions and rounds).
     toks = whitespace_tokens(text_col)
-    base = df.select(
+    tagged = F.concat(
+        F.transform(
+            _ngram_array(F.col("t"), top_n),
+            lambda g: F.struct(F.lit(top_n).alias("n"), g.alias("gram")),
+        ),
+        F.transform(
+            _ngram_array(F.col("t"), dup_n),
+            lambda g: F.struct(F.lit(dup_n).alias("n"), g.alias("gram")),
+        ),
+    )
+    flat = df.select(
         F.col(id_col), F.length(text_col).alias("n_chars"), toks.alias("t")
+    ).select(id_col, "n_chars", F.explode_outer(tagged).alias("g"))
+    counts = flat.groupBy(id_col, "g").agg(
+        F.count(F.lit(1)).alias("c"), F.any_value("n_chars").alias("n_chars")
     )
-
-    def gram_counts(n: int) -> DataFrame:
-        return (
-            base.select(id_col, "n_chars", F.explode(_ngram_array(F.col("t"), n)).alias("gram"))
-            .groupBy(id_col, "gram")
-            .agg(F.count(F.lit(1)).alias("c"), F.any_value("n_chars").alias("n_chars"))
-            .withColumn("glen", F.length("gram"))
-        )
-
-    w = W.partitionBy(id_col).orderBy(
-        F.col("c").desc(), F.col("glen").desc(), F.col("gram").desc()
+    glen = F.length("g.gram")
+    top_struct = F.when(
+        (F.col("g.n") == top_n),
+        F.struct(F.col("c").alias("c"), glen.alias("glen"), F.col("g.gram").alias("gram")),
     )
-    top = (
-        gram_counts(top_n)
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select(
-            F.col(id_col),
-            F.col("gram").alias(f"top_{top_n}gram"),
-            F.round(F.col("c") * F.col("glen") / F.col("n_chars"), 6).alias(
-                f"top_{top_n}gram_char_frac"
-            ),
-        )
+    dup_mass = F.when(
+        (F.col("g.n") == dup_n) & (F.col("c") > 1), (F.col("c") - 1) * glen
     )
-    dup = (
-        gram_counts(dup_n)
-        .groupBy(id_col)
-        .agg(
-            F.round(
-                F.sum(
-                    F.when(F.col("c") > 1, (F.col("c") - 1) * F.col("glen")).otherwise(0)
-                )
-                / F.any_value("n_chars"),
-                6,
-            ).alias(f"dup_{dup_n}gram_char_frac")
-        )
+    per_doc = counts.groupBy(id_col).agg(
+        F.any_value("n_chars").alias("n_chars"),
+        F.max(top_struct).alias("_top"),
+        F.sum(dup_mass).alias("_dup_mass"),
     )
-    return (
-        df.select(id_col, F.length(text_col).cast("long").alias("n_chars"))
-        .join(top, id_col, "left")
-        .join(dup, id_col, "left")
-        .fillna(
-            {
-                f"top_{top_n}gram": "",
-                f"top_{top_n}gram_char_frac": 0.0,
-                f"dup_{dup_n}gram_char_frac": 0.0,
-            }
-        )
+    return per_doc.select(
+        F.col(id_col),
+        F.col("n_chars").cast("long").alias("n_chars"),
+        F.coalesce(F.col("_top.gram"), F.lit("")).alias(f"top_{top_n}gram"),
+        F.coalesce(
+            F.round(F.col("_top.c") * F.col("_top.glen") / F.col("n_chars"), 6),
+            F.lit(0.0),
+        ).alias(f"top_{top_n}gram_char_frac"),
+        F.coalesce(
+            F.round(F.col("_dup_mass") / F.col("n_chars"), 6), F.lit(0.0)
+        ).alias(f"dup_{dup_n}gram_char_frac"),
     )
 
 

@@ -87,20 +87,12 @@ _QUALITY_SQL = f"""
 """
 
 
-def _quality_df(docs: DataFrame) -> DataFrame:
-    flat = (
-        docs.select("doc_id", "n_chars", F.explode(_tokens_spark()).alias("tok"))
-        .filter(F.col("tok") != "")
-    )
-    stop = F.col("tok").isin("the", "a", "of", "and", "to", "in", "is")
-    return flat.groupBy("doc_id").agg(
-        F.any_value("n_chars").alias("n_chars"),
-        F.count(F.lit(1)).alias("n_tokens"),
-        F.countDistinct("tok").alias("n_types"),
-        F.round(F.avg(F.length("tok")), 6).alias("mean_tok_len"),
-        F.round(F.countDistinct("tok") / F.count(F.lit(1)), 6).alias("type_token_ratio"),
-        F.round(F.sum(stop.cast("int")) / F.count(F.lit(1)), 6).alias("stopword_ratio"),
-    )
+# (The former separate _quality_df branch — explode + countDistinct
+# expand over a third corpus scan — is folded into text_quality: every
+# quality signal is derivable exactly from the token-frequency table
+# the entropy branch already builds.  All the merged aggregates are
+# integer sums below 2^53, so the doubles are bit-identical to the
+# occurrence-level formulation the oracle still states.)
 
 
 # --------------------------------------------------------------------------
@@ -185,20 +177,63 @@ _ENTROPY_SQL = f"""
 """
 
 
-def _entropy_df(docs: DataFrame) -> DataFrame:
+# One registered query covers BOTH quality operators (basic signals +
+# entropy/repetition): the driver's correctness surface is capped at 50
+# entries, so the registry holds exactly 50 deliberately chosen queries
+# — merging these keeps every operator oracle-verified (VERDICT r2,
+# "What's wrong" #1).
+_QUALITY_FULL_SQL = f"""
+    SELECT q.doc_id, q.n_chars, q.n_tokens, q.n_types, q.mean_tok_len,
+           q.type_token_ratio, q.stopword_ratio,
+           e.token_entropy, e.dup_trigram_ratio
+    FROM ({_QUALITY_SQL}) q JOIN ({_ENTROPY_SQL}) e ON q.doc_id = e.doc_id
+"""
+
+
+@query("text_quality", oracle=_QUALITY_FULL_SQL)
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All nine quality signals from TWO corpus passes (r9: was three).
+
+    The token-frequency table the entropy term needs already holds
+    every basic quality signal: n_tokens = SUM(c), n_types = COUNT(*),
+    mean token length = SUM(len*c)/SUM(c), stopword ratio =
+    SUM(c|stop)/SUM(c) — each an exact integer sum (< 2^53), so the
+    resulting doubles are bit-identical to the occurrence-level
+    formulation the oracle states, and the former third scan + explode
+    + countDistinct expand disappear.  After the totals window the
+    rows sit on doc_id partitioning, so the merged per-doc aggregate
+    adds no Exchange (6 Exchanges -> 4, 3 scans -> 2)."""
+    docs = load_table(spark, sf_dir, "documents")
     toks = docs.select(
-        "doc_id", F.filter(_tokens_spark(), lambda x: x != "").alias("tokens")
+        "doc_id",
+        "n_chars",
+        F.filter(_tokens_spark(), lambda x: x != "").alias("tokens"),
     )
-    flat = toks.select("doc_id", F.explode("tokens").alias("tok"))
-    freqs = flat.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("c"))
+    flat = toks.select("doc_id", "n_chars", F.explode("tokens").alias("tok"))
+    freqs = flat.groupBy("doc_id", "tok").agg(
+        F.count(F.lit(1)).alias("c"), F.any_value("n_chars").alias("n_chars")
+    )
     # doc totals as a window over the freq rows: the doc_id partition
     # already co-locates them, so no second aggregation + join
     totals_w = W.partitionBy("doc_id")
     p = F.col("c") / F.sum("c").over(totals_w)
-    ent = (
+    stop = F.col("tok").isin("the", "a", "of", "and", "to", "in", "is")
+    per_doc = (
         freqs.withColumn("term", F.round(-p * F.log(p), 6))
         .groupBy("doc_id")
-        .agg(F.round(F.sum("term"), 6).alias("token_entropy"))
+        .agg(
+            F.any_value("n_chars").alias("n_chars"),
+            F.sum("c").alias("n_tokens"),
+            F.count(F.lit(1)).alias("n_types"),
+            F.round(F.sum(F.length("tok") * F.col("c")) / F.sum("c"), 6).alias(
+                "mean_tok_len"
+            ),
+            F.round(F.count(F.lit(1)) / F.sum("c"), 6).alias("type_token_ratio"),
+            F.round(
+                F.sum(F.when(stop, F.col("c")).otherwise(F.lit(0))) / F.sum("c"), 6
+            ).alias("stopword_ratio"),
+            F.round(F.sum("term"), 6).alias("token_entropy"),
+        )
     )
     tri = toks.select(
         "doc_id",
@@ -216,26 +251,7 @@ def _entropy_df(docs: DataFrame) -> DataFrame:
     rep = tri_counts.groupBy("doc_id").agg(
         F.round(1.0 - F.count(F.lit(1)) / F.sum("c"), 6).alias("dup_trigram_ratio")
     )
-    return rep.join(ent, "doc_id").select("doc_id", "token_entropy", "dup_trigram_ratio")
-
-
-# One registered query covers BOTH quality operators (basic signals +
-# entropy/repetition): the driver's correctness surface is capped at 50
-# entries, so the registry holds exactly 50 deliberately chosen queries
-# — merging these keeps every operator oracle-verified (VERDICT r2,
-# "What's wrong" #1).
-_QUALITY_FULL_SQL = f"""
-    SELECT q.doc_id, q.n_chars, q.n_tokens, q.n_types, q.mean_tok_len,
-           q.type_token_ratio, q.stopword_ratio,
-           e.token_entropy, e.dup_trigram_ratio
-    FROM ({_QUALITY_SQL}) q JOIN ({_ENTROPY_SQL}) e ON q.doc_id = e.doc_id
-"""
-
-
-@query("text_quality", oracle=_QUALITY_FULL_SQL)
-def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
-    return _quality_df(docs).join(_entropy_df(docs), "doc_id").select(
+    return per_doc.join(rep, "doc_id").select(
         "doc_id", "n_chars", "n_tokens", "n_types", "mean_tok_len",
         "type_token_ratio", "stopword_ratio", "token_entropy",
         "dup_trigram_ratio",
@@ -748,9 +764,12 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     media = synthesize_media(docs)
-    feats = extract_features(media)
-    joined = feats.join(media.select("media_id", "media_type"), "media_id")
-    return joined.groupBy("media_type").agg(
+    # media_type rides through the Python stage (r9, guide §4.2) — the
+    # former join of features back onto media re-ran the synthesis
+    # subtree and paid a media_id Exchange for a column the decode
+    # batch already held
+    feats = extract_features(media, keep_cols=("media_type",))
+    return feats.groupBy("media_type").agg(
         F.count(F.lit(1)).alias("n_media"),
         F.round(F.avg(F.element_at("features", 1)), 4).alias("avg_n_bytes"),
         F.round(F.avg(F.element_at("features", 2)), 4).alias("avg_byte_mean"),

@@ -227,27 +227,33 @@ _EVAL_SQL = """
 
 @query("interval_join_eval", oracle=_EVAL_SQL)
 def interval_join_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # r9 (guide §3.4): the forecast->detection interval probe IS a
+    # look-ahead window over the per-key counter order — "a purchase
+    # with ctr in [ctr+1, ctr+5]" is RANGE BETWEEN 1 AND 5 over ctr
+    # (unique ints per key, so range frames are exact).  The former
+    # self-join shape built the numbered subtree twice, ran an SMJ
+    # whose output multiplied forecasts by in-range detections, and
+    # needed a groupBy just to collapse that multiplicity back out.
+    # Now: ONE Exchange, one Sort, two frames over it, a filter —
+    # 0 joins, 0 aggregates; hit is the same (count-in-range > 0).
     ev = load_table(spark, sf_dir, "events")
     w = W.partitionBy("user_id").orderBy("ts", "event_id")
-    numbered = ev.select("user_id", "event_id", "event_type", F.row_number().over(w).alias("ctr"))
-    forecasts = numbered.filter(F.col("event_type") == "click").select(
+    numbered = ev.select(
+        "user_id", "event_id", "event_type", F.row_number().over(w).alias("ctr")
+    )
+    ahead = (
+        W.partitionBy("user_id").orderBy("ctr").rangeBetween(1, 5)
+    )
+    hits = numbered.withColumn(
+        "n_det",
+        F.sum(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).over(ahead),
+    )
+    return hits.filter(F.col("event_type") == "click").select(
         "user_id",
         F.col("event_id").alias("forecast_id"),
-        (F.col("ctr") + 1).alias("start_ctr"),
-        (F.col("ctr") + 5).alias("end_ctr"),
-    )
-    detections = numbered.filter(F.col("event_type") == "purchase").select(
-        "user_id", F.col("ctr").alias("det_ctr")
-    )
-    joined = forecasts.join(
-        detections,
-        (forecasts.user_id == detections.user_id)
-        & (detections.det_ctr >= forecasts.start_ctr)
-        & (detections.det_ctr <= forecasts.end_ctr),
-        "left",
-    )
-    return joined.groupBy(forecasts.user_id, "forecast_id").agg(
-        (F.count(detections.det_ctr) > 0).alias("hit")
+        (F.coalesce(F.col("n_det"), F.lit(0)) > 0).alias("hit"),
     )
 
 
@@ -408,6 +414,12 @@ def topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def ngram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # One window pass: the former bigrams/trigrams UNION referenced the
+    # windowed frame twice, so the plan ran Sort+Window twice over a
+    # reused exchange (3 Exchanges / 2 Sorts / 2 Windows).  Emitting
+    # both grams from one row via an array explode computes the window
+    # once (2 Exchanges / 1 Sort / 1 Window) — the exploded multiset is
+    # exactly the former union, so the aggregate is unchanged.
     ev = load_table(spark, sf_dir, "events")
     w = W.partitionBy("user_id").orderBy("ts", "event_id")
     seq = ev.select(
@@ -415,13 +427,30 @@ def ngram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lag("event_type", 1).over(w).alias("prev1"),
         F.lag("event_type", 2).over(w).alias("prev2"),
     )
-    bigrams = seq.filter(F.col("prev1").isNotNull()).select(
-        F.concat_ws("|", "prev1", "event_type").alias("ngram"), F.lit(2).alias("n")
+    bigram = F.when(
+        F.col("prev1").isNotNull(),
+        F.struct(
+            F.concat_ws("|", "prev1", "event_type").alias("ngram"),
+            F.lit(2).alias("n"),
+        ),
     )
-    trigrams = seq.filter(F.col("prev2").isNotNull()).select(
-        F.concat_ws("|", "prev2", "prev1", "event_type").alias("ngram"), F.lit(3).alias("n")
+    trigram = F.when(
+        F.col("prev2").isNotNull(),
+        F.struct(
+            F.concat_ws("|", "prev2", "prev1", "event_type").alias("ngram"),
+            F.lit(3).alias("n"),
+        ),
     )
-    return bigrams.unionAll(trigrams).groupBy("ngram", "n").agg(F.count(F.lit(1)).alias("cnt"))
+    grams = seq.select(
+        F.explode(
+            F.filter(F.array(bigram, trigram), lambda g: g.isNotNull())
+        ).alias("g")
+    )
+    return (
+        grams.select("g.ngram", "g.n")
+        .groupBy("ngram", "n")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
 
 
 # --------------------------------------------------------------------------
