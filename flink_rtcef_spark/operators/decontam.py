@@ -41,15 +41,22 @@ def ngram_hash_sets(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFr
     hashed to 64 bits.  Documents shorter than n tokens produce no
     grams (they cannot contain a full benchmark n-gram)."""
     # NB sequence(1, 0) yields the DESCENDING [1, 0] — short docs must
-    # take the empty-array branch, not a clamped sequence bound
+    # take the empty-array branch, not a clamped sequence bound.
+    # r9 (guide §4.2): hash each token ONCE, then hash the n-long
+    # slice of token hashes — the former concat_ws built an ~n·13-char
+    # string per gram position (the dominant per-row allocation; both
+    # decontam queries' CPU sat in this transform).  Both sides build
+    # grams through this one function, so matching is unchanged;
+    # collision odds stay ~2^-64 and can only over-flag.
     grams = F.expr(
         f"if(size(toks) >= {n},"
         f" transform(sequence(1, size(toks) - {n - 1}),"
-        f" i -> xxhash64(concat_ws(' ', slice(toks, i, {n})))),"
+        f" i -> xxhash64(slice(th, i, {n}))),"
         " array())"
     )
     return (
         df.select(F.col(id_col), _norm_tokens(text_col).alias("toks"))
+        .withColumn("th", F.expr("transform(toks, t -> xxhash64(t))"))
         .select(id_col, F.explode(grams).alias("gram_hash"))
     )
 

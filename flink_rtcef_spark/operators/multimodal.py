@@ -77,12 +77,25 @@ def extract_features(
     id_col: str = "media_id",
     type_col: str = "media_type",
     batch_size_hint: int = 256,
+    keep_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """mapInPandas feature extraction: Arrow batches of binary payloads
     in, (id, features array<double>) out.  At scale: repartition by a
     size-aware key upstream so one straggler video doesn't skew a task;
-    the decode loop is per-batch vectorizable by the real decoder."""
-    schema = f"{id_col} long, features array<double>"
+    the decode loop is per-batch vectorizable by the real decoder.
+
+    r9 (guide §4.2): only the columns the decode needs (+ ``keep_cols``
+    pass-throughs) cross the Python boundary — callers that used to
+    join metadata back on afterwards can carry it through instead."""
+    keep = [c for c in keep_cols if c not in (id_col,)]
+    in_cols = [id_col, payload_col, type_col] + [
+        c for c in keep if c not in (payload_col, type_col)
+    ]
+    keep_schema = "".join(
+        f", {f.name} {f.dataType.simpleString()}"
+        for f in df.select(*keep).schema.fields
+    )
+    schema = f"{id_col} long, features array<double>" + keep_schema
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -90,11 +103,12 @@ def extract_features(
                 decode(p, t)
                 for p, t in zip(pdf[payload_col], pdf[type_col])
             ]
-            yield pd.DataFrame(
-                {id_col: pdf[id_col].to_numpy(), "features": [list(map(float, f)) for f in feats]}
-            )
+            out = {id_col: pdf[id_col].to_numpy(), "features": feats}
+            for c in keep:
+                out[c] = pdf[c].to_numpy()
+            yield pd.DataFrame(out)
 
-    return df.mapInPandas(run, schema=schema)
+    return df.select(*in_cols).mapInPandas(run, schema=schema)
 
 
 def frame_sample_plan(

@@ -44,22 +44,33 @@ def bm25_topk(
 
     Output: id_col, score (rounded to 6), ties broken by id ascending.
     """
-    terms = [t.lower() for t in terms]
-    terms_arr = F.array(*[F.lit(t) for t in terms])
+    import re as _re
 
-    toks = df.select(
-        F.col(id_col),
-        whitespace_tokens(text_col).alias("_toks"),
-        F.size(whitespace_tokens(text_col)).alias("dl"),
-    )
+    terms = [t.lower() for t in terms]
+
+    # r9 (guide §4.2): the corpus-wide work never builds a token ARRAY.
+    # dl (the only corpus-wide per-doc value) is regexp_count of
+    # non-space runs — the same integer as the filtered-split length
+    # without allocating the strings; the match prefilter is one rlike
+    # whose (start|whitespace) term (whitespace|end) boundaries hold
+    # exactly when some whitespace token equals a query term.  Only the
+    # matching documents are ever tokenized.  Formerly BOTH the stats
+    # scan and the match scan tokenized every document (the dominant
+    # CPU: 6.4 CPU-s for a 0.9 s wall at sf0.1).
+    dl_expr = F.regexp_count(F.trim(F.col(text_col)), F.lit(r"\S+"))
+    term_pat = "(^|\\s)(" + "|".join(_re.escape(t) for t in terms) + ")(\\s|$)"
+
+    base = df.select(F.col(id_col), F.col(text_col), dl_expr.alias("dl"))
     # corpus stats: one tiny row, broadcast everywhere
-    stats = toks.agg(
+    stats = base.agg(
         F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
     )
     # map-side prune: only documents containing >=1 query term survive
-    matched = toks.filter(F.arrays_overlap("_toks", terms_arr))
+    matched = base.filter(F.lower(F.trim(F.col(text_col))).rlike(term_pat))
     tf = (
-        matched.select(id_col, "dl", F.explode("_toks").alias("tok"))
+        matched.select(
+            id_col, "dl", F.explode(whitespace_tokens(text_col)).alias("tok")
+        )
         .filter(F.col("tok").isin(*terms))
         .groupBy(id_col, "dl", "tok")
         .agg(F.count(F.lit(1)).alias("tf"))
