@@ -138,11 +138,7 @@ def presplit_detections(
                 F.array(F.col("home"), F.col("home") + 1),
             ).otherwise(F.array(F.col("home")))
         ).alias("shard"),
-    ).withColumn("warm", F.col("shard") != F.col("home"))
-    # inner join drops shards holding only warm rows (nothing to emit);
-    # the offsets side is |keys x shards| — small next to the events, so
-    # AQE picks a broadcast when it fits
-    sharded = sharded.drop("home").join(offsets, ["key", "shard"])
+    ).withColumn("warm", F.col("shard") != F.col("home")).drop("home")
 
     delta, take, finals = transition_tables(compiled.sdfa)
     n_states = delta.shape[0]
@@ -255,32 +251,37 @@ def presplit_detections(
         return finalize_segment(key, shard, is_first, syms, tss, n_warm, rows)
 
     def run_segments_batched(
-        keys_a, shards_a, syms_a, tss_a, ids_a, warm_a, offs_a, first_a,
-        starts, upto,
+        keys_a, shards_a, syms_a, tss_a, ids_a, warm_a, starts, ends,
+        seg_offsets, seg_firsts,
     ):
-        """All COMPLETE segments of one Arrow batch (rows [0:upto),
-        segment boundaries ``starts``) through ONE vectorized kernel
-        call, then per-segment certificate/finalize.  Per segment the
-        kernel counts from 1 with a fresh start state — exactly what a
-        per-segment call with carry (0, offset, ...) computes except
-        the uniform counter shift, which is re-added per detection
-        (counter never influences state or detections when window == 0,
-        the only regime this path serves)."""
-        seg_of = np.zeros(upto, dtype=np.int64)
-        seg_of[starts[1:]] = 1
-        seg_of = np.cumsum(seg_of)
+        """All segments named by (starts, ends) through ONE vectorized
+        kernel call, then per-segment certificate/finalize.  Per
+        segment the kernel counts from 1 with a fresh start state —
+        exactly what a per-segment call with carry (0, offset, ...)
+        computes except the uniform counter shift, which is re-added
+        per detection (counter never influences state or detections
+        when window == 0, the only regime this path serves).  Rows not
+        covered by any (start, end) span (dropped warm-only segments)
+        are masked out of the kernel input."""
+        n = len(keys_a)
+        keep = np.zeros(n, dtype=bool)
+        seg_of = np.zeros(n, dtype=np.int64)
+        for si, (s, e) in enumerate(zip(starts, ends)):
+            keep[s:e] = True
+            seg_of[s] = 1
+        sel = np.flatnonzero(keep)
+        seg_ids = np.cumsum(seg_of[sel]) - 1
         krows, _ = _run_sdfa_batch_vectorized(
-            seg_of, syms_a[:upto], tss_a[:upto], ids_a[:upto],
+            seg_ids, syms_a[sel], tss_a[sel], ids_a[sel],
             delta, take, finals, resets, carry_key=None, carry=None,
         )
         per_seg: dict[int, list] = {}
         for kr in krows:
             per_seg.setdefault(int(kr[0]), []).append(kr[1:])
         out = []
-        ends = np.append(starts[1:], upto)
         for si in range(len(starts)):
             s, e = int(starts[si]), int(ends[si])
-            offset = int(offs_a[s])
+            offset = int(seg_offsets[si])
             rows = [
                 (rid, rts, cnt + offset,
                  (mc + offset) if mc != -1 else -1, nm)
@@ -288,87 +289,143 @@ def presplit_detections(
             ]
             out.extend(
                 finalize_segment(
-                    keys_a[s], int(shards_a[s]), bool(first_a[s]),
+                    keys_a[s], int(shards_a[s]), bool(seg_firsts[si]),
                     syms_a[s:e], tss_a[s:e], int(warm_a[s:e].sum()), rows,
                 )
             )
         return out
 
-    def run_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
-        # Fused segment walk (r9, guide §4.1): one pandas group per
-        # hash BUCKET of (key, shard) segments, then a single sorted
-        # walk over the bucket that feeds every complete segment of the
-        # windowless regime through ONE vectorized kernel call.  The
-        # former per-(key, shard) applyInPandas paid ~6.5 ms of pandas
-        # group machinery per segment — at |keys| x |shards| groups
-        # that overhead WAS the operator (measured 49 CPU-s on a
-        # 7.5k-group sf0.1 run, kernel work itself ~a tenth of it);
-        # bucketing pays it once per task-sized bucket instead.
+    def run_bucket(events: pd.DataFrame, offs: pd.DataFrame) -> pd.DataFrame:
+        # Fused segment walk (r9, guide §4.1): one pandas co-group per
+        # hash BUCKET of (key, shard) segments — the segment walk plus
+        # an in-memory lookup of each segment's (offset, is_first) from
+        # the co-grouped offsets rows.  Two independent wins over the
+        # shapes this replaces:
         #
-        # Grouping goes through applyInPandas — NOT
-        # repartition + sortWithinPartitions + mapInPandas — because
-        # mapInPandas declares no required distribution: with the
-        # offsets equi-join directly beneath, Catalyst elides the user
-        # repartition (the join's exchange already hash-partitions on
-        # (key, shard)) and AQE's broadcast-join conversion then
-        # local-reads that orphaned exchange, silently splitting
-        # (key, shard) groups across partitions (observed: warm-up
-        # prefixes landing one partition away from their shard).
-        # applyInPandas makes the co-location contractual.
-        if len(pdf) == 0:
+        # - vs per-(key, shard) applyInPandas: ~6.5 ms of pandas group
+        #   machinery per segment (49 CPU-s over 7.5k groups at sf0.1 —
+        #   the overhead WAS the operator) becomes once per bucket, and
+        #   the windowless regime feeds every segment of a bucket
+        #   through ONE vectorized kernel call.
+        # - vs joining offsets onto the events: the join either SMJs
+        #   (Exchange + full Sort of the event side ON TOP of the
+        #   bucket exchange) or — when AQE converts it to broadcast —
+        #   local-reads the orphaned exchange and silently splits
+        #   (key, shard) groups across partitions (observed: a shard
+        #   losing its whole warm-up prefix).  The cogroup ships the
+        #   tiny offsets frame to the same buckets instead: the event
+        #   side is shuffled exactly once, and co-location is an API
+        #   contract, not a plan shape.
+        #
+        # A (key, shard) present in events but absent from offsets is a
+        # warm-only shard (no home events -> nothing to emit): skipped,
+        # same as the former inner join.
+        if len(events) == 0 or len(offs) == 0:
             return pd.DataFrame({c: [] for c in columns})
-        pdf = pdf.sort_values(
-            ["key", "shard", "ts", "event_id"], kind="mergesort"
+        omap = {
+            (k, int(s)): (int(o), bool(fi))
+            for k, s, o, fi in zip(
+                offs["okey"].to_numpy(), offs["oshard"].to_numpy(),
+                offs["offset"].to_numpy(), offs["is_first"].to_numpy(),
+            )
+        }
+        # Segment order across the bucket is irrelevant (segments are
+        # independent); only (key, shard) contiguity and the in-segment
+        # (ts, event_id) order matter.  Factorized key codes keep the
+        # whole sort numeric — a pandas sort_values with the object
+        # key column leading costs per-row PyObject comparisons (the
+        # 5M-row hot-key fixture measured 4.5x slower that way).
+        kcodes, _ = pd.factorize(events["key"], sort=False)
+        order = np.lexsort(
+            (
+                events["event_id"].to_numpy(),
+                events["ts"].to_numpy(),
+                events["shard"].to_numpy(),
+                kcodes,
+            )
         )
-        keys_a = pdf["key"].to_numpy()
-        shards_a = pdf["shard"].to_numpy()
-        syms_a = pdf["symbol"].to_numpy()
-        tss_a = pdf["ts"].to_numpy()
-        ids_a = pdf["event_id"].to_numpy()
-        warm_a = pdf["warm"].to_numpy()
-        offs_a = pdf["offset"].to_numpy()
-        first_a = pdf["is_first"].to_numpy()
+        keys_a = events["key"].to_numpy()[order]
+        shards_a = events["shard"].to_numpy()[order]
+        syms_a = events["symbol"].to_numpy()[order]
+        tss_a = events["ts"].to_numpy()[order]
+        ids_a = events["event_id"].to_numpy()[order]
+        warm_a = events["warm"].to_numpy()[order]
         n = len(keys_a)
+        kc = kcodes[order]
         change = np.empty(n, dtype=bool)
         change[0] = True
-        change[1:] = (keys_a[1:] != keys_a[:-1]) | (
-            shards_a[1:] != shards_a[:-1]
-        )
-        starts = np.flatnonzero(change)
+        change[1:] = (kc[1:] != kc[:-1]) | (shards_a[1:] != shards_a[:-1])
+        all_starts = np.flatnonzero(change)
+        all_ends = np.append(all_starts[1:], n)
+        starts, ends, seg_offsets, seg_firsts = [], [], [], []
+        for s, e in zip(all_starts, all_ends):
+            hit = omap.get((keys_a[s], int(shards_a[s])))
+            if hit is None:
+                continue  # warm-only shard: nothing to emit
+            starts.append(int(s))
+            ends.append(int(e))
+            seg_offsets.append(hit[0])
+            seg_firsts.append(hit[1])
+        if not starts:
+            return pd.DataFrame({c: [] for c in columns})
         if use_batched_kernel:
             out = run_segments_batched(
-                keys_a, shards_a, syms_a, tss_a, ids_a,
-                warm_a, offs_a, first_a, starts, n,
+                keys_a, shards_a, syms_a, tss_a, ids_a, warm_a,
+                starts, ends, seg_offsets, seg_firsts,
             )
         else:
             out = []
-            ends = np.append(starts[1:], n)
             for si in range(len(starts)):
-                s, e = int(starts[si]), int(ends[si])
+                s, e = starts[si], ends[si]
                 out.extend(
                     run_segment(
                         keys_a[s], int(shards_a[s]),
-                        int(offs_a[s]), bool(first_a[s]),
+                        seg_offsets[si], seg_firsts[si],
                         syms_a[s:e], tss_a[s:e], ids_a[s:e],
                         int(warm_a[s:e].sum()),
                     )
                 )
         return pd.DataFrame(out, columns=columns)
 
-    # scale-adaptive bucket count: the session's shuffle-partition
-    # setting, i.e. exactly the task count the former per-group
-    # shuffle used
+    # Scale-adaptive bucket count: 4x the session's shuffle/parallelism
+    # setting.  The oversampling matters twice: (a) buckets land in
+    # partitions by a second hash, and with n_buckets == n_partitions
+    # the balls-into-bins skew leaves cores idle while a 2-3-bucket
+    # task drags; (b) the kernel cost is CPU per row, not bytes, so
+    # AQE's byte-targeted coalescing would serialize fat segments —
+    # the explicit repartition(N) on the event side pins the exchange
+    # (REPARTITION_BY_NUM is not coalescible) without touching session
+    # conf.  The hot-key fixture measured 12.6 s with size-coalesced
+    # buckets; the thin-group regime pays only ~n_buckets task
+    # launches.
     try:
         n_buckets = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
     except (TypeError, ValueError):
         n_buckets = df.sparkSession.sparkContext.defaultParallelism
-    return (
-        sharded.withColumn(
-            "_bucket",
-            F.pmod(F.xxhash64("key", "shard"), F.lit(int(n_buckets))),
+    n_buckets = max(
+        4 * n_buckets, 4 * df.sparkSession.sparkContext.defaultParallelism
+    )
+    bucket_of = F.pmod(F.xxhash64("key", "shard"), F.lit(int(n_buckets)))
+    ev_b = (
+        sharded.withColumn("_bucket", bucket_of)
+        .repartition(n_buckets, "_bucket")
+        .groupBy("_bucket")
+    )
+    # fresh column names on the offsets side: both frames descend from
+    # the same symbolized plan, and cogroup's attribute deduplication
+    # silently drops a right-side column whose attribute id also
+    # appears on the left (observed: the right pdf arriving without
+    # its key column)
+    off_b = (
+        offsets.withColumn("_bucket", bucket_of)
+        .select(
+            F.col("key").alias("okey"), F.col("shard").alias("oshard"),
+            "offset", "is_first", "_bucket",
         )
         .groupBy("_bucket")
-        .applyInPandas(run_bucket, schema=schema)
+    )
+    return ev_b.cogroup(off_b).applyInPandas(
+        lambda ev, of: run_bucket(ev, of), schema=schema
     )
 
 

@@ -1584,7 +1584,14 @@ def domain_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     from flink_rtcef_spark.operators.webgraph import pagerank
 
     edges = host_graph_edges(spark, sf_dir)
-    return pagerank(edges, n_iter=10).select(
+    # checkpoint_every=3 for this single consumed-once 10-iteration
+    # loop: the r9 same-session A/B read 3.2-3.6 s vs 4.4-4.9 s at the
+    # every-iteration default (each eager cut is a job boundary; with
+    # broadcast rank joins the subtree growth between cuts is cheap).
+    # The default stays 1, which measured best for the composed
+    # 3-snapshot pagerank_asof_enrich chain.  Physical-only knob —
+    # ranks are identical.
+    return pagerank(edges, n_iter=10, checkpoint_every=3).select(
         "node", F.round("rank", 6).alias("rank")
     )
 
