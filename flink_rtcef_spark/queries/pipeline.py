@@ -1705,6 +1705,8 @@ def pagerank_asof_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     first snapshot keep NULL rank (left semantics) — the example
     asserts the coverage split.
     """
+    from concurrent.futures import ThreadPoolExecutor
+
     from flink_rtcef_spark.operators.joins import as_of_join
     from flink_rtcef_spark.operators.webgraph import pagerank
 
@@ -1714,15 +1716,21 @@ def pagerank_asof_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         # synthetic crawl day in [0, 30), deterministic per doc
         (F.col("doc_id") % 30).cast("long").alias("crawl_day"),
     )
-    edges = host_graph_edges(spark, sf_dir).withColumn(
-        "w", (F.abs(F.hash("src", "dst")) % 5 + 1).cast("double")
+    # the edge fixture (documents scan + arm union + tid join) feeds all
+    # three snapshots: persist it ONCE so each snapshot's filter reads
+    # the materialized rows instead of re-deriving the subtree (r9)
+    edges = (
+        host_graph_edges(spark, sf_dir)
+        .withColumn("w", (F.abs(F.hash("src", "dst")) % 5 + 1).cast("double"))
+        .persist()
     )
-    snaps = []
-    for snap_day, frac in ((5, 4), (15, 7), (25, 10)):
+
+    def snap(arg: tuple[int, int]) -> DataFrame:
+        snap_day, frac = arg
         # the crawl graph as of snap_day: a deterministic, growing
         # subset of the edges (hash mod 10 < frac)
         sub = edges.filter((F.abs(F.hash("src", "dst")) % 10) < frac)
-        snaps.append(
+        return (
             pagerank(sub, n_iter=5, weight="w")
             .localCheckpoint(eager=True)
             .select(
@@ -1731,6 +1739,20 @@ def pagerank_asof_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("rank").alias("host_rank"),
             )
         )
+
+    # The three snapshot chains are independent, and each one is a
+    # sequence of BLOCKING driver actions (node count, dangling probe,
+    # eager per-iteration checkpoints) over o(hosts)-row frames — run
+    # sequentially the cluster idles through ~20 tiny job tails.
+    # Overlap them from a thread pool (guide §2.6: actions are only
+    # sequential because driver code calls them sequentially); each
+    # chain is deterministic and checkpoint-terminated, so the result
+    # is independent of scheduling.
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        snaps = list(pool.map(snap, ((5, 4), (15, 7), (25, 10))))
+    # every snapshot is eagerly checkpointed -> nothing references the
+    # edge fixture any more
+    edges.unpersist()
     snapshots = snaps[0].unionByName(snaps[1]).unionByName(snaps[2])
     return as_of_join(
         docs, snapshots, on="host",
