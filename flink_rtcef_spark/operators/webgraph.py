@@ -89,7 +89,10 @@ def pagerank(
     )
     n_nodes = nodes.count()  # o(hosts) driver scalar, computed once
     if n_nodes == 0:
-        return nodes.withColumn("rank", F.lit(0.0))  # empty graph
+        out = nodes.withColumn("rank", F.lit(0.0)).localCheckpoint(eager=True)
+        nodes.unpersist()
+        e.unpersist()
+        return out  # empty graph
     out_w = e.groupBy("src").agg(F.sum("w").alias("out_w"))
     # the out-weight normalization is iteration-invariant: join it into
     # the edge table ONCE instead of once per iteration (the oracle
@@ -152,6 +155,17 @@ def pagerank(
             # every subtree execute exactly once; the arithmetic —
             # and therefore the ranks — is unchanged.
             ranks = ranks.localCheckpoint(eager=True)
+    # Materialize the final ranks and release the loop's persisted
+    # internals (r9 cache hygiene): without this every pagerank() call
+    # leaked e/nodes/e_norm into the session's CacheManager for its
+    # remaining lifetime — sessions running many queries accumulated
+    # dozens of dead cached plans, each later persist() paying a
+    # plan-equality scan against all of them and dead blocks crowding
+    # the executor store.  One extra eager o(hosts)-row checkpoint;
+    # ranks are unchanged.
+    ranks = ranks.localCheckpoint(eager=True)
+    for held in (e_norm, nodes, e):
+        held.unpersist()
     return ranks
 
 

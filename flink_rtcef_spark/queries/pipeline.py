@@ -1730,14 +1730,13 @@ def pagerank_asof_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         # the crawl graph as of snap_day: a deterministic, growing
         # subset of the edges (hash mod 10 < frac)
         sub = edges.filter((F.abs(F.hash("src", "dst")) % 10) < frac)
-        return (
-            pagerank(sub, n_iter=5, weight="w")
-            .localCheckpoint(eager=True)
-            .select(
-                F.col("node").alias("host"),
-                F.lit(snap_day).cast("long").alias("snap_day"),
-                F.col("rank").alias("host_rank"),
-            )
+        # pagerank returns its final ranks already eagerly checkpointed
+        # (lineage cut at the snapshot boundary — the as-of subtree must
+        # not inline three iterative plans)
+        return pagerank(sub, n_iter=5, weight="w").select(
+            F.col("node").alias("host"),
+            F.lit(snap_day).cast("long").alias("snap_day"),
+            F.col("rank").alias("host_rank"),
         )
 
     # The three snapshot chains are independent, and each one is a
