@@ -506,9 +506,13 @@ def presplit_detections_certified(
         "min_counter", "n_matched",
     ]
     if compiled.window > 0:
+        # lazy localCheckpoint, not persist: computed once and shared by
+        # the anti/semi branches, but never reused across invocations
+        # via CacheManager plan dedup (a leaked persist made repeated
+        # runs skip the certification aggregate entirely)
         bad_keys = _windowed_uncertified_keys(
             cep.symbolized(df), shard_span, warmup, compiled.reset_symbols()
-        ).persist()
+        ).localCheckpoint(eager=False)
         bk = F.broadcast(bad_keys.withColumnRenamed("key", cep.key_col))
         good = presplit_detections(
             df.join(bk, cep.key_col, "left_anti"), compiled, shard_span,
@@ -518,10 +522,13 @@ def presplit_detections_certified(
             *det_cols_
         )
         return good.unionByName(fallback)
+    # lazy localCheckpoint for the same reason as above: the sharded
+    # kernel output feeds the good-rows filter and the bad-key
+    # aggregate once per invocation, with no cross-invocation reuse
     raw = presplit_detections(
         df, compiled, shard_span, warmup, key_col=key_col, ts_col=ts_col,
         id_col=id_col, strict=False, with_certificates=True,
-    ).persist()
+    ).localCheckpoint(eager=False)
     bad_keys = (
         raw.filter(F.col("is_cert") & ~F.col(flag)).select("key").distinct()
     )

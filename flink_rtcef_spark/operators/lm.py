@@ -98,7 +98,12 @@ def unigram_perplexity(
         # comfortably cacheable; callers scoring many corpora against
         # one model should fit via unigram_model and manage its
         # lifecycle themselves.
-        model = unigram_model(df, text_col).persist()
+        # lazy localCheckpoint, not persist: computed once per
+        # invocation and shared by both consumers, but never deduped
+        # against a previous invocation's cached plan (a leaked persist
+        # made repeated runs silently reuse the old model blocks) and
+        # no CacheManager entry to scan on later persists
+        model = unigram_model(df, text_col).localCheckpoint(eager=False)
     totals = model.agg(
         F.sum("tok_count").alias("_n"), F.count(F.lit(1)).alias("_v")
     )
@@ -256,9 +261,10 @@ def bigram_perplexity(
     Output: id_col, n_tokens, ppl_bits (rounded to 6).
     """
     if model_uni is None:
-        model_uni = unigram_model(df, text_col).persist()
+        # lazy localCheckpoint vs persist: see unigram_perplexity
+        model_uni = unigram_model(df, text_col).localCheckpoint(eager=False)
     if model_bi is None:
-        model_bi = bigram_model(df, text_col, id_col).persist()
+        model_bi = bigram_model(df, text_col, id_col).localCheckpoint(eager=False)
     totals = model_uni.agg(
         F.sum("tok_count").alias("_n"), F.count(F.lit(1)).alias("_v")
     )

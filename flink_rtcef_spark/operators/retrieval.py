@@ -75,9 +75,11 @@ def bm25_topk(
         .groupBy(id_col, "dl", "tok")
         .agg(F.count(F.lit(1)).alias("tf"))
         # tf feeds both the per-term document frequencies and the final
-        # scoring; persist so the matched-corpus explode runs once, not
-        # once per consumer (o(matching docs x terms) rows)
-        .persist()
+        # scoring; lazy localCheckpoint so the matched-corpus explode
+        # runs once per invocation, not once per consumer (o(matching
+        # docs x terms) rows) — and, unlike persist, never reuses a
+        # previous invocation's cached blocks via plan dedup
+        .localCheckpoint(eager=False)
     )
     dfreq = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df_t"))
     idf = dfreq.crossJoin(F.broadcast(stats)).select(
