@@ -576,7 +576,12 @@ def connected_components(
             .union(joined.select(F.col("u"), F.col("m").alias("v")))
             .filter("u <> v")
             .distinct()
-            .localCheckpoint(eager=True)
+            # LAZY checkpoint (r9): the convergence stat right below is
+            # an action over these same edges, so let IT materialize
+            # the checkpoint blocks — one job per round instead of the
+            # former eager-checkpoint-job + stat-job pair (the loop is
+            # job-overhead-bound once per-round data is small)
+            .localCheckpoint(eager=False)
         )
         edges = small
         stat = edges.agg(
