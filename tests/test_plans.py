@@ -140,12 +140,17 @@ def test_bm25_minimal_scans_and_broadcast(spark):
 
 
 def test_perplexity_fits_model_once(spark):
-    """The unigram model subtree must be materialized (persisted), not
+    """The unigram model subtree must be materialized once, not
     recomputed per consumer — at 100 TB recomputation is an extra
-    corpus scan."""
+    corpus scan.  r9: the materialization is a lazy localCheckpoint
+    (Scan ExistingRDD), not a persist (InMemoryTableScan) — persist's
+    CacheManager entry outlived the invocation and plan-dedup silently
+    reused it across repeated runs; accept either as evidence."""
     plan = plan_of(spark, "unigram_perplexity")
-    assert "InMemoryTableScan" in plan
-    # corpus scans: model fit + scoring + id-only restore (pruned)
+    assert "InMemoryTableScan" in plan or "Scan ExistingRDD" in plan
+    # corpus scans: model fit + scoring + id-only restore (pruned);
+    # with the checkpointed model the fit subtree leaves the final
+    # plan entirely, so the bound tightens
     assert len(re.findall(r"\(\d+\) Scan parquet", plan)) <= 3
 
 
