@@ -60,6 +60,12 @@ def pagerank(
     to edge weight; the mass of dangling nodes is redistributed
     uniformly, so total rank is conserved exactly (up to fp error).
 
+    The returned frame is eagerly materialized (localCheckpoint-backed)
+    and the loop's internal persists are released before return — a
+    second identical call recomputes from its inputs rather than
+    silently reusing session-cached blocks (r9 cache hygiene; see
+    CHANGELOG round 9).
+
     Join strategy is size-routed on the exact ``n_nodes`` the driver
     already computes: when the rank table holds at most
     ``broadcast_ranks_max`` rows (default :data:`BROADCAST_RANKS_MAX`),
