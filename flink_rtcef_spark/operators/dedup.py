@@ -210,6 +210,7 @@ def jaccard_verify(
     shingle_n: int = 3,
     threshold: float = 0.8,
     max_df: int | None = None,
+    hot_df: int = 1024,
 ) -> DataFrame:
     """Exact shingle-Jaccard for candidate pairs.  With ``pairs`` given,
     the plan starts from the candidate set and joins the two shingle
@@ -225,7 +226,14 @@ def jaccard_verify(
     count then undercounts by at most the dropped shingles, so scores
     are a lower bound (denominator sizes stay exact) — recall on true
     near-dups is preserved when threshold < 1 and duplicated content
-    dominates the shingle set, the standard large-corpus trade."""
+    dominates the shingle set, the standard large-corpus trade.
+
+    ``hot_df`` (pairs=None path only) bounds the per-shingle posting
+    ARRAY, never the result: shingles in more than ``hot_df`` docs
+    generate their pairs through a streaming sort-merge self-join
+    instead of one collected array row, so peak row size stays
+    O(hot_df) however hot the shingle.  Output is identical for any
+    value — it is purely a memory/physical-plan knob."""
     from pyspark.sql import Window as W
 
     toks = df.select(F.col(id_col), _tokens(text_col).alias("tokens"))
@@ -279,25 +287,70 @@ def jaccard_verify(
         # the shingle rows twice more for the join itself.  Grouping
         # by shingle once and emitting in-list pairs computes the
         # identical (id_a < id_b, n_common, n_a, n_b) multiset with
-        # ONE subtree and one hash(sh) Exchange.  Posting-list skew is
-        # the same as the join's (a hot shingle's pairs were one join
-        # task too); ``max_df`` remains the guard for that regime.
-        posting = sh.groupBy("sh").agg(
-            F.collect_list(
-                F.struct(F.col(id_col).alias("id"), F.col("n_sh").alias("n"))
-            ).alias("ps")
+        # ONE subtree and one hash(sh) Exchange.
+        # r10 (r9 verdict #2, guide §2.5/§5): the unconditional
+        # collect_list was an OOM vector — a boilerplate shingle shared
+        # by df docs materialized the WHOLE posting list as one
+        # df-element array row and emitted its O(df^2) pairs from one
+        # task.  The document-frequency now rides the hash(sh) shuffle
+        # as an unordered window count, and shingles split on it:
+        # df <= hot_df keeps the in-list pair generation (array rows
+        # bounded at hot_df elements); hotter shingles go through a
+        # sort-merge self-join, which STREAMS the key group (spillable
+        # buffer, no single row ever holds the list).  Every shared
+        # shingle lands in exactly one branch, so the pair multiset is
+        # unchanged for any hot_df (pinned by
+        # tests/test_pipeline_ops.py::test_jaccard_hot_shingle_guard).
+        # The window, the posting groupBy and both join sides reuse the
+        # ONE hash(sh) Exchange (same key, same partition count), so
+        # the guard costs a sort, not a shuffle.
+        sh_df = sh.withColumn(
+            "df", F.count(F.lit(1)).over(W.partitionBy("sh"))
         )
-        inter = (
+        posting = (
+            sh_df.filter(F.col("df") <= hot_df)
+            .groupBy("sh")
+            .agg(
+                F.collect_list(
+                    F.struct(
+                        F.col(id_col).alias("id"), F.col("n_sh").alias("n")
+                    )
+                ).alias("ps")
+            )
+        )
+        small_pairs = (
             posting.select(F.explode("ps").alias("a"), "ps")
             .select("a", F.explode("ps").alias("b"))
             .filter(F.col("a.id") < F.col("b.id"))
-            .groupBy(
-                F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b")
+            .select(
+                F.col("a.id").alias("id_a"),
+                F.col("b.id").alias("id_b"),
+                F.col("a.n").alias("n_a"),
+                F.col("b.n").alias("n_b"),
             )
+        )
+        hot = sh_df.filter(F.col("df") > hot_df)
+        hot_a = hot.select(
+            F.col("sh"),
+            F.col(id_col).alias("id_a"),
+            F.col("n_sh").alias("n_a"),
+        )
+        hot_b = hot.select(
+            F.col("sh"),
+            F.col(id_col).alias("id_b"),
+            F.col("n_sh").alias("n_b"),
+        )
+        hot_pairs = hot_a.join(
+            hot_b,
+            (F.col("id_a") < F.col("id_b")) & (hot_a["sh"] == hot_b["sh"]),
+        ).select("id_a", "id_b", "n_a", "n_b")
+        inter = (
+            small_pairs.unionByName(hot_pairs)
+            .groupBy("id_a", "id_b")
             .agg(
                 F.count(F.lit(1)).alias("n_common"),
-                F.first("a.n").alias("n_a"),
-                F.first("b.n").alias("n_b"),
+                F.first("n_a").alias("n_a"),
+                F.first("n_b").alias("n_b"),
             )
         )
     scored = inter.withColumn(
@@ -537,9 +590,15 @@ def connected_components(
     edges = (
         e0.union(e0.select(F.col("v").alias("u"), F.col("u").alias("v")))
         .distinct()
-        .localCheckpoint(eager=True)
+        # LAZY (r10): round 1's convergence stat materializes this
+        # together with the round itself — one fewer blocking job, and
+        # both references per round (bidir's two union arms) still read
+        # the stored blocks after first touch
+        .localCheckpoint(eager=False)
     )
     prev_stat = None
+    from pyspark.sql import Window as W
+
     for _ in range(max_iterations):
         # ---- large-star: emit (v, m(u)) for every neighbor v > u,
         # with m(u) = min(N(u) + {u}) ----
@@ -550,30 +609,48 @@ def connected_components(
         # passes one distinct, and the duplication factor is bounded by
         # a small constant (edges enters each round already distinct,
         # so bidir carries <= 2 copies per undirected edge, never
-        # degree-multiplied).  8 -> 5 Exchanges per round, measured
-        # round walls in OPTIMIZATION_r09.md.
+        # degree-multiplied).
+        # r10 (guide §2.4): the per-star neighborhood minimum rides the
+        # SAME shuffle as the rows it annotates — an unordered window
+        # min over partitionBy(u) instead of the groupBy(u)+equi-join
+        # pair (which paid one Exchange for the aggregate AND one for
+        # the join's probe side).  Multiplicity is min-insensitive, so
+        # the emitted multiset is identical row for row.  Exchanges per
+        # round 5 -> 3, joins 2 -> 0 (plan dumps in plans/r10/).
         bidir = edges.union(
             edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
         )
-        mins = bidir.groupBy("u").agg(
-            F.least(F.min("v"), F.first("u")).alias("m")
-        )
+        m1 = F.least(F.min("v").over(W.partitionBy("u")), F.col("u"))
         large = (
-            bidir.join(mins, "u")
+            bidir.withColumn("m", m1)
             .filter(F.col("v") > F.col("u"))
             .select(F.col("v").alias("u"), F.col("m").alias("v"))
             .filter("u <> v")
         )
         # ---- small-star: canonicalize larger->smaller, then link the
-        # smaller neighborhood and the center to its minimum ----
+        # smaller neighborhood and the center to its minimum.  The two
+        # former union arms were projections of the same joined frame —
+        # emit both rows per input row with ONE explode instead, so the
+        # subtree is built (and shuffled) once.
         canon = large.select(
             F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
         )
-        mins2 = canon.groupBy("u").agg(F.min("v").alias("m"))
-        joined = canon.join(mins2, "u")
+        m2 = F.min("v").over(W.partitionBy("u"))
         small = (
-            joined.select(F.col("v").alias("u"), F.col("m").alias("v"))
-            .union(joined.select(F.col("u"), F.col("m").alias("v")))
+            canon.withColumn("m", m2)
+            .select(
+                F.explode(
+                    F.array(
+                        F.struct(
+                            F.col("v").alias("u"), F.col("m").alias("v")
+                        ),
+                        F.struct(
+                            F.col("u").alias("u"), F.col("m").alias("v")
+                        ),
+                    )
+                ).alias("e")
+            )
+            .select("e.u", "e.v")
             .filter("u <> v")
             .distinct()
             # LAZY checkpoint (r9): the convergence stat right below is

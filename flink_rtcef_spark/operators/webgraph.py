@@ -80,99 +80,133 @@ def pagerank(
         raise ValueError(f"n_iter must be >= 1, got {n_iter}")
     w = F.col(weight).cast("double") if weight else F.lit(1.0)
     # collapse parallel edges; partition once on src so every
-    # iteration's rank join aligns with this layout
+    # iteration's rank join aligns with this layout.  Persists are
+    # released in the finally block on EVERY exit path (r9 ADVICE: the
+    # success-path-only unpersists leaked all three frames into the
+    # session CacheManager whenever a driver action failed mid-loop).
+    held: list[DataFrame] = []
     e = (
         edges.groupBy(F.col(src).alias("src"), F.col(dst).alias("dst"))
         .agg(F.sum(w).alias("w"))
         .repartition("src")
         .persist()
     )
-    nodes = (
-        e.select(F.col("src").alias("node"))
-        .union(e.select(F.col("dst").alias("node")))
-        .distinct()
-        .persist()
-    )
-    n_nodes = nodes.count()  # o(hosts) driver scalar, computed once
-    if n_nodes == 0:
-        out = nodes.withColumn("rank", F.lit(0.0)).localCheckpoint(eager=True)
-        nodes.unpersist()
-        e.unpersist()
-        return out  # empty graph
-    out_w = e.groupBy("src").agg(F.sum("w").alias("out_w"))
-    # the out-weight normalization is iteration-invariant: join it into
-    # the edge table ONCE instead of once per iteration (the oracle
-    # mirrors the w/out_w-first association so fp results stay equal)
-    e_norm = (
-        e.join(out_w, "src")
-        .select("src", "dst", (F.col("w") / F.col("out_w")).alias("w_norm"))
-        .persist()
-    )
-    # dangling nodes are a property of the graph, not the iteration:
-    # detect once and skip the per-iteration mass aggregate when none
-    has_dangling = (
-        nodes.join(
-            out_w.select(F.col("src").alias("node")), "node", "left_anti"
-        ).limit(1).count()
-        > 0
-    )
-
-    if broadcast_ranks_max is None:
-        broadcast_ranks_max = BROADCAST_RANKS_MAX
-    use_bcast = n_nodes <= broadcast_ranks_max
-
-    def _b(df: DataFrame) -> DataFrame:
-        return F.broadcast(df) if use_bcast else df
-
-    d = float(damping)
-    ranks = nodes.withColumn("rank", F.lit(1.0 / n_nodes))
-    for i in range(n_iter):
-        contrib = (
-            e_norm.join(_b(ranks.withColumnRenamed("node", "src")), "src")
-            .groupBy(F.col("dst").alias("node"))
-            .agg(F.sum(F.col("rank") * F.col("w_norm")).alias("contrib"))
+    held.append(e)
+    try:
+        nodes = (
+            e.select(F.col("src").alias("node"))
+            .union(e.select(F.col("dst").alias("node")))
+            .distinct()
+            .persist()
         )
-        new_ranks = nodes.join(_b(contrib), "node", "left")
-        if has_dangling:
-            dangling = (
-                ranks.join(
-                    _b(out_w.select(F.col("src").alias("node"))),
-                    "node",
-                    "left_anti",
-                )
-                .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dang"))
+        held.append(nodes)
+        out_w = e.groupBy("src").agg(F.sum("w").alias("out_w"))
+        # ONE driver action computes both graph scalars the loop needs
+        # (r10, guide §2.4/§2.6): node count AND dangling-node count
+        # ride the same o(hosts) aggregate — the former separate
+        # nodes.count() + left_anti limit(1) probe paid two full job
+        # launches before the first iteration.  out_w's src values are
+        # unique (groupBy output), so the left join preserves nodes'
+        # cardinality exactly.
+        stats = (
+            nodes.join(
+                out_w.select(
+                    F.col("src").alias("node"), F.lit(True).alias("__has_out")
+                ),
+                "node",
+                "left",
             )
-            new_ranks = new_ranks.crossJoin(F.broadcast(dangling))
-            mass = F.coalesce(F.col("contrib"), F.lit(0.0)) + F.col("dang") / n_nodes
-        else:
-            mass = F.coalesce(F.col("contrib"), F.lit(0.0))
-        ranks = new_ranks.select(
-            "node",
-            (F.lit((1.0 - d) / n_nodes) + F.lit(d) * mass).alias("rank"),
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.count(F.when(F.col("__has_out").isNull(), 1)).alias("n_dang"),
+            )
+            .first()
         )
-        if (i + 1) % checkpoint_every == 0 and (i + 1) < n_iter:
-            # cut lineage EVERY iteration (r9): each step references the
-            # previous ranks twice (contribution join + dangling mass),
-            # so an uncut plan doubles per iteration — at the former
-            # every-5 cadence the physical plan re-executed up to 2^4
-            # copies of each inter-checkpoint subtree (the measured
-            # domain_pagerank plan held ~290 Exchange references).  One
-            # eager o(hosts)-row materialization per iteration makes
-            # every subtree execute exactly once; the arithmetic —
-            # and therefore the ranks — is unchanged.
-            ranks = ranks.localCheckpoint(eager=True)
-    # Materialize the final ranks and release the loop's persisted
-    # internals (r9 cache hygiene): without this every pagerank() call
-    # leaked e/nodes/e_norm into the session's CacheManager for its
-    # remaining lifetime — sessions running many queries accumulated
-    # dozens of dead cached plans, each later persist() paying a
-    # plan-equality scan against all of them and dead blocks crowding
-    # the executor store.  One extra eager o(hosts)-row checkpoint;
-    # ranks are unchanged.
-    ranks = ranks.localCheckpoint(eager=True)
-    for held in (e_norm, nodes, e):
-        held.unpersist()
-    return ranks
+        n_nodes, n_dangling = stats.n, stats.n_dang
+        if n_nodes == 0:
+            return nodes.withColumn("rank", F.lit(0.0)).localCheckpoint(
+                eager=True
+            )  # empty graph
+        # the out-weight normalization is iteration-invariant: join it
+        # into the edge table ONCE instead of once per iteration (the
+        # oracle mirrors the w/out_w-first association so fp results
+        # stay equal)
+        e_norm = (
+            e.join(out_w, "src")
+            .select("src", "dst", (F.col("w") / F.col("out_w")).alias("w_norm"))
+            .persist()
+        )
+        held.append(e_norm)
+        has_dangling = n_dangling > 0
+        if has_dangling:
+            # the dangling node SET is a property of the graph, not the
+            # iteration: materialize it once (lazy — the first job that
+            # touches it stores the blocks) instead of re-running the
+            # out_w aggregate + anti-join every iteration
+            dang_nodes = nodes.join(
+                out_w.select(F.col("src").alias("node")), "node", "left_anti"
+            ).localCheckpoint(eager=False)
+
+        if broadcast_ranks_max is None:
+            broadcast_ranks_max = BROADCAST_RANKS_MAX
+        use_bcast = n_nodes <= broadcast_ranks_max
+
+        def _b(df: DataFrame) -> DataFrame:
+            return F.broadcast(df) if use_bcast else df
+
+        d = float(damping)
+        ranks = nodes.withColumn("rank", F.lit(1.0 / n_nodes))
+        for i in range(n_iter):
+            contrib = (
+                e_norm.join(_b(ranks.withColumnRenamed("node", "src")), "src")
+                .groupBy(F.col("dst").alias("node"))
+                .agg(F.sum(F.col("rank") * F.col("w_norm")).alias("contrib"))
+            )
+            new_ranks = nodes.join(_b(contrib), "node", "left")
+            if has_dangling:
+                dangling = (
+                    ranks.join(_b(dang_nodes), "node", "left_semi")
+                    .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dang"))
+                )
+                new_ranks = new_ranks.crossJoin(F.broadcast(dangling))
+                mass = (
+                    F.coalesce(F.col("contrib"), F.lit(0.0))
+                    + F.col("dang") / n_nodes
+                )
+            else:
+                mass = F.coalesce(F.col("contrib"), F.lit(0.0))
+            ranks = new_ranks.select(
+                "node",
+                (F.lit((1.0 - d) / n_nodes) + F.lit(d) * mass).alias("rank"),
+            )
+            if (i + 1) % checkpoint_every == 0 and (i + 1) < n_iter:
+                # cut lineage per iteration, LAZILY (r10): each step
+                # references the previous ranks twice (contribution join
+                # + dangling mass), so an uncut plan doubles per
+                # iteration (the r8 domain_pagerank plan held ~290
+                # Exchange references).  eager=False keeps the cut —
+                # the plan below each LogicalRDD is compiled once and
+                # its blocks are stored at first touch, so the second
+                # reference reads blocks — WITHOUT the r9 shape's one
+                # blocking driver job per iteration: the whole loop now
+                # materializes inside the single final action (the r9
+                # CC-loop trick, 982f953, applied here; jobs per
+                # iteration 1 -> 0).  The arithmetic — and therefore
+                # the ranks — is unchanged.
+                ranks = ranks.localCheckpoint(eager=False)
+        # Materialize the final ranks eagerly (the documented contract:
+        # callers treat the returned frame as scheduling-independent
+        # and lineage-cut) — this one action runs every iteration's
+        # lazily-checkpointed step exactly once.
+        return ranks.localCheckpoint(eager=True)
+    finally:
+        # release the loop's persisted internals on every path (r9
+        # cache hygiene + r9 ADVICE): a second identical call recomputes
+        # from its inputs rather than silently reusing session-cached
+        # blocks, and a failed driver action no longer leaks e/nodes/
+        # e_norm into the CacheManager for the session lifetime.
+        for df in held:
+            df.unpersist()
 
 
 def pagerank_oracle_sql(

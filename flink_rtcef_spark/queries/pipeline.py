@@ -1584,14 +1584,15 @@ def domain_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     from flink_rtcef_spark.operators.webgraph import pagerank
 
     edges = host_graph_edges(spark, sf_dir)
-    # checkpoint_every=3 for this single consumed-once 10-iteration
-    # loop: the r9 same-session A/B read 3.2-3.6 s vs 4.4-4.9 s at the
-    # every-iteration default (each eager cut is a job boundary; with
-    # broadcast rank joins the subtree growth between cuts is cheap).
-    # The default stays 1, which measured best for the composed
-    # 3-snapshot pagerank_asof_enrich chain.  Physical-only knob —
-    # ranks are identical.
-    return pagerank(edges, n_iter=10, checkpoint_every=3).select(
+    # checkpoint_every stays at the default 1: with the r10 LAZY
+    # per-iteration cuts (no job boundary per cut any more) the r9
+    # rationale for stretching the cadence to 3 inverted — the r10
+    # same-host A/B read 3.26 s (every=1) vs 3.83 s (every=3) vs
+    # 3.87 s (every=5), because between cuts the plan doubles (ranks
+    # is referenced twice per iteration) and the doubled subtrees now
+    # cost more than the cut does.  Physical-only knob — ranks are
+    # identical.
+    return pagerank(edges, n_iter=10).select(
         "node", F.round("rank", 6).alias("rank")
     )
 
@@ -1682,7 +1683,9 @@ def decontam_bloom_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
 # curation example drives end-to-end.  NOT @query-registered (the
 # driver registry is capped at 50 — tests/test_retired_queries.py);
 # tools/plan_audit.py audits their plan shapes in its own section.
-def pagerank_asof_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+def pagerank_asof_enrich(
+    spark: SparkSession, sf_dir: str, max_workers: int = 3
+) -> DataFrame:
     """Temporal feature join for the curation chain: enrich every
     document with the most recent per-host PageRank SNAPSHOT at its
     crawl time, via ``as_of_join`` (operators/joins.py).
@@ -1740,18 +1743,24 @@ def pagerank_asof_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     # The three snapshot chains are independent, and each one is a
-    # sequence of BLOCKING driver actions (node count, dangling probe,
-    # eager per-iteration checkpoints) over o(hosts)-row frames — run
-    # sequentially the cluster idles through ~20 tiny job tails.
-    # Overlap them from a thread pool (guide §2.6: actions are only
-    # sequential because driver code calls them sequentially); each
-    # chain is deterministic and checkpoint-terminated, so the result
-    # is independent of scheduling.
-    with ThreadPoolExecutor(max_workers=3) as pool:
-        snaps = list(pool.map(snap, ((5, 4), (15, 7), (25, 10))))
-    # every snapshot is eagerly checkpointed -> nothing references the
-    # edge fixture any more
-    edges.unpersist()
+    # sequence of BLOCKING driver actions (the fused stats aggregate +
+    # the final eager checkpoint; the per-iteration cuts are lazy as of
+    # r10) over o(hosts)-row frames — run sequentially the cluster
+    # idles through the tiny job tails.  Overlap them from a thread
+    # pool (guide §2.6: actions are only sequential because driver code
+    # calls them sequentially); each chain is deterministic and
+    # checkpoint-terminated, so the result is independent of scheduling
+    # (pinned by tests/test_pipeline_ops.py::
+    # test_pagerank_asof_enrich_threading_invariant).
+    try:
+        with ThreadPoolExecutor(max_workers=max_workers) as pool:
+            snaps = list(pool.map(snap, ((5, 4), (15, 7), (25, 10))))
+    finally:
+        # every snapshot is eagerly checkpointed -> nothing references
+        # the edge fixture any more; release it even when a snapshot
+        # chain raises (r9 ADVICE: pool.map propagates the exception
+        # and the success-path unpersist leaked the persisted fixture)
+        edges.unpersist()
     snapshots = snaps[0].unionByName(snaps[1]).unionByName(snaps[2])
     return as_of_join(
         docs, snapshots, on="host",

@@ -582,3 +582,63 @@ def test_pagerank_asof_enrich_snapshot_semantics(spark):
     # after day 25 must be ranked
     late = out[out["crawl_day"] >= 25]
     assert late["host_rank"].notna().all()
+
+
+def test_pagerank_asof_enrich_threading_invariant(spark):
+    """r9 verdict #6: the 3-thread snapshot overlap (guide §2.6) is
+    only safe because every chain is deterministic and terminates in an
+    eager checkpoint; pin that argument as a test so a future chain
+    that gains order-dependent state fails loudly instead of silently.
+    Byte-for-byte equality of the sorted output with max_workers=1 vs 3
+    (sf0.01, the oracle scale)."""
+    import hashlib
+
+    from flink_rtcef_spark.queries.pipeline import pagerank_asof_enrich
+    from tests.conftest import SF_ORACLE
+
+    def digest(workers: int) -> str:
+        pdf = (
+            pagerank_asof_enrich(spark, SF_ORACLE, max_workers=workers)
+            .toPandas()
+            .sort_values(["doc_id"])
+            .reset_index(drop=True)
+        )
+        return hashlib.md5(
+            pdf.to_csv(index=False).encode("utf-8")
+        ).hexdigest()
+
+    assert digest(1) == digest(3)
+
+
+def test_jaccard_hot_shingle_guard(spark):
+    """r9 verdict #2: the pairs=None posting-list path must not hold a
+    hot shingle's whole posting list in ONE array row.  ``hot_df``
+    routes shingles hotter than the bound through a streaming
+    sort-merge self-join instead — a purely physical split, so the
+    scored pair set must be IDENTICAL for any bound.  Fixture: one
+    boilerplate shingle shared by 120 docs (df far above the test
+    bound) plus per-doc unique filler."""
+    from flink_rtcef_spark.operators.dedup import jaccard_verify
+
+    rows = [
+        (i, f"common boiler plate u{i}a u{i}b u{i}c u{i}d u{i}e u{i}f")
+        for i in range(120)
+    ]
+    # a handful of true near-dups: same filler, one token changed
+    rows += [
+        (1000 + i, f"common boiler plate u{i}a u{i}b u{i}c u{i}d u{i}e zz")
+        for i in range(5)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    def scored(hot_df: int):
+        return sorted(
+            jaccard_verify(
+                docs, None, threshold=0.2, hot_df=hot_df
+            ).collect()
+        )
+
+    guarded = scored(8)  # boilerplate shingle (df=125) takes the join
+    unguarded = scored(10**9)  # everything through the posting arrays
+    assert guarded == unguarded
+    assert len(guarded) >= 5  # the near-dup pairs actually scored
