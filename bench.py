@@ -248,6 +248,7 @@ def main() -> None:
     marginal = round(n_events / cep_s) if cep_s else None
 
     hot = hotkey_fixtures(spark)
+    sc10 = scaling_x10(spark, sf_dir)
     scale = weak_scaling_step(spark, sf_dir)
     stream = streaming_throughput(spark, sf_dir)
     asof = asof_fixture(spark, sf_dir)
@@ -274,6 +275,7 @@ def main() -> None:
         **knn,
         **pr,
         "weak_scaling_10x": scale,
+        "scaling_x10": sc10,
     }
     print(json.dumps(full))
     # The driver captures only a 2000-char stdout tail (BENCH_r08
@@ -307,10 +309,195 @@ def main() -> None:
                 "queries_all_1shot": {
                     k: round(v, 2) for k, v in all_wall.items()
                 },
+                # cross-run core-count scaling rows (r10): walls big
+                # enough that wall(8c)/wall(32c) across the driver's
+                # two bench runs measures parallelism, not job launch
+                "scaling_x10": {
+                    k: v for k, v in sc10.items() if k.endswith("_sec")
+                },
             },
             separators=(",", ":"),
         )
     )
+
+
+def scaling_x10(spark, sf_dir: str) -> dict:
+    """Core-count-scaling rows (r9 verdict #1/#2): at sf0.1 every
+    headline wall is under ~1 s of mostly fixed per-job cost, so the
+    driver's 8-core vs 32-core comparison reads ≈1 everywhere and the
+    bench cannot DEMONSTRATE that anything parallelizes.  This section
+    times the heaviest shuffle/CPU-bound operator paths on x10
+    fixtures derived from the sf parquet inputs (10x rows AND 10x
+    keys, same derivations as weak_scaling_step) — walls big enough
+    that the cross-run wall ratio at different ``$SPARK_GRAFT_CPUS``
+    measures the plans' parallelism, not job-launch latency.  Inputs
+    are cached OUTSIDE the timed region (fixture derivation is not the
+    operator); every timed run computes from those inputs within the
+    run — nothing persists across bench invocations.
+
+    How to read the rows (r10 measurement, this sandbox): only the
+    compute-dense sort/aggregate path (jaccard posting walk, 8c/32c
+    ≈ 1.5 here) gains from 32 threads.  The string/array explode paths
+    (decontam grams) read ≈ 1: on ONE box they saturate memory
+    bandwidth near 8 cores, so extra threads add nothing — a real
+    cluster adds memory channels with its cores, local[] does not.
+    The ITERATIVE rows (pagerank shuffle loop, CC rounds) read at or
+    BELOW 1 and that is expected, not a harness bug: a round is a
+    chain of 3-5 short stages whose per-stage latency does not
+    parallelize, and at ~1M tiny rows more cores only add scheduling +
+    shuffle-block fan-out (guide §2.2) — same inversion the fixed-size
+    host canary shows (r9: canary_spark 0.278 s at 8c vs 0.631 s at
+    32c).  The rows are kept because bounding those fixed costs with
+    an explicit measurement is the honest alternative to an sf0.1
+    scaling table that is all ≈1 noise."""
+    from pyspark.sql import functions as F
+
+    from flink_rtcef_spark.operators.decontam import contamination_hits
+    from flink_rtcef_spark.operators.dedup import (
+        connected_components,
+        jaccard_verify,
+    )
+    from flink_rtcef_spark.operators.webgraph import pagerank
+
+    out: dict = {}
+    # fixture prep detail (NOT timed): the x10 explode inherits the
+    # one-file scan's single partition, so a cached fixture would feed
+    # every downstream map stage from ONE task and mask the very
+    # parallelism these rows exist to measure — spread the cached
+    # blocks across the session's cores first
+    n_spread = 4 * spark.sparkContext.defaultParallelism
+
+    def timed_warm(label: str, fn) -> None:
+        fn()  # warm: plan compile + shuffle files
+        out[label] = round(_timed(fn), 3)
+
+    # --- pagerank on a x10 user-interaction graph (10x edges & nodes):
+    # the iterative contribution shuffle is the 100 TB loop shape.
+    # broadcast_ranks_max=0 pins the SHUFFLE-join loop — the 1e8-host
+    # regime this row represents; the broadcast path's per-iteration
+    # rank collect is driver-serialized by design and would read flat.
+    from pyspark.sql import Window as W
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    w = W.partitionBy("event_type").orderBy("ts", "event_id")
+    e1 = (
+        ev.select("event_type", "ts", "event_id", F.col("user_id").alias("dst"))
+        .withColumn("src", F.lag("dst").over(w))
+        .filter(F.col("src").isNotNull() & (F.col("src") != F.col("dst")))
+        .select("src", "dst")
+    )
+    e10 = (
+        e1.withColumn("__c", F.explode(F.sequence(F.lit(0), F.lit(9))))
+        .select(
+            (F.col("src") * 10 + F.col("__c")).alias("src"),
+            (F.col("dst") * 10 + F.col("__c")).alias("dst"),
+        )
+        .repartition(n_spread)
+        .cache()
+    )
+    out["pagerank_x10_edges"] = e10.count()
+    timed_warm(
+        "pagerank_x10_sec",
+        lambda: pagerank(e10, n_iter=5, broadcast_ranks_max=0).count(),
+    )
+    e10.unpersist()
+
+    # --- connected components on x10 chain graphs over the events
+    # table (chains of 50 force ~6 alternating rounds; ~5M edges so a
+    # round's window+distinct shuffles carry real volume)
+    evid = spark.read.parquet(f"{sf_dir}/events.parquet").select("event_id")
+    chains = (
+        evid.withColumn("__c", F.explode(F.sequence(F.lit(0), F.lit(9))))
+        .select(
+            (F.col("event_id") * 10 + F.col("__c")).alias("u"),
+            F.when(
+                F.col("event_id") % 50 != 0,
+                (F.col("event_id") - 1) * 10 + F.col("__c"),
+            ).alias("v"),
+        )
+        .filter(F.col("v").isNotNull())
+        .select(F.col("u").alias("id_a"), F.col("v").alias("id_b"))
+        .repartition(n_spread)
+        .cache()
+    )
+    out["cc_x10_edges"] = chains.count()
+    timed_warm("cc_x10_sec", lambda: connected_components(chains).count())
+    chains.unpersist()
+
+    # --- shingle-Jaccard (pairs=None posting path) on documents x10
+    # with per-copy token suffixes (duplicate density held constant —
+    # same derivation rationale as weak_scaling_step's dedup rows)
+    tdocs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    d10 = (
+        tdocs.withColumn("__c", F.explode(F.sequence(F.lit(0), F.lit(9))))
+        .select(
+            (F.col("doc_id") * 10 + F.col("__c")).alias("doc_id"),
+            F.array_join(
+                F.transform(
+                    F.split(F.col("text"), r"\s+"),
+                    lambda t: F.concat(t, F.lit("_"), F.col("__c").cast("string")),
+                ),
+                " ",
+            ).alias("text"),
+        )
+        .repartition(n_spread)
+        .cache()
+    )
+    out["jaccard_x10_docs"] = d10.count()
+    timed_warm(
+        "jaccard_x10_sec",
+        lambda: jaccard_verify(d10, None, threshold=0.8).count(),
+    )
+
+    # --- exact decontamination on a x30 corpus (gram explode +
+    # broadcast membership join: the map-parallel 100 TB shape; x30
+    # because at x10 the wall fell under ~3 s of fixed cost once the
+    # fixture was spread, blunting the ratio)
+    d30 = (
+        tdocs.withColumn("__c", F.explode(F.sequence(F.lit(0), F.lit(29))))
+        .select(
+            (F.col("doc_id") * 30 + F.col("__c")).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(" z"), F.col("__c").cast("string")).alias(
+                "text"
+            ),
+        )
+        .repartition(n_spread)
+        .cache()
+    )
+    out["decontam_x30_docs"] = d30.count()
+    corpus30 = d30.filter(F.col("doc_id") % 5 != 0)
+    bench30 = d30.filter(F.col("doc_id") % 5 == 0)
+    timed_warm(
+        "decontam_x30_sec",
+        lambda: contamination_hits(corpus30, bench30, n=8).count(),
+    )
+    d30.unpersist()
+    d10.unpersist()
+
+    # --- the presplit CEP bucket kernel on the sf events table, as-is:
+    # ~40 CPU-s of vectorized Python at sf0.1 spread over the reused
+    # worker pool — the cleanest demonstration that the Python-kernel
+    # paths use every core the session is given
+    from flink_rtcef_spark.operators.cep_presplit import (
+        presplit_detections_certified,
+    )
+    from flink_rtcef_spark.plans.compiler import compile_pattern
+    from flink_rtcef_spark.queries.cep_queries import _SEQ_DECLS, _SEQ_PATTERN
+    from flink_rtcef_spark.sources.io import load_table
+
+    compiled = compile_pattern(_SEQ_PATTERN, _SEQ_DECLS)
+    evt = load_table(spark, sf_dir, "events")
+    week_ms = 7 * 24 * 3600 * 1000
+    timed_warm(
+        "cep_presplit_sec",
+        lambda: presplit_detections_certified(
+            evt, compiled, shard_span=week_ms, warmup=week_ms,
+            ts_col="ts", id_col="event_id", require="state",
+        ).count(),
+    )
+    return out
 
 
 def knn_fixture(spark, sf_dir: str) -> dict:

@@ -556,6 +556,66 @@ def embedding_near_dup_auto(
     return embedding_near_dup_lsh(df, vec_col, id_col, threshold, **lsh_kwargs)
 
 
+def _cc_round(edges: DataFrame) -> DataFrame:
+    """One large-star + small-star round over a distinct, symmetric
+    (u, v) edge set — factored out so a single round's physical plan is
+    dump-able through the real code (plans/r10/cc_round_*.txt).
+
+    r9: the intermediate .distinct() calls (bidir, large, canon) are
+    dropped — each cost a full shuffle+agg per round, and the round's
+    EDGE SET is unchanged without them: min/join/filter are insensitive
+    to row multiplicity, the round output still passes one distinct in
+    the caller, and the duplication factor is bounded by a small
+    constant (edges enters each round already distinct, so bidir
+    carries <= 2 copies per undirected edge, never degree-multiplied).
+
+    r10 (guide §2.4): the per-star neighborhood minimum rides the SAME
+    shuffle as the rows it annotates — an unordered window min over
+    partitionBy(u) instead of the groupBy(u)+equi-join pair (which paid
+    one Exchange for the aggregate AND one for the join's probe side).
+    Multiplicity is min-insensitive, so the emitted multiset is
+    identical row for row.  Exchanges per round 5 -> 3, joins 2 -> 0
+    (plan dumps in plans/r10/).
+    """
+    from pyspark.sql import Window as W
+
+    # ---- large-star: emit (v, m(u)) for every neighbor v > u,
+    # with m(u) = min(N(u) + {u}) ----
+    bidir = edges.union(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    m1 = F.least(F.min("v").over(W.partitionBy("u")), F.col("u"))
+    large = (
+        bidir.withColumn("m", m1)
+        .filter(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .filter("u <> v")
+    )
+    # ---- small-star: canonicalize larger->smaller, then link the
+    # smaller neighborhood and the center to its minimum.  The two
+    # former union arms were projections of the same joined frame —
+    # emit both rows per input row with ONE explode instead, so the
+    # subtree is built (and shuffled) once.
+    canon = large.select(
+        F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+    )
+    m2 = F.min("v").over(W.partitionBy("u"))
+    return (
+        canon.withColumn("m", m2)
+        .select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("v").alias("u"), F.col("m").alias("v")),
+                    F.struct(F.col("u").alias("u"), F.col("m").alias("v")),
+                )
+            ).alias("e")
+        )
+        .select("e.u", "e.v")
+        .filter("u <> v")
+        .distinct()
+    )
+
+
 def connected_components(
     pairs: DataFrame,
     id_a: str = "id_a",
@@ -597,62 +657,9 @@ def connected_components(
         .localCheckpoint(eager=False)
     )
     prev_stat = None
-    from pyspark.sql import Window as W
-
     for _ in range(max_iterations):
-        # ---- large-star: emit (v, m(u)) for every neighbor v > u,
-        # with m(u) = min(N(u) + {u}) ----
-        # r9: the intermediate .distinct() calls (bidir, large, canon)
-        # are dropped — each cost a full shuffle+agg per round, and the
-        # round's EDGE SET is unchanged without them: min/join/filter
-        # are insensitive to row multiplicity, the round output still
-        # passes one distinct, and the duplication factor is bounded by
-        # a small constant (edges enters each round already distinct,
-        # so bidir carries <= 2 copies per undirected edge, never
-        # degree-multiplied).
-        # r10 (guide §2.4): the per-star neighborhood minimum rides the
-        # SAME shuffle as the rows it annotates — an unordered window
-        # min over partitionBy(u) instead of the groupBy(u)+equi-join
-        # pair (which paid one Exchange for the aggregate AND one for
-        # the join's probe side).  Multiplicity is min-insensitive, so
-        # the emitted multiset is identical row for row.  Exchanges per
-        # round 5 -> 3, joins 2 -> 0 (plan dumps in plans/r10/).
-        bidir = edges.union(
-            edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
-        )
-        m1 = F.least(F.min("v").over(W.partitionBy("u")), F.col("u"))
-        large = (
-            bidir.withColumn("m", m1)
-            .filter(F.col("v") > F.col("u"))
-            .select(F.col("v").alias("u"), F.col("m").alias("v"))
-            .filter("u <> v")
-        )
-        # ---- small-star: canonicalize larger->smaller, then link the
-        # smaller neighborhood and the center to its minimum.  The two
-        # former union arms were projections of the same joined frame —
-        # emit both rows per input row with ONE explode instead, so the
-        # subtree is built (and shuffled) once.
-        canon = large.select(
-            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
-        )
-        m2 = F.min("v").over(W.partitionBy("u"))
         small = (
-            canon.withColumn("m", m2)
-            .select(
-                F.explode(
-                    F.array(
-                        F.struct(
-                            F.col("v").alias("u"), F.col("m").alias("v")
-                        ),
-                        F.struct(
-                            F.col("u").alias("u"), F.col("m").alias("v")
-                        ),
-                    )
-                ).alias("e")
-            )
-            .select("e.u", "e.v")
-            .filter("u <> v")
-            .distinct()
+            _cc_round(edges)
             # LAZY checkpoint (r9): the convergence stat right below is
             # an action over these same edges, so let IT materialize
             # the checkpoint blocks — one job per round instead of the

@@ -70,6 +70,62 @@ def fake_decode(payload: bytes, media_type: str) -> np.ndarray:
     return np.concatenate([moments, hist])
 
 
+def fake_decode_batch(payloads, media_types) -> list[np.ndarray]:
+    """Vectorized twin of :func:`fake_decode` over a whole Arrow batch
+    (r10, guide §4.2: hand the batch to native code instead of looping
+    rows in Python — the per-row path paid ~5 small numpy calls per
+    payload, which WAS the operator's CPU for byte-sized media).
+
+    Exactness vs the per-row stub, field by field:
+    - n_bytes, first byte: integers — identical.
+    - mean: the byte sum is an integer < 2^53, exact in float64 under
+      ANY summation order, so sum/len is bit-identical.
+    - histogram: bin(v) = floor(v * 12 / 256) in exact integer
+      arithmetic — the same half-open uniform bins np.histogram uses
+      (edges land on exact binary fractions), counts identical; the
+      count/len division is then bit-identical.
+    - std: computed from the exact integer moments E[x^2] - mu^2
+      (sqrt of a max(., 0) guard) — mathematically the same value
+      np.std computes by two passes, may differ in final ulps.  Nothing
+      oracle-checked reads it; within one implementation it is
+      deterministic, which is the contract the tests pin.
+    """
+    n = len(payloads)
+    lens = np.fromiter(
+        (0 if p is None else len(p) for p in payloads), dtype=np.int64, count=n
+    )
+    feats: list[np.ndarray] = [None] * n  # type: ignore[list-item]
+    nz = np.flatnonzero(lens > 0)
+    if len(nz) < n:
+        zero = np.zeros(FEATURE_DIM)
+        for i in np.flatnonzero(lens == 0):
+            feats[i] = zero
+    if len(nz) == 0:
+        return feats
+    cat = np.frombuffer(
+        b"".join(bytes(payloads[i]) for i in nz), dtype=np.uint8
+    ).astype(np.int64)
+    nzlens = lens[nz]
+    starts = np.concatenate(([0], np.cumsum(nzlens)[:-1]))
+    sums = np.add.reduceat(cat, starts).astype(np.float64)
+    sq = np.add.reduceat(cat * cat, starts).astype(np.float64)
+    nzf = nzlens.astype(np.float64)
+    means = sums / nzf
+    var = np.maximum(sq / nzf - means * means, 0.0)
+    stds = np.sqrt(var)
+    firsts = cat[starts].astype(np.float64)
+    nbins = FEATURE_DIM - 4
+    bin_idx = (cat * nbins) >> 8
+    row_of = np.repeat(np.arange(len(nz)), nzlens)
+    hist = np.bincount(
+        row_of * nbins + bin_idx, minlength=len(nz) * nbins
+    ).reshape(len(nz), nbins) / nzf[:, None]
+    block = np.column_stack([nzf, means, stds, firsts, hist])
+    for j, i in enumerate(nz):
+        feats[i] = block[j]
+    return feats
+
+
 def extract_features(
     df: DataFrame,
     decode=fake_decode,
@@ -78,6 +134,7 @@ def extract_features(
     type_col: str = "media_type",
     batch_size_hint: int = 256,
     keep_cols: tuple[str, ...] = (),
+    decode_batch=None,
 ) -> DataFrame:
     """mapInPandas feature extraction: Arrow batches of binary payloads
     in, (id, features array<double>) out.  At scale: repartition by a
@@ -86,7 +143,15 @@ def extract_features(
 
     r9 (guide §4.2): only the columns the decode needs (+ ``keep_cols``
     pass-throughs) cross the Python boundary — callers that used to
-    join metadata back on afterwards can carry it through instead."""
+    join metadata back on afterwards can carry it through instead.
+
+    r10: ``decode_batch(payloads, media_types) -> list[ndarray]`` lets
+    a decoder consume the whole batch in one native call instead of a
+    Python loop; the stub pairs with :func:`fake_decode_batch`
+    automatically (only when ``decode`` is left at the stub default —
+    a caller-supplied decode is never silently batch-routed)."""
+    if decode_batch is None and decode is fake_decode:
+        decode_batch = fake_decode_batch
     keep = [c for c in keep_cols if c not in (id_col,)]
     in_cols = [id_col, payload_col, type_col] + [
         c for c in keep if c not in (payload_col, type_col)
@@ -99,10 +164,13 @@ def extract_features(
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            feats = [
-                decode(p, t)
-                for p, t in zip(pdf[payload_col], pdf[type_col])
-            ]
+            if decode_batch is not None:
+                feats = decode_batch(pdf[payload_col], pdf[type_col])
+            else:
+                feats = [
+                    decode(p, t)
+                    for p, t in zip(pdf[payload_col], pdf[type_col])
+                ]
             out = {id_col: pdf[id_col].to_numpy(), "features": feats}
             for c in keep:
                 out[c] = pdf[c].to_numpy()

@@ -44,21 +44,29 @@ def bm25_topk(
 
     Output: id_col, score (rounded to 6), ties broken by id ascending.
     """
-    import re as _re
-
     terms = [t.lower() for t in terms]
 
     # r9 (guide §4.2): the corpus-wide work never builds a token ARRAY.
     # dl (the only corpus-wide per-doc value) is regexp_count of
     # non-space runs — the same integer as the filtered-split length
-    # without allocating the strings; the match prefilter is one rlike
-    # whose (start|whitespace) term (whitespace|end) boundaries hold
-    # exactly when some whitespace token equals a query term.  Only the
-    # matching documents are ever tokenized.  Formerly BOTH the stats
-    # scan and the match scan tokenized every document (the dominant
-    # CPU: 6.4 CPU-s for a 0.9 s wall at sf0.1).
+    # without allocating the strings.  Only the matching documents are
+    # ever tokenized.  Formerly BOTH the stats scan and the match scan
+    # tokenized every document (the dominant CPU: 6.4 CPU-s for a 0.9 s
+    # wall at sf0.1).
+    # r10 (guide §4.2, per-row work): the match prefilter drops the
+    # regex engine — an OR of plain substring ``contains`` per term is
+    # a strict SUPERSET of the former token-boundary rlike (a
+    # whitespace-delimited token is in particular a substring), and the
+    # exact ``isin`` gate on exploded tokens below still decides
+    # membership, so the result is unchanged; the only cost of a
+    # substring false positive is tokenizing that one document.  At
+    # corpus scale the prefilter runs on EVERY document, so per-row
+    # cost is the lever: substring search beats the alternation regex.
     dl_expr = F.regexp_count(F.trim(F.col(text_col)), F.lit(r"\S+"))
-    term_pat = "(^|\\s)(" + "|".join(_re.escape(t) for t in terms) + ")(\\s|$)"
+    contains_any = None
+    for t in terms:
+        c = F.contains(F.lower(F.col(text_col)), F.lit(t))
+        contains_any = c if contains_any is None else (contains_any | c)
 
     base = df.select(F.col(id_col), F.col(text_col), dl_expr.alias("dl"))
     # corpus stats: one tiny row, broadcast everywhere
@@ -66,7 +74,7 @@ def bm25_topk(
         F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
     )
     # map-side prune: only documents containing >=1 query term survive
-    matched = base.filter(F.lower(F.trim(F.col(text_col))).rlike(term_pat))
+    matched = base.filter(contains_any)
     tf = (
         matched.select(
             id_col, "dl", F.explode(whitespace_tokens(text_col)).alias("tok")

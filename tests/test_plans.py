@@ -148,10 +148,14 @@ def test_perplexity_fits_model_once(spark):
     reused it across repeated runs; accept either as evidence."""
     plan = plan_of(spark, "unigram_perplexity")
     assert "InMemoryTableScan" in plan or "Scan ExistingRDD" in plan
-    # corpus scans: model fit + scoring + id-only restore (pruned);
-    # with the checkpointed model the fit subtree leaves the final
-    # plan entirely, so the bound tightens
-    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) <= 3
+    # r10 (r9 ADVICE): the bound is the PROOF — with the model
+    # checkpointed the fit subtree leaves the final plan entirely, so
+    # only the scoring scan + the id-only (pruned) restore scan remain.
+    # <= 2 actually fails if the model regresses to per-consumer
+    # recomputation (that shape re-adds the fit scan -> 3 parquet
+    # scans); the former <= 3 tolerated exactly the regression this
+    # gate exists to catch.
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) <= 2
 
 
 def test_paragraph_dedup_window_is_rank_limited(spark):
