@@ -272,16 +272,14 @@ def contamination_hits_bloom(
         bloom_filter_members,
     )
 
-    # r10 (guide §2.4): the bench-gram subtree feeds BOTH the bloom
-    # build and the exact verify side; un-cut, the tokenize -> gram ->
-    # distinct pipeline over the benchmark ran twice per query.  The
-    # distinct gram-hash frame is o(benchmark) — megabytes by the
-    # operator's own asymmetry contract — so one lazy localCheckpoint
-    # (shared within this invocation, never across runs) halves the
-    # benchmark-side work; the corpus side is untouched.
-    bench_grams = _bench_gram_hashes(benchmark, bench_text_col, n).localCheckpoint(
-        eager=False
-    )
+    # r10 negative result (recorded in OPTIMIZATION_r10.md): a lazy
+    # localCheckpoint here — to stop the bench-gram subtree building
+    # twice (bloom build + exact verify side) — measured 9% SLOWER at
+    # sf0.1 in a 3-round interleaved A/B: the checkpoint serializes two
+    # cheap independent subtrees behind a block materialization.  The
+    # duplicate work is o(benchmark) (megabytes by the operator's
+    # asymmetry contract), so the un-cut shape stays.
+    bench_grams = _bench_gram_hashes(benchmark, bench_text_col, n)
     if bloom_m is None:
         # default 2^20 bits; a production caller sizes m ≈ 16 bits per
         # distinct benchmark gram (fp ≈ 1e-6 at k=4) — a constant the

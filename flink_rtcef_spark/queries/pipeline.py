@@ -192,35 +192,33 @@ _QUALITY_FULL_SQL = f"""
 
 @query("text_quality", oracle=_QUALITY_FULL_SQL)
 def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """All nine quality signals from ONE corpus pass (r9: three -> two;
-    r10: two -> one).
+    """All nine quality signals from TWO corpus passes (r9: was three).
 
     The token-frequency table the entropy term needs already holds
     every basic quality signal: n_tokens = SUM(c), n_types = COUNT(*),
     mean token length = SUM(len*c)/SUM(c), stopword ratio =
     SUM(c|stop)/SUM(c) — each an exact integer sum (< 2^53), so the
     resulting doubles are bit-identical to the occurrence-level
-    formulation the oracle states.
+    formulation the oracle states, and the former third scan + explode
+    + countDistinct expand disappear.  After the totals window the
+    rows sit on doc_id partitioning, so the merged per-doc aggregate
+    adds no Exchange (6 Exchanges -> 4, 3 scans -> 2).
 
-    r10 (guide §2.4, §6): the trigram branch no longer re-scans and
-    re-tokenizes the corpus.  ONE posexplode feeds a single
-    hash(doc_id) repartition that BOTH branches reuse (ReuseExchange):
-    hash(doc_id) co-locates every row of a doc, so it satisfies the
-    (doc_id, tok) and (doc_id, g) aggregations, the totals window, the
-    per-doc aggregates AND the final join — no further Exchange
-    anywhere (4 Exchanges -> 2, tokenize passes 2 -> 1; trigrams come
-    from two lead()s over the in-doc position instead of a second
-    array transform).  Trigram multiset is identical (docs shorter
-    than 3 tokens emit none on both shapes)."""
+    r10 negative result (recorded in OPTIMIZATION_r10.md): a
+    single-scan shape — one posexplode into a shared hash(doc_id)
+    repartition, trigrams from two lead()s — cut the plan to 2
+    Exchanges and 1 tokenize pass but measured 17% SLOWER at sf0.1 in
+    a 3-round interleaved A/B: the raw-token exchange + two per-doc
+    window sorts cost more than the second scan+tokenize saves at this
+    corpus size (both map-side aggregations combine before their
+    shuffles).  Reverted; the two-scan shape stays."""
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select(
         "doc_id",
         "n_chars",
         F.filter(_tokens_spark(), lambda x: x != "").alias("tokens"),
     )
-    flat = toks.select(
-        "doc_id", "n_chars", F.posexplode("tokens").alias("pos", "tok")
-    ).repartition("doc_id")
+    flat = toks.select("doc_id", "n_chars", F.explode("tokens").alias("tok"))
     freqs = flat.groupBy("doc_id", "tok").agg(
         F.count(F.lit(1)).alias("c"), F.any_value("n_chars").alias("n_chars")
     )
@@ -246,20 +244,18 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("term"), 6).alias("token_entropy"),
         )
     )
-    ow = W.partitionBy("doc_id").orderBy("pos")
-    tri = (
-        flat.select(
-            "doc_id",
-            "tok",
-            F.lead("tok", 1).over(ow).alias("t1"),
-            F.lead("tok", 2).over(ow).alias("t2"),
-        )
-        .filter(F.col("t2").isNotNull())
-        .select("doc_id", F.concat_ws(" ", "tok", "t1", "t2").alias("g"))
+    tri = toks.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, greatest(size(tokens) - 2, 0)),"
+                " i -> concat_ws(' ', slice(tokens, i, 3)))"
+            )
+        ).alias("g"),
     )
     # countDistinct expands to a two-shuffle expand/agg; the two-level
-    # groupBy keeps partial aggregation on both levels and both land on
-    # the doc_id partitioning the shared repartition established
+    # groupBy keeps partial (map-side) aggregation on both levels and
+    # both shuffles land on the same doc_id partitioning the join reuses
     tri_counts = tri.groupBy("doc_id", "g").agg(F.count(F.lit(1)).alias("c"))
     rep = tri_counts.groupBy("doc_id").agg(
         F.round(1.0 - F.count(F.lit(1)) / F.sum("c"), 6).alias("dup_trigram_ratio")
